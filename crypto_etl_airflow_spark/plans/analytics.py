@@ -1,0 +1,215 @@
+"""Time-series analytics surface over the ``events`` table.
+
+This is the analytics capability the reference delegates to Metabase
+over its ``crypto_prices`` warehouse (reference README.md:42-45,
+img/metabase-dashboard.png: hourly price trend per coin; SURVEY.md
+§2.5 W1-W6). ``events(event_id, ts, user_id, event_type, value,
+props)`` plays the role of the price series: ``event_type`` ≙
+``crypto_id``, ``value`` ≙ ``price_usd``, ``ts`` ≙ ``extracted_at``.
+
+All plans are pure DataFrame compositions — window functions, pivots
+and time bucketing are built-in, stay inside whole-stage codegen, and
+shuffle exactly once on the window/group key. At 100 TB the single
+shuffle per query is on ``(entity)`` or ``(hour)``, both low-skew
+here; a skewed entity would be handled by AQE skew-join/salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared first stage: avg value per (entity, hour).
+
+    Rounded to 6 dp so downstream window math starts from doubles that
+    are bit-identical to the DuckDB oracle's (sum order may differ).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type").alias("entity"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+
+
+_HOURLY_SQL = """
+    SELECT event_type AS entity,
+           date_trunc('hour', ts) AS hour,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "hourly_variation",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT entity, hour, avg_value,
+           round(avg_value - lag(avg_value) OVER w, 6) AS delta,
+           round((avg_value - lag(avg_value) OVER w) / lag(avg_value) OVER w * 100, 6)
+               AS pct_change
+    FROM hourly
+    WINDOW w AS (PARTITION BY entity ORDER BY hour)
+    """,
+    tags=("window", "timeseries", "parity"),
+    bench=True,
+)
+def hourly_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour Δ and %Δ per entity — the flagship query.
+
+    Re-expresses the reference's core analytics question ("monitorar a
+    variação horária", reference README.md:5; SURVEY.md §2.5 W1+W2+W5):
+    time-bucket to hours, per-entity window lag, delta and percent
+    change. One shuffle for the groupBy, one for the window partition.
+    """
+    hourly = _hourly(spark, sf_dir)
+    w = W.partitionBy("entity").orderBy("hour")
+    prev = F.lag("avg_value").over(w)
+    return hourly.select(
+        "entity",
+        "hour",
+        "avg_value",
+        F.round(F.col("avg_value") - prev, 6).alias("delta"),
+        F.round((F.col("avg_value") - prev) / prev * 100, 6).alias("pct_change"),
+    )
+
+
+@register(
+    "latest_per_entity",
+    oracle="""
+    SELECT entity, ts AS latest_ts, value AS latest_value
+    FROM (
+        SELECT event_type AS entity, ts, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("window", "topk", "parity"),
+)
+def latest_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest observation per entity (SURVEY.md §2.5 W4): top-1 per
+    group via row_number, tiebroken on event_id for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("entity"),
+            F.col("ts").alias("latest_ts"),
+            F.col("value").alias("latest_value"),
+        )
+    )
+
+
+@register(
+    "pivot_entities",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT hour,
+           max(CASE WHEN entity = 'click' THEN avg_value END) AS click,
+           max(CASE WHEN entity = 'error' THEN avg_value END) AS error,
+           max(CASE WHEN entity = 'purchase' THEN avg_value END) AS purchase,
+           max(CASE WHEN entity = 'signup' THEN avg_value END) AS signup,
+           max(CASE WHEN entity = 'view' THEN avg_value END) AS view
+    FROM hourly GROUP BY hour
+    """,
+    tags=("pivot", "parity"),
+)
+def pivot_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One column per entity against the shared hour axis — the
+    dashboard series-alignment join (SURVEY.md §2.3 J2, §2.5 W3).
+
+    Pivot values are declared explicitly so the plan needs no extra
+    distinct-values job (matters at scale: implicit pivot runs a
+    collect of distinct keys on the driver).
+    """
+    hourly = _hourly(spark, sf_dir)
+    return (
+        hourly.groupBy("hour")
+        .pivot("entity", list(EVENT_TYPES))
+        .agg(F.max("avg_value"))
+    )
+
+
+@register(
+    "time_buckets",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=("timeseries", "agg", "parity"),
+)
+def time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour buckets via ``F.window`` (SURVEY.md §2.5 W5) —
+    the same operator Structured Streaming uses, exercised in batch."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "rolling_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+               AS rolling_avg_value
+    FROM events
+    """,
+    tags=("window", "timeseries"),
+)
+def rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling mean over the last 4 observations (SURVEY.md
+    §2.5 W6) — rowsBetween frame, deterministic order via event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg_value"),
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(props::JSON->>'k' AS INTEGER)), 6) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("json", "scalar", "parity"),
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` payload and aggregate a field — the
+    reference's JSON-deserialize capability (SURVEY.md §2.1 S3) pushed
+    into the engine via ``get_json_object`` (JVM-side, no Python)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.avg(F.get_json_object("props", "$.k").cast("int")), 6
+        ).alias("avg_k"),
+        F.count("*").alias("n"),
+    )

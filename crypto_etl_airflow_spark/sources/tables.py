@@ -1,0 +1,69 @@
+"""Parquet warehouse loader.
+
+The engine's at-rest format is Parquet (columnar, splittable,
+predicate-pushdown-capable) — the scale-ready replacement for the
+reference's single Postgres heap table ``crypto_prices`` (reference
+dags/crypto-etl-pipeline-psql.py:157-164).
+
+Reads are plain ``spark.read.parquet`` so Catalyst gets the native
+vectorized scan with filter pushdown and column pruning; at cluster
+scale the same call reads a date-partitioned directory tree and gains
+partition pruning with zero code change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as INT64 TIMESTAMP(NANOS) in the fixtures. Spark's
+# vectorized reader has no ns timestamp type; with
+# spark.sql.legacy.parquet.nanosAsLong they surface as raw ns longs,
+# which we floor-divide to µs — the same truncation DuckDB applies
+# when it reads TIMESTAMP_NS parquet as its µs TIMESTAMP, so both
+# engines see identical values.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one warehouse table from ``{sf_dir}/{name}.parquet``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load several tables; returns {name: DataFrame} (all lazy)."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register each table as a temp view so ``spark.sql`` can see it."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
