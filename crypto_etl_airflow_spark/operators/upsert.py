@@ -1,0 +1,81 @@
+"""Idempotent insert-if-absent writer.
+
+Re-expresses the reference's ``INSERT ... ON CONFLICT (crypto_id,
+extracted_at) DO NOTHING`` (reference dags/crypto-etl-pipeline-psql.py:85-89;
+SURVEY.md §2.1 S6): re-running an ingest batch must not grow the
+table or alter existing rows — exactly-once-per-key append.
+
+Spark realization:
+
+1. within-batch dedup: ``dropDuplicates(keys)``;
+2. against-table dedup: **left-anti join** of the new batch against
+   the existing table's key projection;
+3. append write.
+
+Scale posture: the anti-join reads ONLY the key columns of the
+existing table (column pruning reaches the parquet scan), and when
+the table is date-partitioned and the batch spans few partitions, a
+partition-pruning filter on the key range cuts the read further
+(``prune_filter``). Join strategy is left to AQE: a small key slice
+broadcasts, a huge one sort-merges. Like the reference (single
+Airflow DAG writer), this assumes a single writer — a read-append
+race under concurrent writers needs a transactional table format
+(Delta/Iceberg ``MERGE INTO``), noted in SURVEY.md §7.4.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+class EmptyBatchError(ValueError):
+    """No rows to load — mirrors the reference's guard (:76-77)."""
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    # local-fs check is enough for this engine's warehouse layout;
+    # on cloud storage this would go through the Hadoop FileSystem API
+    return os.path.exists(path)
+
+
+def upsert_append(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+    prune_filter: Column | None = None,
+    allow_empty: bool = False,
+) -> int:
+    """Append ``batch`` to the parquet table at ``path``, skipping
+    rows whose key already exists. Returns the number of rows written.
+
+    ``prune_filter`` optionally restricts the existing-table read
+    (e.g. a date-range predicate over the partition column) so the
+    anti-join scans only the partitions the batch can collide with.
+    """
+    if batch.isEmpty():
+        if allow_empty:
+            return 0
+        raise EmptyBatchError("No data to load: empty batch")
+
+    fresh = batch.dropDuplicates(keys)
+
+    if table_exists(spark, path):
+        existing_keys = spark.read.parquet(path).select(*keys)
+        if prune_filter is not None:
+            existing_keys = existing_keys.filter(prune_filter)
+        fresh = fresh.join(existing_keys, on=keys, how="left_anti")
+
+    # localCheckpoint truncates lineage: the append must not lazily
+    # re-read the very path it is writing into (read-before-write)
+    fresh = fresh.localCheckpoint(eager=True)
+    n = fresh.count()
+    if n:
+        writer = fresh.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+    return n

@@ -1,1 +1,126 @@
-"""Placeholder — filled in later phases."""
+"""Reference-parity query surface.
+
+Queries that restate the reference warehouse's shape and its quality
+gate as oracle-checkable plans (SURVEY.md §2.1/§2.2/§2.6). The
+``crypto_prices`` table is derived by projecting ``events``
+(FIXTURES.md §1): event_type → crypto_id, value → price_usd,
+ts → extracted_at.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+# deterministic stand-in for wall-clock now() in the freshness check
+_FIXED_NOW = "2024-03-01 00:00:00"
+
+
+def crypto_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference warehouse shape, derived from events."""
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("crypto_id"),
+        F.col("value").alias("price_usd"),
+        F.col("ts").alias("extracted_at"),
+    )
+
+
+_CRYPTO_PRICES_SQL = """
+    SELECT event_type AS crypto_id,
+           value AS price_usd,
+           ts AS extracted_at
+    FROM events
+"""
+
+
+@register(
+    "crypto_prices_projection",
+    oracle=_CRYPTO_PRICES_SQL,
+    tags=("parity", "projection"),
+)
+def crypto_prices_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered column projection + renames (SURVEY.md §2.2 P3/P5) —
+    the reference's transform-output shape, full fidelity."""
+    return crypto_prices(spark, sf_dir)
+
+
+@register(
+    "quality_metrics",
+    oracle=f"""
+    WITH cp AS ({_CRYPTO_PRICES_SQL}),
+    m AS (
+        SELECT round(min(price_usd), 6) AS min_price_usd,
+               max(extracted_at) AS max_extracted_at,
+               count(*) AS row_count,
+               count(DISTINCT (crypto_id, extracted_at)) AS distinct_keys,
+               date_diff('second', max(extracted_at),
+                         TIMESTAMP '{_FIXED_NOW}') AS age_seconds
+        FROM cp
+    )
+    SELECT min_price_usd, max_extracted_at, row_count, distinct_keys,
+           CASE WHEN min_price_usd < 0 THEN 'fail' ELSE 'pass' END
+               AS price_outcome,
+           CASE WHEN age_seconds > 6*3600 THEN 'fail'
+                WHEN age_seconds > 2*3600 THEN 'warn'
+                ELSE 'pass' END AS freshness_outcome,
+           CASE WHEN row_count = distinct_keys THEN 'pass' ELSE 'fail' END
+               AS unique_outcome
+    FROM m
+    """,
+    tags=("parity", "quality", "agg"),
+)
+def quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Soda-style quality scan as a single-agg query (SURVEY.md
+    §2.6 Q1-Q3, §2.4 A1-A3): min threshold, freshness vs a fixed
+    reference instant (wall clock is injected for determinism),
+    composite-key uniqueness — one pass, outcomes as columns."""
+    cp = crypto_prices(spark, sf_dir)
+    m = cp.agg(
+        F.round(F.min("price_usd"), 6).alias("min_price_usd"),
+        F.max("extracted_at").alias("max_extracted_at"),
+        F.count(F.lit(1)).alias("row_count"),
+        F.count_distinct("crypto_id", "extracted_at").alias("distinct_keys"),
+        (
+            F.unix_timestamp(F.lit(_FIXED_NOW).cast("timestamp"))
+            - F.unix_timestamp(F.max("extracted_at"))
+        ).alias("age_seconds"),
+    )
+    return m.select(
+        "min_price_usd",
+        "max_extracted_at",
+        "row_count",
+        "distinct_keys",
+        F.when(F.col("min_price_usd") < 0, "fail")
+        .otherwise("pass")
+        .alias("price_outcome"),
+        F.when(F.col("age_seconds") > 6 * 3600, "fail")
+        .when(F.col("age_seconds") > 2 * 3600, "warn")
+        .otherwise("pass")
+        .alias("freshness_outcome"),
+        F.when(F.col("row_count") == F.col("distinct_keys"), "pass")
+        .otherwise("fail")
+        .alias("unique_outcome"),
+    )
+
+
+@register(
+    "dedup_exact_rows",
+    oracle=f"""
+    SELECT DISTINCT * FROM (
+        SELECT * FROM ({_CRYPTO_PRICES_SQL})
+        UNION ALL
+        SELECT * FROM ({_CRYPTO_PRICES_SQL})
+    )
+    """,
+    tags=("parity", "dedup", "setops"),
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The within-batch half of the ON CONFLICT DO NOTHING contract
+    (SURVEY.md §2.1 S6): a doubled batch deduplicates back to one row
+    per key. unionAll + dropDuplicates — Spark plans this as one
+    hash-aggregate over the union, partial map-side combine included."""
+    cp = crypto_prices(spark, sf_dir)
+    return cp.unionAll(cp).dropDuplicates()

@@ -1,0 +1,105 @@
+"""Quality gate: declarative checks → one agg job → outcomes.
+
+Mirrors include/soda/checks.yml semantics: non-negative price (fail),
+freshness 2h warn / 6h fail, plus engine extensions (row_count,
+not_null, unique_keys)."""
+
+import datetime as dt
+
+import pytest
+
+from crypto_etl_airflow_spark.quality import (
+    QualityGateError,
+    freshness,
+    min_value,
+    max_value,
+    not_null,
+    row_count,
+    run_scan,
+    unique_keys,
+)
+
+SCHEMA = "crypto_id string, price_usd double, extracted_at timestamp"
+NOW = dt.datetime(2024, 1, 1, 12, 0)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _fresh_row(minutes_old, price=1.0, coin="btc"):
+    return (coin, price, NOW - dt.timedelta(minutes=minutes_old))
+
+
+def test_all_pass(spark):
+    df = _df(spark, [_fresh_row(10), _fresh_row(20, coin="eth")])
+    scan = run_scan(
+        df,
+        [
+            min_value("price_usd", fail_when_lt=0),
+            freshness("extracted_at", now=NOW),
+            row_count(),
+            not_null("price_usd"),
+            unique_keys(["crypto_id", "extracted_at"]),
+        ],
+    )
+    assert not scan.failed and not scan.warned
+    scan.enforce()  # no raise
+    assert "min_value" in scan.log_text()
+
+
+def test_negative_price_fails_gate(spark):
+    df = _df(spark, [_fresh_row(10, price=-0.5)])
+    scan = run_scan(df, [min_value("price_usd", fail_when_lt=0)])
+    assert scan.failed
+    with pytest.raises(QualityGateError, match="min"):
+        scan.enforce()
+
+
+def test_freshness_warn_then_fail(spark):
+    warn_df = _df(spark, [_fresh_row(3 * 60)])  # 3h old → warn
+    scan = run_scan(warn_df, [freshness("extracted_at", now=NOW)])
+    assert scan.warned and not scan.failed
+    scan.enforce()  # warn does not halt the pipeline
+
+    fail_df = _df(spark, [_fresh_row(7 * 60)])  # 7h old → fail
+    scan = run_scan(fail_df, [freshness("extracted_at", now=NOW)])
+    assert scan.failed
+
+
+def test_duplicate_keys_fail(spark):
+    df = _df(spark, [_fresh_row(10), _fresh_row(10)])
+    scan = run_scan(df, [unique_keys(["crypto_id", "extracted_at"])])
+    assert scan.failed
+    assert "1 duplicate keys" in scan.results[0].detail
+
+
+def test_null_and_max_checks(spark):
+    df = _df(spark, [("btc", None, NOW), ("eth", 99.0, NOW)])
+    scan = run_scan(
+        df, [not_null("price_usd"), max_value("price_usd", warn_when_gt=50)]
+    )
+    outcomes = {r.name: r.outcome for r in scan.results}
+    assert outcomes["not_null(price_usd)"] == "fail"
+    assert outcomes["max_value(price_usd)"] == "warn"
+
+
+def test_single_job_for_many_checks(spark):
+    """All measures must land in one agg — count the collected row."""
+    df = _df(spark, [_fresh_row(10)])
+    checks = [
+        min_value("price_usd", fail_when_lt=0),
+        max_value("price_usd", fail_when_gt=1e12),
+        freshness("extracted_at", now=NOW),
+        row_count(),
+        not_null("price_usd"),
+        unique_keys(["crypto_id", "extracted_at"]),
+    ]
+    scan = run_scan(df, checks)
+    assert len(scan.results) == len(checks)
+
+
+def test_empty_table_fails_min_and_rowcount(spark):
+    df = _df(spark, [])
+    scan = run_scan(df, [min_value("price_usd", fail_when_lt=0), row_count()])
+    assert scan.failed
