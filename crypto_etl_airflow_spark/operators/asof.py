@@ -1,0 +1,83 @@
+"""As-of join: for each probe row, the most recent build row at or
+before its timestamp, per key.
+
+The price-series primitive the reference's warehouse implies ("price
+at-or-before t" over crypto_prices; SURVEY.md §2.3/§7.4). Spark has
+no built-in as-of join, so this uses the union-and-window pattern:
+
+1. tag both sides and union them (schema-aligned);
+2. one window per key ordered by (ts, side) — build rows sort before
+   probe rows at equal timestamps so ``ts >= build.ts`` matches;
+3. ``last(value, ignoreNulls=True)`` forward-fills the latest build
+   value onto every row;
+4. keep only probe rows.
+
+Scale posture: ONE shuffle on the key (the window partition), no
+join at all — this beats a range-join at 100 TB because the
+union+window is linear in rows and never builds a cross-product of
+candidate matches. Skewed keys degrade the window sort; salting the
+key with a time bucket is the escape hatch (not needed at fixture
+scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"  # 0 = build, 1 = probe: builds win ties
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    keys: list[str],
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: ``probe`` rows gain, for each column in
+    ``value_cols``, the value from the latest ``build`` row with
+    ``build[on] <= probe[on]`` and equal ``keys``; NULL when no such
+    row exists.
+
+    Probe columns pass through unchanged; joined columns are named
+    ``{col}{suffix}``.
+    """
+    probe_cols = probe.columns
+    out_vals = [f"{c}{suffix}" for c in value_cols]
+
+    p = probe.withColumn(_SIDE, F.lit(1))
+    for c in value_cols:
+        p = p.withColumn(f"__b_{c}", F.lit(None).cast(build.schema[c].dataType))
+
+    b = build.select(
+        *[F.col(k) for k in keys],
+        F.col(on),
+        *[F.col(c).alias(f"__b_{c}") for c in value_cols],
+    ).withColumn(_SIDE, F.lit(0))
+    for c in probe_cols:
+        if c not in keys and c != on:
+            b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
+
+    unioned = p.select(
+        *probe_cols, _SIDE, *[f"__b_{c}" for c in value_cols]
+    ).unionByName(
+        b.select(*probe_cols, _SIDE, *[f"__b_{c}" for c in value_cols])
+    )
+
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        *probe_cols,
+        F.col(_SIDE),
+        *[
+            F.last(f"__b_{c}", ignorenulls=True).over(w).alias(out)
+            for c, out in zip(value_cols, out_vals)
+        ],
+    )
+    return filled.filter(F.col(_SIDE) == 1).select(*probe_cols, *out_vals)

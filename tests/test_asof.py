@@ -1,0 +1,60 @@
+"""as-of join edge cases: no-match NULLs, equal-timestamp matches,
+multiple probes between builds."""
+
+import datetime as dt
+
+from crypto_etl_airflow_spark.operators.asof import asof_join
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_basic_forward_fill(spark):
+    probe = spark.createDataFrame(
+        [(1, "u", _ts(5)), (2, "u", _ts(10)), (3, "u", _ts(20))],
+        "id long, k string, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [("u", _ts(4), 40.0), ("u", _ts(10), 100.0), ("u", _ts(15), 150.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        r.id: r.v_asof
+        for r in asof_join(probe, build, on="ts", keys=["k"], value_cols=["v"]).collect()
+    }
+    assert out == {1: 40.0, 2: 100.0, 3: 150.0}  # equal ts matches (>=)
+
+
+def test_asof_no_earlier_build_is_null(spark):
+    probe = spark.createDataFrame([(1, "u", _ts(1))], "id long, k string, ts timestamp")
+    build = spark.createDataFrame(
+        [("u", _ts(9), 9.0)], "k string, ts timestamp, v double"
+    )
+    [row] = asof_join(probe, build, on="ts", keys=["k"], value_cols=["v"]).collect()
+    assert row.v_asof is None
+
+
+def test_asof_keys_do_not_leak_across_partitions(spark):
+    probe = spark.createDataFrame(
+        [(1, "a", _ts(10)), (2, "b", _ts(10))], "id long, k string, ts timestamp"
+    )
+    build = spark.createDataFrame(
+        [("a", _ts(5), 5.0)], "k string, ts timestamp, v double"
+    )
+    out = {
+        r.id: r.v_asof
+        for r in asof_join(probe, build, on="ts", keys=["k"], value_cols=["v"]).collect()
+    }
+    assert out == {1: 5.0, 2: None}
+
+
+def test_asof_multiple_value_cols(spark):
+    probe = spark.createDataFrame([(1, "u", _ts(10))], "id long, k string, ts timestamp")
+    build = spark.createDataFrame(
+        [("u", _ts(5), 5.0, "x")], "k string, ts timestamp, v double, tag string"
+    )
+    [row] = asof_join(
+        probe, build, on="ts", keys=["k"], value_cols=["v", "tag"]
+    ).collect()
+    assert (row.v_asof, row.tag_asof) == (5.0, "x")
