@@ -1,0 +1,183 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline, and a random-
+hyperplane-LSH-bucketed variant as the scale path (BASELINE.json
+``north_star``; SURVEY.md §7.5; candidate-pruning pattern cf.
+/root/repo/PAPERS.md REPOSE ICDE 2021).
+
+The dot product is a pure array expression — ``zip_with`` then
+``aggregate`` — evaluated in the JVM with sequential summation
+(bit-identical to a sequential C loop over the same doubles, which is
+what makes the DuckDB oracle hash-match exactly).
+
+Scale posture: brute force is O(n·m) pairs (n probes × m corpus) —
+fine when one side is small (it broadcasts); the LSH variant buckets
+both sides so each probe only scores its bucket's candidates,
+shuffling on the bucket key instead of building the cross-product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every probe vector.
+
+    Output: (probe_id, neighbor_id, cosine_sim, rank), self-matches
+    excluded. The corpus side is broadcast when it fits (AQE decides);
+    ranking is deterministic: (rounded sim DESC, neighbor_id ASC).
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        p.crossJoin(c)
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("p_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def neardup_pairs_cosine(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup dedup).
+    Brute-force pairs with id_a < id_b; the LSH variant below is the
+    scale path."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _hyperplane(table_idx: int, plane_idx: int, dim: int) -> F.Column:
+    """Deterministic pseudo-random hyperplane: component j is a value
+    in [-1, 1) derived from xxhash64('rhp-<table>-<plane>-<j>'). Pure
+    expressions — identical on every executor and every run, no RNG
+    state to ship."""
+    comps = [
+        (
+            (F.xxhash64(F.lit(f"rhp-{table_idx}-{plane_idx}-{j}")) % 2001 + 2001)
+            % 2001
+            - 1000
+        ).cast("double")
+        / 1000.0
+        for j in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def rhp_bucket(vec_col, num_planes: int, dim: int, table_idx: int = 0) -> F.Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i).
+    Cosine-similar vectors agree on most signs, so they land in the
+    same bucket with high probability."""
+    bucket = F.lit(0).cast("long")
+    for i in range(num_planes):
+        sign_bit = F.when(
+            _dot(vec_col, _hyperplane(table_idx, i, dim)) >= 0, 1
+        ).otherwise(0)
+        bucket = bucket + (sign_bit.cast("long") * (1 << i))
+    return bucket
+
+
+def cosine_topk_lsh(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only candidates that share an LSH
+    bucket with the probe in AT LEAST ONE of ``num_tables``
+    independent hash tables (multi-table LSH — the standard
+    recall/cost dial: per-table collision probability for angle θ is
+    (1-θ/π)^planes, overall 1-(1-p)^tables).
+
+    Each table's join shuffles on its bucket key (~m/2^planes
+    candidates per probe per table); candidates are deduped before
+    scoring so each pair's cosine is computed once. Same output
+    schema as the brute-force variant."""
+    p_ids = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("p_vec"))
+    c_ids = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+
+    cand = None
+    for t in range(num_tables):
+        pb = p_ids.select(
+            "probe_id", rhp_bucket(F.col("p_vec"), num_planes, dim, t).alias("bucket")
+        )
+        cb = c_ids.select(
+            "neighbor_id",
+            rhp_bucket(F.col("c_vec"), num_planes, dim, t).alias("bucket"),
+        )
+        pairs = pb.join(cb, "bucket").select("probe_id", "neighbor_id")
+        cand = pairs if cand is None else cand.unionAll(pairs)
+
+    scored = (
+        cand.distinct()
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .join(p_ids, "probe_id")
+        .join(c_ids, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("p_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

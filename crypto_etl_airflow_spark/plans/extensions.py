@@ -1,1 +1,387 @@
-"""Placeholder — filled in later phases."""
+"""North-star extension surface: dedup, similarity search, text
+analysis, multimodal columns (BASELINE.json ``north_star``; SURVEY.md
+§7.5) — declared queries over the ``documents`` and ``embeddings``
+fixture tables, oracle-checked wherever ANSI SQL can express the
+semantics (MinHash/SimHash/LSH internals get rows-only checks; their
+recall is asserted against exact baselines in tests/test_dedup.py and
+tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity
+from ..operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    language_scores,
+    mean_token_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    whitespace_token_count,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+# DuckDB fragments mirroring operators/text.py definitions
+_TOKS = "string_split_regex(lower(text), '\\s+')"
+_STOPS = "['the','and','is','of','to','a','in','that']"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_bpe_tokens,
+           length(text) AS n_chars_measured,
+           round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                 / length(text), 6) AS punct_ratio,
+           round(len(list_filter({_TOKS}, x -> list_contains({_STOPS}, x)))
+                 / len({_TOKS}), 6) AS stopword_ratio,
+           round(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum')
+                 / len({_TOKS}), 6) AS mean_token_len
+    FROM documents
+    """,
+    tags=("text", "extension"),
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + character-level quality signals per document —
+    whitespace tokens, BPE-ish regex tokens, punctuation/stopword
+    ratios, mean token length. Pure column expressions (SURVEY.md
+    §7.5 text analysis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(t).alias("n_ws_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars_measured"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        mean_token_length(t).alias("mean_token_len"),
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter({_TOKS}, x -> list_contains(['the','and','is','of','to','a','in','that'], x))) AS en_score,
+               len(list_filter({_TOKS}, x -> list_contains(['der','die','und','ist','das','nicht','ein'], x))) AS de_score,
+               len(list_filter({_TOKS}, x -> list_contains(['el','la','de','que','los','una','por'], x))) AS es_score,
+               len(list_filter({_TOKS}, x -> list_contains(['le','la','et','les','des','une','dans'], x))) AS fr_score,
+               len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS zh_score
+        FROM documents
+    )
+    SELECT doc_id, lang, en_score, de_score, es_score, fr_score, zh_score,
+           CASE WHEN zh_score > 0 THEN 'zh'
+                WHEN en_score >= de_score AND en_score >= es_score
+                     AND en_score >= fr_score AND en_score > 0 THEN 'en'
+                WHEN de_score >= es_score AND de_score >= fr_score
+                     AND de_score > 0 THEN 'de'
+                WHEN es_score >= fr_score AND es_score > 0 THEN 'es'
+                WHEN fr_score > 0 THEN 'fr'
+                ELSE 'unknown' END AS lang_pred
+    FROM scored
+    """,
+    tags=("text", "extension"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with per-language scores and
+    a deterministic argmax (CJK presence dominates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = language_scores(t)
+    return docs.select(
+        "doc_id",
+        "lang",
+        scores["en"].alias("en_score"),
+        scores["de"].alias("de_score"),
+        scores["es"].alias("es_score"),
+        scores["fr"].alias("fr_score"),
+        scores["zh"].alias("zh_score"),
+        language_id(t).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               length(text) AS n,
+               round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                     / length(text), 6) AS p_ratio,
+               round(len(list_filter({_TOKS}, x -> list_contains({_STOPS}, x)))
+                     / len({_TOKS}), 6) AS s_ratio,
+               round(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum')
+                     / len({_TOKS}), 6) AS mtl
+        FROM documents
+    )
+    SELECT doc_id,
+           round(((CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                        WHEN n >= 30 THEN 0.5 ELSE 0.0 END)
+                  + (CASE WHEN p_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN s_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN mtl >= 2.5 AND mtl <= 12 THEN 1.0 ELSE 0.0 END)
+                 ) / 4.0, 6) AS quality
+    FROM q
+    """,
+    tags=("text", "extension"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length band, punctuation,
+    stopword presence, mean word length) — the filter stage of a
+    training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "dedup_exact_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        )
+    )
+    SELECT doc_id, fingerprint,
+           min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id,
+           CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size,
+           doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+    FROM fp
+    """,
+    tags=("dedup", "extension"),
+    bench=True,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text md5 fingerprint. The fixture
+    corpus has no exact dups, so every 10th document is re-injected
+    with a shifted id — the dedup must flag exactly those copies
+    (same trick the driver's idempotency contract uses)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup_injected = docs.unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.exact_duplicates(dup_injected, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c / (na.n + nb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE c / (na.n + nb.n - c) >= 0.8
+    """,
+    tags=("dedup", "extension"),
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word-3-gram shingle sets, Jaccard ≥ 0.8.
+    Self-join on shingle — never a cross-product (SURVEY.md §7.5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # signature/banding internals aren't SQL-expressible;
+    # recall vs the exact pairs is asserted in tests/test_dedup.py
+    tags=("dedup", "extension", "approx"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) near-dup pairs, candidates verified
+    with exact Jaccard — the sub-quadratic scale path for dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, num_hashes=32, bands=8
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # bit-vote fingerprint isn't SQL-expressible cross-engine
+    tags=("dedup", "extension", "approx"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs within Hamming distance ≤ 3 via
+    16-bit band candidates (pigeonhole-complete for d ≤ 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_COSINE_ORACLE_BASE = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+"""
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=_COSINE_ORACLE_BASE
+    + """
+    , p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 50),
+    scored AS (
+        SELECT probe_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(pe, c.e)
+                     / (sqrt(list_dot_product(pe, pe))
+                        * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine_sim
+        FROM p JOIN v c ON c.vec_id != p.probe_id
+    )
+    SELECT probe_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "extension"),
+    bench=True,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 50 vectors —
+    the ANN baseline (zip_with/aggregate dot product, JVM-side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    return similarity.cosine_topk_bruteforce(probes, emb, k=5)
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=_COSINE_ORACLE_BASE
+    + """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+    """,
+    tags=("similarity", "dedup", "extension"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45 — the
+    fixture corpus tops out ~0.51)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs_cosine(emb, threshold=0.45)
+
+
+@register(
+    "similarity_topk_lsh",
+    oracle=None,  # approximate: bucketing drops candidates; recall vs
+    # brute force is asserted in tests/test_similarity.py
+    tags=("similarity", "extension", "approx"),
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-LSH-bucketed cosine top-5 — the scale path:
+    each probe scores only same-bucket candidates across 8 hash
+    tables (~8/2^4 of the corpus instead of all of it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    return similarity.cosine_topk_lsh(
+        probes, emb, k=5, num_planes=4, num_tables=8, dim=64
+    )
+
+
+_MEDIA_SQL = """
+    SELECT doc_id AS media_id,
+           encode(text) AS payload,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(n_chars % 64 + 16 AS INT) AS width,
+           CAST(n_chars % 48 + 16 AS INT) AS height,
+           CAST(n_chars % 10 + 1 AS INT) AS n_frames
+    FROM documents
+"""
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_type,
+           count(*) AS n_items,
+           sum(octet_length(payload)) AS total_bytes,
+           round(avg(octet_length(payload)), 6) AS avg_bytes,
+           max(width) AS max_width,
+           max(height) AS max_height
+    FROM media GROUP BY media_type
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media columns with typed metadata: size/shape
+    profile per media type, no decode (SURVEY.md §7.5 multimodal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.binary_stats(multimodal.documents_as_media(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id, n_frames AS total_frames,
+           CAST(frame_idx AS INT) AS frame_idx
+    FROM media, unnest(generate_series(0, n_frames - 1, 2)) AS t(frame_idx)
+    WHERE media_type = 'video'
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: video rows explode to every-2nd frame
+    indices (metadata-driven; the decode stage is the stubbed
+    mapInPandas in operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(
+        multimodal.documents_as_media(docs), every_nth=2
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # decode is a stubbed mapInPandas stage (no codec libs
+    # in this container); schema/batching is exercised in tests
+    tags=("multimodal", "extension", "approx"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary payloads
+    (deterministic fake decoder; real codecs plug into ``decoder=``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "payload_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )

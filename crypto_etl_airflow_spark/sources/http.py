@@ -88,7 +88,7 @@ def fetch_price_payload(
     return fetch(price_url(base_url, coins, currency))
 
 
-def distributed_fetch(endpoints_df: Any, fetch: Fetcher = _urllib_fetch) -> Any:
+def distributed_fetch(endpoints_df: Any, fetch: Fetcher | None = None) -> Any:
     """Fan out HTTP fetches across executors.
 
     ``endpoints_df`` has a string column ``url``; the result appends a
@@ -96,6 +96,10 @@ def distributed_fetch(endpoints_df: Any, fetch: Fetcher = _urllib_fetch) -> Any:
     batch of URLs is fetched inside one Python worker call — the
     scale path when the source is thousands of endpoints rather than
     one (SURVEY.md §2.1 S1 "for many endpoints").
+
+    The worker closure is self-contained (defaults to an inline
+    urllib fetch): module-level helpers would pickle by reference to
+    this package, which executors can't always import.
     """
     from pyspark.sql import types as T
 
@@ -105,9 +109,18 @@ def distributed_fetch(endpoints_df: Any, fetch: Fetcher = _urllib_fetch) -> Any:
     )
 
     def run(batches: Iterator[Any]) -> Iterator[Any]:
+        if fetch is None:
+            import urllib.request as _req
+
+            def do_fetch(url: str) -> str:
+                with _req.urlopen(url, timeout=30.0) as resp:  # noqa: S310
+                    return resp.read().decode("utf-8")
+        else:
+            do_fetch = fetch
+
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["payload"] = [fetch(u) for u in pdf["url"]]
+            pdf["payload"] = [do_fetch(u) for u in pdf["url"]]
             yield pdf
 
     return endpoints_df.mapInPandas(run, schema=out_schema)

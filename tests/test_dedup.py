@@ -1,0 +1,78 @@
+"""Dedup operators: exact correctness on constructed dups, and
+MinHash-LSH / SimHash recall against the exact n-gram Jaccard pairs."""
+
+from pyspark.sql import functions as F
+
+from crypto_etl_airflow_spark.operators import dedup
+from crypto_etl_airflow_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_exact_duplicates_flags_injected_copies(spark):
+    docs = _docs(spark).select("doc_id", "text")
+    injected = docs.unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+        )
+    )
+    out = dedup.exact_duplicates(injected, "doc_id", "text")
+    dups = out.filter("is_duplicate").collect()
+    # every injected copy (and only those) is flagged; originals kept
+    assert {r.doc_id for r in dups} == {
+        r.doc_id + 10_000 for r in docs.filter("doc_id % 10 = 0").collect()
+    }
+    assert all(r.keep_id == r.doc_id - 10_000 for r in dups)
+
+
+def test_exact_duplicates_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO\tWORLD ")],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_duplicates(df, "doc_id", "text")
+    assert out.filter("is_duplicate").count() == 2
+    assert out.filter("group_size = 3").count() == 3
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH(32 hashes, 8 bands) must recover ≥90% of the true
+    Jaccard≥0.8 pairs, and every reported pair must be true (the
+    candidates are verified with exact Jaccard, so precision is 1)."""
+    docs = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    assert lsh <= exact  # verified candidates: no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_is_deterministic_and_near_dups_have_small_hamming(spark):
+    docs = _docs(spark)
+    s1 = {r[0]: r[1] for r in dedup.simhash64(docs, "doc_id", "text").collect()}
+    s2 = {r[0]: r[1] for r in dedup.simhash64(docs, "doc_id", "text").collect()}
+    assert s1 == s2  # reproducible across runs (no RNG state)
+
+    # identical texts must collide exactly (hamming 0)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_neardup_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_word_shingles_short_doc_is_empty(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    assert dedup.word_shingles(df, "doc_id", "text", n=3).count() == 0
