@@ -61,7 +61,13 @@ def register(
 
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
-    from . import analytics, extensions, parity, relational  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        extensions,
+        parity,
+        relational,
+        streaming_plans,
+    )
 
 
 def all_specs() -> dict[str, QuerySpec]:

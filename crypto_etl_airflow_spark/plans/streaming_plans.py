@@ -1,0 +1,162 @@
+"""Declared streaming surface (SURVEY.md §2.7, §7.3).
+
+The window/stateful queries here EXECUTE as Structured Streaming
+(file source → availableNow → memory sink) and are still
+oracle-checked: drained-in-full streams produce the same answer as
+the batch aggregation, so DuckDB SQL over the at-rest table is an
+exact oracle. Session windows additionally register in batch form —
+``session_window`` is the same code path either way.
+
+Oracle notes:
+- tumbling window start  ≡ DuckDB ``time_bucket(width, ts)``;
+- sliding windows (width 10 m / slide 5 m): each event belongs to
+  exactly width/slide = 2 windows — the bucket it starts in and the
+  one 5 m earlier — expressed as a UNION ALL of two shifted buckets;
+- session windows ≡ classic gaps-and-islands (lag + cumulative sum),
+  session end = last event + gap.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..streaming.ingest import ingest_events_stream
+from ..streaming.runner import run_append_to_memory, run_complete_to_memory
+from ..streaming.sources import stream_events
+from ..streaming.stateful import user_running_stats
+from ..streaming.windows import session_stats, sliding_avg, tumbling_counts
+from .registry import register
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "timeseries"),
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event type — executed as a
+    real streaming query (file source, availableNow, complete-mode
+    memory sink)."""
+    return run_complete_to_memory(tumbling_counts(stream_events(spark, sf_dir)))
+
+
+@register(
+    "streaming_sliding_avg",
+    oracle="""
+    WITH e AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, value FROM events
+    ),
+    w AS (
+        SELECT b AS window_start, value FROM e
+        UNION ALL
+        SELECT b - INTERVAL '5 minutes' AS window_start, value FROM e
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM w GROUP BY window_start
+    """,
+    tags=("streaming", "window", "timeseries"),
+)
+def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — overlapping event rate and
+    mean value, executed as a streaming query."""
+    return run_complete_to_memory(sliding_avg(stream_events(spark, sf_dir)))
+
+
+_SESSION_ORACLE = """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '5 minutes' AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM s GROUP BY user_id, sid
+"""
+
+
+@register(
+    "session_windows_per_user",
+    oracle=_SESSION_ORACLE,
+    tags=("streaming", "window", "session", "timeseries"),
+)
+def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity sessions (5-minute inactivity gap) via
+    ``session_window`` — batch execution of the streaming-native
+    operator; the streaming execution is tests/test_streaming.py."""
+    return session_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "streaming_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user stats via ``applyInPandasWithState`` —
+    real streaming execution; the fixture is one file → one
+    micro-batch, so the single emission per user equals the batch
+    aggregate."""
+    out = run_append_to_memory(user_running_stats(stream_events(spark, sf_dir)))
+    return out.withColumn("total_value", F.round("total_value", 6))
+
+
+@register(
+    "streaming_ingest_idempotent",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_keys
+    FROM events
+    """,
+    tags=("streaming", "ingest", "parity"),
+)
+def streaming_ingest_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain events into a parquet warehouse through the
+    foreachBatch+upsert sink TWICE (fresh checkpoint each run, so the
+    second run re-reads everything); the key-based writer must keep
+    the table exactly one-copy-per-key — the streaming form of the
+    reference's ON CONFLICT DO NOTHING contract."""
+    with tempfile.TemporaryDirectory(prefix="stream_ingest_") as tmp:
+        warehouse = f"{tmp}/warehouse"
+        for run in ("run1", "run2"):
+            ingest_events_stream(
+                spark, sf_dir, warehouse, checkpoint_dir=f"{tmp}/ckpt_{run}"
+            )
+        loaded = spark.read.parquet(warehouse)
+        result = loaded.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("event_id").alias("n_keys"),
+        )
+        # materialize before the tempdir vanishes
+        rows = result.collect()
+    return spark.createDataFrame(rows, schema=result.schema)

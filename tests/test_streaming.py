@@ -1,0 +1,213 @@
+"""Structured Streaming: multi-batch file source, watermark
+finalization, cross-batch state, exactly-once ingest.
+
+Batches are forced one-file-per-trigger with maxFilesPerTrigger=1 and
+ordered with latestFirst=false + lexicographic file names, so the
+micro-batch sequence is deterministic.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crypto_etl_airflow_spark.streaming.ingest import ingest_events_stream
+from crypto_etl_airflow_spark.streaming.runner import (
+    run_append_to_memory,
+    run_complete_to_memory,
+)
+from crypto_etl_airflow_spark.streaming.sources import stream_parquet_dir
+from crypto_etl_airflow_spark.streaming.stateful import user_running_stats
+from crypto_etl_airflow_spark.streaming.windows import (
+    session_stats,
+    tumbling_counts,
+    with_event_time,
+)
+
+from .conftest import SF_SMOKE
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _t(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _write_batch(spark, path: str, name: str, rows: list[tuple]) -> None:
+    # one file per batch: coalesce(1) into its own subdir is not
+    # file-source-visible, so write to a staging dir and register the
+    # part file under a deterministic name in the watched dir
+    import glob
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as staging:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(f"{staging}/part-*.parquet")[0]
+        shutil.copy(part, f"{path}/{name}.parquet")
+
+
+@pytest.fixture()
+def watch_dir(tmp_path):
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    return str(d)
+
+
+def _one_file_per_trigger(spark, path: str):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(path)
+    )
+
+
+def test_streaming_matches_batch_over_multiple_files(spark, watch_dir, tmp_path):
+    """Complete-mode windowed agg over N micro-batches == batch agg."""
+    batch1 = [(1, _t(1), 1, "click", 1.0), (2, _t(4), 2, "view", 2.0)]
+    batch2 = [(3, _t(12), 1, "click", 3.0), (4, _t(14), 1, "error", 4.0)]
+    _write_batch(spark, watch_dir, "b000", batch1)
+    _write_batch(spark, watch_dir, "b001", batch2)
+
+    sdf = _one_file_per_trigger(spark, watch_dir)
+    got = run_complete_to_memory(
+        tumbling_counts(sdf), checkpoint=str(tmp_path / "ck1")
+    )
+    want = tumbling_counts(spark.createDataFrame(batch1 + batch2, SCHEMA))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_watermark_append_mode_finalizes_closed_windows(spark, watch_dir, tmp_path):
+    """Append mode emits a window only after the watermark passes its
+    end; a row arriving below the late-data watermark is dropped.
+
+    Spark's late-data filter lags eviction by one micro-batch (batch
+    N filters with the watermark reported at batch N-1), so the late
+    row must arrive two batches after the watermark advance to be
+    dropped — hence three files.
+    """
+    # batch 1: window [0,10) with 2 rows; max ts 00:25 drives the
+    # watermark (lateness 10 min) to 00:15 at the end of the batch
+    b1 = [
+        (1, _t(1), 1, "click", 1.0),
+        (2, _t(4), 1, "click", 1.0),
+        (3, _t(25), 1, "click", 1.0),
+    ]
+    # batch 2: the [0,10) window is evicted+emitted here (eviction
+    # watermark 00:15 > window end 00:10)
+    b2 = [(4, _t(26), 1, "click", 1.0)]
+    # batch 3: a late row for the finalized [0,10) window — the
+    # late-data watermark is now 00:15, so it must NOT resurrect it
+    b3 = [(5, _t(5), 1, "late", 9.0), (6, _t(27), 1, "click", 1.0)]
+    _write_batch(spark, watch_dir, "b000", b1)
+    _write_batch(spark, watch_dir, "b001", b2)
+    _write_batch(spark, watch_dir, "b002", b3)
+
+    sdf = with_event_time(_one_file_per_trigger(spark, watch_dir), lateness="10 minutes")
+    got = run_append_to_memory(
+        tumbling_counts(sdf), checkpoint=str(tmp_path / "ck2")
+    )
+    rows = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in got.collect()
+    }
+    # only the [0,10) click window is finalized (the watermark never
+    # passes the [20,30) window end); the late 'late' row at 00:05
+    # arrived below the late-data watermark and was dropped
+    assert rows == {(_t(0), "click"): (2, 2.0)}
+
+
+def test_stateful_accumulates_across_batches(spark, watch_dir, tmp_path):
+    """applyInPandasWithState carries per-user state batch to batch;
+    the last emission per user equals the global batch aggregate."""
+    b1 = [(1, _t(1), 1, "click", 1.5), (2, _t(2), 2, "view", 2.0)]
+    b2 = [(3, _t(3), 1, "click", 2.5)]
+    _write_batch(spark, watch_dir, "b000", b1)
+    _write_batch(spark, watch_dir, "b001", b2)
+
+    sdf = _one_file_per_trigger(spark, watch_dir)
+    got = run_append_to_memory(
+        user_running_stats(sdf), checkpoint=str(tmp_path / "ck3")
+    )
+    # user 1 appears in both batches -> two emissions, running totals
+    u1 = sorted(
+        [tuple(r) for r in got.filter(F.col("user_id") == 1).collect()],
+        key=lambda r: r[1],
+    )
+    assert [(r[1], r[2]) for r in u1] == [(1, 1.5), (2, 4.0)]
+    assert u1[-1][3] == _t(1) and u1[-1][4] == _t(3)
+    u2 = [tuple(r) for r in got.filter(F.col("user_id") == 2).collect()]
+    assert [(r[1], r[2]) for r in u2] == [(1, 2.0)]
+
+
+def test_session_stats_batch_gap_semantics(spark):
+    rows = [
+        (1, _t(0), 1, "a", 1.0),
+        (2, _t(4), 1, "a", 1.0),  # within 5-min gap: same session
+        (3, _t(20), 1, "a", 1.0),  # new session
+        (4, _t(0), 2, "a", 1.0),
+    ]
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in session_stats(spark.createDataFrame(rows, SCHEMA)).collect()
+    }
+    assert got == {
+        (1, _t(0)): (_t(9), 2),  # end = last event 00:04 + 5 min
+        (1, _t(20)): (_t(25), 1),
+        (2, _t(0)): (_t(5), 1),
+    }
+
+
+def test_ingest_stream_idempotent_and_resumable(spark, tmp_path):
+    """foreachBatch+upsert sink: fresh-checkpoint re-run rewrites
+    nothing; same-checkpoint restart ingests only new files."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [(1, _t(1), 1, "click", 1.0), (2, _t(2), 2, "view", 2.0)]
+    _write_batch(spark, str(src), "events_000", rows1)
+
+    warehouse = str(tmp_path / "wh")
+    ck_a = str(tmp_path / "ck_a")
+    ingest_events_stream(spark, str(src), warehouse, ck_a)
+    assert spark.read.parquet(warehouse).count() == 2
+
+    # re-run with a FRESH checkpoint: source re-reads the file, the
+    # upsert writer must add nothing (ON CONFLICT DO NOTHING semantics)
+    ingest_events_stream(spark, str(src), warehouse, str(tmp_path / "ck_b"))
+    assert spark.read.parquet(warehouse).count() == 2
+
+    # new file + SAME original checkpoint: only the new rows land
+    rows2 = [(2, _t(2), 2, "view", 2.0), (3, _t(3), 3, "error", 3.0)]
+    _write_batch(spark, str(src), "events_001", rows2)
+    ingest_events_stream(spark, str(src), warehouse, ck_a)
+    wh = spark.read.parquet(warehouse)
+    assert wh.count() == 3
+    assert wh.select("event_id").distinct().count() == 3
+
+
+def test_stream_events_fixture_source_schema(spark):
+    """The fixture file-watch source yields the batch schema with a
+    µs timestamp (ns-long normalized identically to the batch path)."""
+    from crypto_etl_airflow_spark.streaming.sources import stream_events
+
+    sdf = stream_events(spark, SF_SMOKE)
+    assert sdf.isStreaming
+    assert isinstance(sdf.schema["ts"].dataType, T.TimestampType)
+    got = run_complete_to_memory(
+        sdf.groupBy().agg(F.count("*").alias("n"))
+    )
+    from crypto_etl_airflow_spark.sources.tables import load_table
+
+    assert got.collect()[0].n == load_table(spark, SF_SMOKE, "events").count()
