@@ -47,8 +47,12 @@ def main() -> None:
 
     specs = {n: s for n, s in all_specs().items() if s.bench}
 
-    # warm-up: JVM + codegen + parquet footer reads, untimed
-    specs["hourly_variation"].builder(spark, sf_dir).count()
+    # One untimed pass per query first: JVM + whole-stage-codegen +
+    # parquet footer reads are one-time costs a long-lived cluster
+    # amortizes away, so the timed pass measures steady-state
+    # execution (the 100 TB-relevant number).
+    for spec in specs.values():
+        spec.builder(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():

@@ -68,7 +68,7 @@ def exact_duplicates(
 ) -> DataFrame:
     """Exact dedup via normalized-text fingerprint: every row keeps
     its group's min id; ``is_duplicate`` marks non-canonical rows."""
-    from .text import fingerprint
+    from ..functions.text import fingerprint
 
     with_fp = df.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")

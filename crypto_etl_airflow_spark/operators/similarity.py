@@ -22,21 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-
-def _dot(a, b) -> F.Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a) -> F.Column:
-    return F.sqrt(_dot(a, a))
-
-
-def cosine(a, b) -> F.Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+from ..functions.vector import cosine, dot as _dot
 
 
 def cosine_topk_bruteforce(

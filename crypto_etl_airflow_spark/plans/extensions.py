@@ -12,8 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity
-from ..operators.text import (
+from ..functions.text import (
     bpe_ish_token_count,
     fingerprint,
     language_id,
@@ -24,10 +23,11 @@ from ..operators.text import (
     stopword_ratio,
     whitespace_token_count,
 )
+from ..operators import dedup, multimodal, similarity
 from ..sources.tables import load_table
 from .registry import register
 
-# DuckDB fragments mirroring operators/text.py definitions
+# DuckDB fragments mirroring functions/text.py definitions
 _TOKS = "string_split_regex(lower(text), '\\s+')"
 _STOPS = "['the','and','is','of','to','a','in','that']"
 
