@@ -67,6 +67,7 @@ def _load_all() -> None:
         parity,
         relational,
         streaming_plans,
+        tpch_more,
     )
 
 
