@@ -213,3 +213,34 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_k"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "trend_slope_per_entity",
+    oracle="""
+    SELECT event_type,
+           round(regr_slope(value, (epoch(ts) - 1704067200) / 3600.0), 4)
+               AS slope,
+           round(regr_intercept(value, (epoch(ts) - 1704067200) / 3600.0), 4)
+               AS intercept,
+           round(regr_r2(value, (epoch(ts) - 1704067200) / 3600.0), 4) AS r2,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "stats", "timeseries"),
+)
+def trend_slope_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear trend per entity ("acompanhar tendências",
+    reference README.md:5) as built-in regression aggregates — one
+    grouped pass, JVM-side, no Python. x = hours since 2024-01-01 in
+    both engines: centering keeps the covariance numerically
+    well-conditioned (raw epoch seconds ~1.7e9 lose the cross-engine
+    last-digit agreement to cancellation)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts").cast("double") - 1704067200) / 3600.0
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", x), 4).alias("slope"),
+        F.round(F.regr_intercept("value", x), 4).alias("intercept"),
+        F.round(F.regr_r2("value", x), 4).alias("r2"),
+        F.count("*").alias("n"),
+    )

@@ -1,4 +1,5 @@
 import sys
+import tempfile
 from pathlib import Path
 
 import pytest
@@ -19,6 +20,10 @@ def spark():
         app_name="crypto_etl_airflow_spark_tests",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # catalog tables (bucketing tests) land in a tempdir, not the repo
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_"),
+        },
     )
     yield s
