@@ -1,0 +1,55 @@
+"""Small-file compaction for parquet tables.
+
+Streaming / micro-batch ingest (hourly upserts, foreachBatch writes)
+accretes many small files; at 100 TB that means task-per-tiny-file
+scheduling overhead, metadata-bound planning, and lost scan
+throughput. Compaction rewrites a table (or one partition of it)
+into ~target-sized files.
+
+Mechanics: read → ``repartition(n)`` (n = total bytes / target) →
+write to a staging dir → atomic-ish swap. The swap uses local fs
+ops here (single-writer warehouse, same assumption as the upsert
+writer); on object storage this becomes the FileSystem API or a
+transactional format's OPTIMIZE.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def parquet_file_count(path: str) -> int:
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the parquet table at ``path`` into
+    ``ceil(size / target_file_bytes)`` files. Returns the new file
+    count. Preserves rows exactly (no ordering guarantee — parquet
+    tables are unordered sets)."""
+    n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
+    staging = path.rstrip("/") + ".__compact_tmp"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
+        staging
+    )
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return parquet_file_count(path)

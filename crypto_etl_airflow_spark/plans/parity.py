@@ -124,3 +124,58 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregate over the union, partial map-side combine included."""
     cp = crypto_prices(spark, sf_dir)
     return cp.unionAll(cp).dropDuplicates()
+
+
+@register(
+    "json_quarantine_stats",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CASE WHEN event_id % 7 = 0
+                    THEN substr(props, 1, length(props) - 2)
+                    ELSE props END AS payload
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE json_valid(payload)) AS BIGINT)
+               AS n_valid,
+           CAST(count(*) FILTER (WHERE NOT json_valid(payload)) AS BIGINT)
+               AS n_invalid
+    FROM c GROUP BY event_type
+    """,
+    tags=("parity", "json", "quality"),
+)
+def json_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-payload quarantine (sources/json_ingest.py::
+    split_valid_invalid): every 7th event's JSON props is truncated
+    mid-object; the split must route exactly those rows to quarantine
+    instead of failing the batch (the reference's raise-and-halt
+    behavior, :45-46, upgraded for scale)."""
+    from pyspark.sql import types as T
+
+    from ..sources.json_ingest import split_valid_invalid
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substring(props, 1, length(props) - 2)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    valid, invalid = split_valid_invalid(ev, "payload", schema)
+    counted = valid.groupBy("event_type").agg(
+        F.count("*").alias("n_valid")
+    ).join(
+        invalid.groupBy("event_type").agg(F.count("*").alias("n_invalid")),
+        "event_type",
+        "full",
+    )
+    return counted.select(
+        "event_type",
+        F.coalesce("n_valid", F.lit(0)).alias("n_valid"),
+        F.coalesce("n_invalid", F.lit(0)).alias("n_invalid"),
+    )

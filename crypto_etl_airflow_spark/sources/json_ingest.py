@@ -94,3 +94,49 @@ def payloads_to_df(
         F.col("prices").getField(currency).alias("price_usd"),
         *[c for c in df.columns if c != payload_col],
     )
+
+
+def split_valid_invalid(
+    df: DataFrame,
+    payload_col: str = "payload",
+    schema: T.DataType | None = None,
+    currency: str = "usd",
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine pattern: split payload rows into (valid, invalid)
+    by parseability instead of failing the batch.
+
+    The reference's only malformed-input behavior is raise-and-halt
+    (reference dags/crypto-etl-pipeline-psql.py:45-46); at pipeline
+    scale a poison payload must not kill the hour's load, so invalid
+    rows divert to a quarantine sink for inspection while valid rows
+    continue.
+
+    Parse-failure detection per Spark's PERMISSIVE-mode contract:
+    Map/Array schemas yield a NULL result on malformed input; Struct
+    schemas yield an all-null row instead, so there the corrupt-record
+    column (``columnNameOfCorruptRecord``) is the reliable signal.
+    """
+    schema = schema or payload_schema(currency)
+    if isinstance(schema, T.StructType):
+        probed = T.StructType(
+            [*schema.fields, T.StructField("__corrupt", T.StringType())]
+        )
+        parsed = df.withColumn(
+            "__parsed",
+            F.from_json(
+                F.col(payload_col),
+                probed,
+                {"columnNameOfCorruptRecord": "__corrupt"},
+            ),
+        )
+        is_valid = F.col(payload_col).isNotNull() & F.col(
+            "__parsed.__corrupt"
+        ).isNull()
+    else:
+        parsed = df.withColumn(
+            "__parsed", F.from_json(F.col(payload_col), schema)
+        )
+        is_valid = F.col(payload_col).isNotNull() & F.col("__parsed").isNotNull()
+    valid = parsed.filter(is_valid).drop("__parsed")
+    invalid = parsed.filter(~is_valid).drop("__parsed")
+    return valid, invalid

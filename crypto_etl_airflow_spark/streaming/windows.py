@@ -27,6 +27,21 @@ def with_event_time(df: DataFrame, ts_col: str = "ts", lateness: str = DEFAULT_L
     return df.withWatermark(ts_col, lateness)
 
 
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    lateness: str = DEFAULT_LATENESS,
+) -> DataFrame:
+    """Streaming key-dedup with bounded state: a key is remembered
+    until the watermark passes its event time, then its state is
+    evicted — the streaming-native half of the reference's
+    insert-if-absent contract (the sink-side half is the upsert
+    writer in ingest.py). Uses ``dropDuplicatesWithinWatermark`` so
+    state does not grow with the full key history."""
+    return df.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(keys)
+
+
 def tumbling_counts(df: DataFrame, width: str = "10 minutes") -> DataFrame:
     """Per-type event counts + value totals in fixed tumbling windows."""
     return (

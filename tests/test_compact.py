@@ -1,0 +1,68 @@
+"""Compaction and partitioned-table pruning."""
+
+from pyspark.sql import functions as F
+
+from crypto_etl_airflow_spark.operators.compact import compact, parquet_file_count
+from crypto_etl_airflow_spark.operators.upsert import upsert_append
+from crypto_etl_airflow_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_compact_reduces_file_count_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(40).write.parquet(path)
+    assert parquet_file_count(path) == 40
+
+    n_after = compact(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert n_after < 40
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
+    assert (
+        back.agg(F.sum("event_id")).collect()[0][0]
+        == ev.agg(F.sum("event_id")).collect()[0][0]
+    )
+
+
+def test_partitioned_upsert_prunes_partitions(spark, tmp_path):
+    """Date-partitioned warehouse layout: a date-filtered read shows
+    partition pruning in the plan (the scan never touches other
+    dates' files)."""
+    path = str(tmp_path / "events_part")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    written = upsert_append(
+        spark, ev, path, keys=["event_id"], partition_by=["event_date"]
+    )
+    assert written == ev.count()
+
+    q = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-02")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # the pruned scan reads only the one partition's rows
+    want = ev.filter(F.to_date("ts") == "2024-01-02").count()
+    assert q.count() == want > 0
+
+
+def test_partitioned_upsert_with_prune_filter_stays_idempotent(spark, tmp_path):
+    path = str(tmp_path / "events_part2")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    upsert_append(spark, ev, path, keys=["event_id"], partition_by=["event_date"])
+    # re-upsert an overlapping slice, pruning the existing-table read
+    # to the slice's own date range
+    batch = ev.filter(F.col("event_date") == "2024-01-03")
+    n = upsert_append(
+        spark,
+        batch,
+        path,
+        keys=["event_id"],
+        partition_by=["event_date"],
+        prune_filter=F.col("event_date") == "2024-01-03",
+    )
+    assert n == 0  # everything already present
+    assert spark.read.parquet(path).count() == ev.count()

@@ -211,3 +211,23 @@ def test_stream_events_fixture_source_schema(spark):
     from crypto_etl_airflow_spark.sources.tables import load_table
 
     assert got.collect()[0].n == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_dedup_within_watermark_bounded_state(spark, watch_dir, tmp_path):
+    """dropDuplicatesWithinWatermark drops re-deliveries of a key
+    while its event time is above the watermark horizon."""
+    from crypto_etl_airflow_spark.streaming.windows import dedup_within_watermark
+
+    b1 = [(1, _t(1), 1, "click", 1.0), (2, _t(2), 2, "view", 2.0)]
+    # batch 2 redelivers event 1 (same key, same ts) plus a new event
+    b2 = [(1, _t(1), 1, "click", 1.0), (3, _t(3), 3, "error", 3.0)]
+    _write_batch(spark, watch_dir, "b000", b1)
+    _write_batch(spark, watch_dir, "b001", b2)
+
+    sdf = _one_file_per_trigger(spark, watch_dir)
+    got = run_append_to_memory(
+        dedup_within_watermark(sdf, ["event_id"], lateness="1 hour"),
+        checkpoint=str(tmp_path / "ck_dd"),
+    )
+    ids = sorted(r.event_id for r in got.collect())
+    assert ids == [1, 2, 3]  # the redelivered event_id=1 emitted once
