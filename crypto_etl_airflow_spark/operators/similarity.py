@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot as _dot
+from ..functions.vector import cosine, dot as _dot, norm as _norm  # noqa: F401 — cosine re-exported for callers
 
 
 def cosine_topk_bruteforce(
@@ -38,11 +38,18 @@ def cosine_topk_bruteforce(
     excluded. The corpus side is broadcast when it fits (AQE decides);
     ranking is deterministic: (rounded sim DESC, neighbor_id ASC).
     """
+    # norms are per-ROW quantities: compute them once before the
+    # pair join instead of once per pair (n+m norms, not 2·n·m) —
+    # same expression, same doubles, so oracle exactness is unchanged
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("p_vec"),
+        _norm(F.col(vec_col)).alias("p_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         p.crossJoin(c)
@@ -50,7 +57,11 @@ def cosine_topk_bruteforce(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine(F.col("p_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                _dot(F.col("p_vec"), F.col("c_vec"))
+                / (F.col("p_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(
@@ -71,15 +82,25 @@ def neardup_pairs_cosine(
     """All pairs with cosine ≥ threshold (embedding near-dup dedup).
     Brute-force pairs with id_a < id_b; the LSH variant below is the
     scale path."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -135,9 +156,15 @@ def cosine_topk_lsh(
     candidates per probe per table); candidates are deduped before
     scoring so each pair's cosine is computed once. Same output
     schema as the brute-force variant."""
-    p_ids = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("p_vec"))
+    p_ids = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("p_vec"),
+        _norm(F.col(vec_col)).alias("p_norm"),
+    )
     c_ids = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
 
     cand = None
@@ -160,7 +187,11 @@ def cosine_topk_lsh(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine(F.col("p_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                _dot(F.col("p_vec"), F.col("c_vec"))
+                / (F.col("p_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
