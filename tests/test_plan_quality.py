@@ -1,0 +1,52 @@
+"""Plan-quality guards: catch silent performance regressions.
+
+Every declarative query must stay fully JVM-side — a stray Python UDF
+would show up as BatchEvalPython / ArrowEvalPython / PythonUDF in the
+physical plan and run 10-100× slower at scale. Scan-shaped queries
+must keep their filters pushed into the parquet scan.
+
+Streaming-tagged queries are excluded (their builders execute real
+streaming runs; covered in test_streaming.py), as is the multimodal
+decode whose mapInPandas stage is Python BY DESIGN.
+"""
+
+import pytest
+
+from crypto_etl_airflow_spark.plans.registry import all_specs
+
+from .conftest import SF_SMOKE
+
+_PYTHON_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "FlatMapGroupsInPandas")
+
+_EXCLUDED_TAGS = {"streaming", "ingest"}
+_PYTHON_BY_DESIGN = {"multimodal_features"}
+
+SPECS = [
+    s
+    for s in all_specs().values()
+    if not (_EXCLUDED_TAGS & set(s.tags)) and s.name not in _PYTHON_BY_DESIGN
+]
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_plan_has_no_python_eval(spark, spec):
+    df = spec.builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hits = [m for m in _PYTHON_MARKERS if m in plan]
+    assert not hits, f"{spec.name}: Python evaluation in plan: {hits}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation", "q6_forecast_revenue"],
+)
+def test_filters_reach_parquet_scan(spark, name):
+    df = all_specs()[name].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate (not just the bare brackets)
+    pushed = [
+        seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any(p.strip() for p in pushed), f"{name}: no pushed filters:\n{plan}"
