@@ -133,3 +133,81 @@ def binary_stats(media: DataFrame) -> DataFrame:
         F.max("width").alias("max_width"),
         F.max("height").alias("max_height"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Decode → resize → re-encode stage for image payloads.
+
+    Same Arrow-batched ``mapInPandas`` shape as ``extract_features``:
+    binary in, binary out, metadata updated to the target dimensions.
+    ``resizer(payload, w, h) -> bytes`` plugs in a real codec
+    (PIL/opencv); the stub emits a deterministic pseudo-bitmap of
+    exactly ``w*h`` bytes derived from the payload digest, so output
+    sizes — the property downstream partitioning cares about — are
+    real.
+    """
+
+    # self-contained closure: ships by value, workers never import us
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        import hashlib as _hashlib
+
+        def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+            seed = _hashlib.sha256(payload).digest()
+            reps = (w * h) // len(seed) + 1
+            return (seed * reps)[: w * h]
+
+        do = resizer or fake_resize
+        for pdf in batches:
+            out = pdf[["media_id", "media_type"]].copy()
+            out["width"] = target_w
+            out["height"] = target_h
+            out["payload"] = [
+                do(bytes(p), target_w, target_h) for p in pdf["payload"]
+            ]
+            yield out
+
+    images = media.filter(F.col("media_type") == "image")
+    return images.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def audio_windows(
+    media: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Overlapping analysis windows over audio payloads — the
+    metadata-driven plumbing for STFT/feature stages (the per-window
+    decode would run in a downstream ``extract_features``). Audio
+    duration rides the ``n_frames`` metadata field as seconds. Pure
+    expressions: sequence + explode, no Python."""
+    duration_ms = F.col("n_frames") * 1000
+    starts = F.sequence(
+        F.lit(0), duration_ms - F.lit(window_ms), F.lit(hop_ms)
+    )
+    return (
+        media.filter(
+            (F.col("media_type") == "audio") & (duration_ms >= window_ms)
+        )
+        .select(
+            "media_id",
+            (duration_ms).cast("int").alias("duration_ms"),
+            F.explode(starts).alias("window_start_ms"),
+        )
+        .withColumn(
+            "window_end_ms", F.col("window_start_ms") + F.lit(window_ms)
+        )
+    )

@@ -385,3 +385,27 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_bytes",
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id,
+           CAST(n_frames * 1000 AS INT) AS duration_ms,
+           CAST(ws AS INT) AS window_start_ms,
+           CAST(ws + 1000 AS INT) AS window_end_ms
+    FROM media,
+         unnest(generate_series(0, n_frames * 1000 - 1000, 500)) AS t(ws)
+    WHERE media_type = 'audio' AND n_frames * 1000 >= 1000
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 s analysis windows, 500 ms hop, over audio rows — the
+    metadata-driven window plumbing for STFT/feature stages
+    (operators/multimodal.py::audio_windows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_windows(
+        multimodal.documents_as_media(docs), window_ms=1000, hop_ms=500
+    )

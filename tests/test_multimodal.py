@@ -63,3 +63,37 @@ def test_sample_frames_every_other(spark):
         idxs = sorted(r.frame_idx for r in group)
         total = group[0].total_frames
         assert idxs == list(range(0, total, 2))
+
+
+def test_resize_images_stub_plumbing(spark):
+    from crypto_etl_airflow_spark.operators.multimodal import (
+        documents_as_media,
+        resize_images,
+    )
+    from crypto_etl_airflow_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    media = documents_as_media(load_table(spark, SF_SMOKE, "documents"))
+    out = resize_images(media, 32, 24)
+    rows = out.collect()
+    n_images = media.filter("media_type = 'image'").count()
+    assert len(rows) == n_images > 0
+    # every output payload is exactly w*h bytes and deterministic
+    assert all(len(r.payload) == 32 * 24 for r in rows)
+    again = {r.media_id: bytes(r.payload) for r in resize_images(media, 32, 24).collect()}
+    assert all(bytes(r.payload) == again[r.media_id] for r in rows)
+
+
+def test_resize_accepts_real_resizer(spark):
+    from crypto_etl_airflow_spark.operators.multimodal import (
+        documents_as_media,
+        resize_images,
+    )
+    from crypto_etl_airflow_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    media = documents_as_media(load_table(spark, SF_SMOKE, "documents")).limit(30)
+    out = resize_images(media, 4, 4, resizer=lambda p, w, h: p[: w * h])
+    assert all(len(r.payload) <= 16 for r in out.collect())
