@@ -244,3 +244,43 @@ def trend_slope_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("value", x), 4).alias("r2"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "rollup_incremental_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type AS entity,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("agg", "timeseries", "incremental"),
+)
+def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (operators/rollup.py): the
+    events table folds into an hourly rollup in three disjoint
+    batches; the incrementally merged table must equal the one-shot
+    SQL aggregate — decomposable-aggregate delta merge, never a raw
+    rescan."""
+    import tempfile
+
+    from ..operators.rollup import refresh_hourly_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory(prefix="rollup_q_") as tmp:
+        path = f"{tmp}/rollup"
+        for i in range(3):
+            refresh_hourly_rollup(spark, ev.filter(F.col("event_id") % 3 == i), path)
+        out = spark.read.parquet(path).select(
+            "bucket",
+            "entity",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+        rows = out.collect()
+    return spark.createDataFrame(rows, schema=out.schema)
