@@ -36,35 +36,48 @@ def asof_join(
     keys: list[str],
     value_cols: list[str],
     suffix: str = "_asof",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join: ``probe`` rows gain, for each column in
     ``value_cols``, the value from the latest ``build`` row with
     ``build[on] <= probe[on]`` and equal ``keys``; NULL when no such
     row exists.
 
+    ``tolerance`` (an interval literal like ``"1 hour"``) bounds the
+    match's staleness: a build row older than ``probe[on] -
+    tolerance`` yields NULL instead — the pandas ``merge_asof``
+    tolerance semantic, needed whenever "the last known price" must
+    not silently be a week old.
+
     Probe columns pass through unchanged; joined columns are named
     ``{col}{suffix}``.
     """
     probe_cols = probe.columns
     out_vals = [f"{c}{suffix}" for c in value_cols]
+    fill_cols = list(value_cols)
+    if tolerance is not None:
+        fill_cols.append(on)  # forward-fill the matched build ts too
 
     p = probe.withColumn(_SIDE, F.lit(1))
     for c in value_cols:
         p = p.withColumn(f"__b_{c}", F.lit(None).cast(build.schema[c].dataType))
+    if tolerance is not None:
+        p = p.withColumn(f"__b_{on}", F.lit(None).cast(build.schema[on].dataType))
 
     b = build.select(
         *[F.col(k) for k in keys],
         F.col(on),
         *[F.col(c).alias(f"__b_{c}") for c in value_cols],
     ).withColumn(_SIDE, F.lit(0))
+    if tolerance is not None:
+        b = b.withColumn(f"__b_{on}", F.col(on))
     for c in probe_cols:
         if c not in keys and c != on:
             b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
 
-    unioned = p.select(
-        *probe_cols, _SIDE, *[f"__b_{c}" for c in value_cols]
-    ).unionByName(
-        b.select(*probe_cols, _SIDE, *[f"__b_{c}" for c in value_cols])
+    aux = [f"__b_{c}" for c in fill_cols]
+    unioned = p.select(*probe_cols, _SIDE, *aux).unionByName(
+        b.select(*probe_cols, _SIDE, *aux)
     )
 
     w = (
@@ -76,8 +89,19 @@ def asof_join(
         *probe_cols,
         F.col(_SIDE),
         *[
-            F.last(f"__b_{c}", ignorenulls=True).over(w).alias(out)
+            F.last(f"__b_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in fill_cols
+        ],
+    ).filter(F.col(_SIDE) == 1)
+
+    if tolerance is None:
+        within = F.lit(True)
+    else:
+        within = F.col(on) <= F.col(f"__f_{on}") + F.expr(f"INTERVAL {tolerance}")
+    return filled.select(
+        *probe_cols,
+        *[
+            F.when(within, F.col(f"__f_{c}")).alias(out)
             for c, out in zip(value_cols, out_vals)
         ],
     )
-    return filled.filter(F.col(_SIDE) == 1).select(*probe_cols, *out_vals)

@@ -832,3 +832,36 @@ def asof_last_error_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, errors, on="ts", keys=["user_id"], value_cols=["value"]
     )
+
+
+@register(
+    "asof_with_tolerance",
+    oracle="""
+    SELECT a.event_id, a.user_id, a.ts,
+           CASE WHEN a.ts <= b.ts + INTERVAL 30 MINUTE THEN b.value END
+               AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+    ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+    tags=("asof", "join", "timeseries"),
+)
+def asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join: the matched error must be at most
+    30 minutes older than the click, else NULL — 'last known value,
+    but never stale' (operators/asof.py ``tolerance=``)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        errors,
+        on="ts",
+        keys=["user_id"],
+        value_cols=["value"],
+        tolerance="30 MINUTE",
+    )

@@ -58,3 +58,24 @@ def test_asof_multiple_value_cols(spark):
         probe, build, on="ts", keys=["k"], value_cols=["v", "tag"]
     ).collect()
     assert (row.v_asof, row.tag_asof) == (5.0, "x")
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    import datetime as dt
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    probe = spark.createDataFrame(
+        [(1, "u", t(10)), (2, "u", t(50))], ["id", "k", "ts"]
+    )
+    build = spark.createDataFrame([("u", t(5), 7.0)], ["k", "ts", "v"])
+    out = {
+        r.id: r.v_asof
+        for r in asof_join(
+            probe, build, on="ts", keys=["k"], value_cols=["v"],
+            tolerance="10 MINUTE",
+        ).collect()
+    }
+    # id=1: match at 00:05 is 5 min old -> kept; id=2: 45 min old -> NULL
+    assert out == {1: 7.0, 2: None}
