@@ -160,3 +160,47 @@ def streaming_ingest_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before the tempdir vanishes
         rows = result.collect()
     return spark.createDataFrame(rows, schema=result.schema)
+
+
+@register(
+    "interval_join_click_errors",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           e.event_id AS error_id, e.ts AS error_ts,
+           round(e.value, 6) AS error_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts - INTERVAL 10 MINUTE
+     AND e.ts <= c.ts
+    """,
+    tags=("streaming", "join", "interval", "timeseries"),
+)
+def interval_join_click_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors within the 10 minutes before each click, per user —
+    the interval join (streaming/joins.py) in batch form; the
+    stream-stream execution with watermark-derived state retention is
+    tests/test_streaming.py."""
+    from ..streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id"),
+        F.col("ts").alias("error_ts"),
+        F.round("value", 6).alias("error_value"),
+    )
+    return interval_join(
+        clicks,
+        errors,
+        keys=["user_id"],
+        left_ts="click_ts",
+        right_ts="error_ts",
+        lower="10 MINUTE",
+        upper="0 SECONDS",
+    )

@@ -231,3 +231,39 @@ def test_dedup_within_watermark_bounded_state(spark, watch_dir, tmp_path):
     )
     ids = sorted(r.event_id for r in got.collect())
     assert ids == [1, 2, 3]  # the redelivered event_id=1 emitted once
+
+
+def test_stream_stream_interval_join(spark, watch_dir, tmp_path):
+    """The interval join runs as a watermarked stream-stream join:
+    both sides stream from files; matches within the bound emit."""
+    from crypto_etl_airflow_spark.streaming.joins import interval_join
+
+    rows = [
+        (1, _t(10), 1, "click", 1.0),
+        (2, _t(8), 1, "error", 7.0),   # 2 min before the click: match
+        (3, _t(30), 1, "error", 9.0),  # after the click: no match
+        (4, _t(10), 2, "click", 1.0),  # other user: no error at all
+    ]
+    _write_batch(spark, watch_dir, "b000", rows)
+
+    src = _one_file_per_trigger(spark, watch_dir).withWatermark("ts", "1 hour")
+    clicks = src.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    errors = src.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("error_ts"),
+        F.col("value").alias("error_value"),
+    )
+    joined = interval_join(
+        clicks, errors, keys=["user_id"],
+        left_ts="click_ts", right_ts="error_ts",
+        lower="10 minutes", upper="0 seconds",
+    )
+    assert joined.isStreaming
+    got = run_append_to_memory(joined, checkpoint=str(tmp_path / "ck_ssj"))
+    rows_out = [(r.click_id, r.error_id, r.error_value) for r in got.collect()]
+    assert rows_out == [(1, 2, 7.0)]
