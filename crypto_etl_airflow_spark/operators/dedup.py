@@ -63,6 +63,16 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, xxhash64(shingle)) — the narrow-key form every pairwise
+    stage joins and aggregates on."""
+    return word_shingles(df, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
+    )
+
+
 def exact_duplicates(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -102,14 +112,19 @@ def ngram_jaccard_pairs(
     shingle self-join is the hot spot: frequent shingles fan out
     quadratically — cap them (stop-shingle removal) or switch to
     minhash_lsh_candidates below.
+
+    The join key is the shingle's xxhash64, not the string: the
+    shuffle moves 8-byte longs instead of n-word strings. A 64-bit
+    collision would merge two shingles (P ≈ k²/2⁶⁵ for k distinct
+    shingles — negligible below ~10⁸ shingles per corpus).
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = _hashed_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
@@ -210,12 +225,12 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
 
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = _hashed_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .join(cands, ["id_a", "id_b"], "left_semi")  # verify candidates only
         .groupBy("id_a", "id_b")
