@@ -341,3 +341,131 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: shipping volume between a nation pair by year —
+    six-table join with a symmetric pair predicate; both nation dims
+    broadcast, the pair filter is a post-join residual."""
+    li, orders, cust, nation, sup = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+        | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(n1, F.col("c_nkey") == cust.c_nationkey)
+        .join(sup, sup.s_suppkey == li.l_suppkey)
+        .join(n2, F.col("s_nkey") == sup.s_nationkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH all_lines AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT order_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                          ELSE 0.0 END) / sum(volume), 6) AS mkt_share
+    FROM all_lines GROUP BY order_year
+    """,
+    tags=("join", "agg", "conditional", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: one supplier nation's share of a region's PROMO
+    volume per year — eight-table star join, conditional-sum ratio."""
+    li, part, orders, cust, nation, region, sup = _t(
+        spark, sf_dir,
+        "lineitem", "part", "orders", "customer", "nation", "region", "supplier",
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    lines = (
+        li.join(part.filter(F.col("p_type") == "PROMO"),
+                F.col("p_partkey") == li.l_partkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(n1, F.col("c_nkey") == cust.c_nationkey)
+        .join(region.filter(F.col("r_name") == "ASIA"),
+              F.col("r_regionkey") == F.col("c_rkey"))
+        .join(sup, sup.s_suppkey == li.l_suppkey)
+        .join(n2, F.col("s_nkey") == sup.s_nationkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return lines.groupBy("order_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+                    0.0
+                )
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
