@@ -50,3 +50,15 @@ def test_filters_reach_parquet_scan(spark, name):
         for seg in plan.split("PushedFilters: [")[1:]
     ]
     assert any(p.strip() for p in pushed), f"{name}: no pushed filters:\n{plan}"
+
+
+def test_plan_summary_diagnostics(spark):
+    from crypto_etl_airflow_spark.plans.diagnose import summarize_plan
+
+    df = all_specs()["q5_revenue_by_nation"].builder(spark, SF_SMOKE)
+    s = summarize_plan(df, execute=True)
+    assert s.n_broadcast_exchanges >= 4  # all dims broadcast
+    assert "BroadcastHashJoin" in s.join_strategies
+    assert s.pushed_filters  # region filter reached the scan
+    assert not s.python_eval
+    assert s.n_codegen_stages >= 1
