@@ -179,3 +179,55 @@ def json_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_valid", F.lit(0)).alias("n_valid"),
         F.coalesce("n_invalid", F.lit(0)).alias("n_invalid"),
     )
+
+
+@register(
+    "profile_orders_table",
+    oracle="""
+    WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+    SELECT * FROM (
+        SELECT 'o_orderkey' AS "column", m.n AS n_rows,
+               CAST(0 AS BIGINT) AS n_nulls,
+               (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS n_distinct,
+               (SELECT round(CAST(min(o_orderkey) AS DOUBLE), 6) FROM orders) AS num_min,
+               (SELECT round(CAST(max(o_orderkey) AS DOUBLE), 6) FROM orders) AS num_max,
+               (SELECT round(avg(CAST(o_orderkey AS DOUBLE)), 6) FROM orders) AS num_mean,
+               CAST(NULL AS VARCHAR) AS str_min, CAST(NULL AS VARCHAR) AS str_max
+        FROM m
+        UNION ALL
+        SELECT 'o_totalprice', m.n, 0,
+               (SELECT CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders),
+               (SELECT round(CAST(min(o_totalprice) AS DOUBLE), 6) FROM orders),
+               (SELECT round(CAST(max(o_totalprice) AS DOUBLE), 6) FROM orders),
+               (SELECT round(avg(CAST(o_totalprice AS DOUBLE)), 6) FROM orders),
+               NULL, NULL
+        FROM m
+        UNION ALL
+        SELECT 'o_orderstatus', m.n, 0,
+               (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders),
+               NULL, NULL, NULL,
+               (SELECT min(o_orderstatus) FROM orders),
+               (SELECT max(o_orderstatus) FROM orders)
+        FROM m
+        UNION ALL
+        SELECT 'o_orderpriority', m.n, 0,
+               (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders),
+               NULL, NULL, NULL,
+               (SELECT min(o_orderpriority) FROM orders),
+               (SELECT max(o_orderpriority) FROM orders)
+        FROM m
+    )
+    """,
+    tags=("parity", "quality", "profile"),
+)
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of orders (operators/profile.py):
+    null counts, cardinalities, typed ranges/means — the triage
+    query every ingest investigation starts with."""
+    from ..operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )

@@ -103,3 +103,20 @@ def test_empty_table_fails_min_and_rowcount(spark):
     df = _df(spark, [])
     scan = run_scan(df, [min_value("price_usd", fail_when_lt=0), row_count()])
     assert scan.failed
+
+
+def test_profile_table_counts_nulls_and_types(spark):
+    from crypto_etl_airflow_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, None, None), (3, "b", 4.0)],
+        "id long, name string, score double",
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "name", "score"}
+    assert prof["name"].n_nulls == 1 and prof["score"].n_nulls == 1
+    assert prof["id"].n_distinct == 3
+    assert prof["id"].num_min == 1.0 and prof["id"].num_max == 3.0
+    assert prof["name"].str_min == "a" and prof["name"].str_max == "b"
+    assert prof["name"].num_min is None and prof["id"].str_min is None
+    assert prof["score"].num_mean == 3.0
