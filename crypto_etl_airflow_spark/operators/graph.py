@@ -1,0 +1,75 @@
+"""Connected components via min-label propagation.
+
+Near-duplicate PAIRS (dedup, similarity) only become actionable as
+duplicate CLUSTERS — "keep one document per component". Components
+of the similarity graph come from iterative min-label propagation:
+
+    label(v) ← min(label(v), min over neighbors' labels)
+
+repeated until a fixed point; every vertex ends up labeled with the
+smallest vertex id reachable from it. Convergence takes O(graph
+diameter) rounds — small for dedup graphs (clusters are dense blobs,
+not long chains).
+
+Scale posture: each round is one join edges⋈labels + one min-agg —
+all shuffles on the vertex id, so rounds reuse the same partitioning.
+Lineage is truncated every round (``localCheckpoint``) or the plan
+would double each iteration; the driver only ever sees the
+changed-label COUNT (a scalar), never the data. The classic
+large-star/small-star optimization (fewer rounds on high-diameter
+graphs) can replace the inner step without changing the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every vertex of the undirected graph ``edges`` with the
+    min vertex id of its component. Vertices are ids appearing in any
+    edge. Returns (id, component).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
+                    "__changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter("__changed").count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels

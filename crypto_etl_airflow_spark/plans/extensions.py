@@ -409,3 +409,54 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_windows(
         multimodal.documents_as_media(docs), window_ms=1000, hop_ms=500
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE c / (na.n + nb.n - c) >= 0.6
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """,
+    tags=("dedup", "graph", "extension"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: word-3-gram Jaccard ≥ 0.6 pairs form
+    the similarity graph; min-label connected components
+    (operators/graph.py) turn pairs into keep-one-per-component
+    groups. The DuckDB oracle recomputes components with a recursive
+    CTE — iterative DataFrame algorithm vs recursive SQL, same fixed
+    point."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    return connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    ).select(F.col("id").alias("doc_id"), "component")
