@@ -460,3 +460,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
     ).select(F.col("id").alias("doc_id"), "component")
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10000 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM b GROUP BY 1
+    """,
+    tags=("sampling", "extension"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by document-key hash
+    (operators/sampling.py): the same doc lands in the same split on
+    every engine and every run — the md5 bucket is reproduced exactly
+    by the DuckDB oracle."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = hash_split(
+        docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    return labeled.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

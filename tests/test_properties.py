@@ -107,3 +107,22 @@ def test_min_value_gate_matches_python_min(spark, vals):
     df = spark.createDataFrame([(v,) for v in vals], ["price"])
     result = run_scan(df, [min_value("price", fail_when_lt=0.0)])
     assert result.failed == (min(vals) < 0.0)
+
+
+split_keys = st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True)
+
+
+@given(ids=split_keys)
+@SLOW
+def test_hash_split_deterministic_and_exhaustive(spark, ids):
+    """∀ key sets: split assignment is stable across calls, covers
+    every row when fractions sum to 1, and keys always agree."""
+    from crypto_etl_airflow_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], ["k"])
+    f = {"train": 0.8, "val": 0.2}
+    a = {r.k: r.split for r in hash_split(df, "k", f).collect()}
+    b = {r.k: r.split for r in hash_split(df, "k", f).collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "val"}
+    assert all(v is not None for v in a.values())
