@@ -10,6 +10,7 @@ tests/test_similarity.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -496,4 +497,71 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
+    )
+
+
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS term FROM documents
+    )
+    SELECT term, CAST(cnt AS BIGINT) AS term_freq, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT term, count(*) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, term) AS rank
+        FROM tok WHERE term != '' GROUP BY term
+    ) t
+    WHERE rank <= 100
+    """,
+    tags=("text", "vocab", "extension"),
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide term frequencies, top-100
+    (count DESC, term ASC tiebreak) — explode + grouped count +
+    TakeOrdered; at corpus scale the term count is a map-side-combined
+    aggregation and only the top-k crosses the final exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = tok.groupBy("term").agg(F.count("*").alias("term_freq"))
+    w = F.row_number().over(W.orderBy(F.desc("term_freq"), F.asc("term")))
+    return (
+        counts.withColumn("rank", w.cast("int"))
+        .filter(F.col("rank") <= 100)
+        .select("term", "term_freq", "rank")
+    )
+
+
+@register(
+    "embedding_centroids_by_label",
+    oracle="""
+    WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    u AS (
+        SELECT label, i - 1 AS pos, e[i] AS x
+        FROM v, unnest(generate_series(1, len(e))) AS t(i)
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           round(avg(x), 6) AS centroid_component,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM u GROUP BY label, pos
+    """,
+    tags=("similarity", "ml", "extension"),
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, one row per (label, dimension) —
+    the class-prototype / k-means-update primitive: posexplode spreads
+    components, the mean is a grouped agg on (label, pos). At scale
+    this shuffles (labels × dims) partial sums, never whole vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(
+            F.round(F.avg("col"), 6).alias("centroid_component"),
+            F.count("*").alias("n_vectors"),
+        )
     )
