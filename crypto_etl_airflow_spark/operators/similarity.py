@@ -198,3 +198,123 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _nearest_centroid(vecs: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:
+    """Argmin-cosine centroid id for every row of ``vecs`` (centroid
+    table is tiny → broadcast; argmin via one window over the small
+    cross product)."""
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", _dot(F.col(vec_col), F.col("c_vec")) / (F.col("c_norm"))
+    )
+    w = W.partitionBy(*[c for c in vecs.columns]).orderBy(
+        F.desc("__sim"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__sim", "__rn", "c_vec", "c_norm")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: the ``nlist`` lowest-id
+    vectors seed the lists; one k-means-style refinement (assign →
+    per-list component mean) produces the final centroids.
+
+    Returns (centroid_id, c_vec, c_norm). Fully deterministic — no
+    RNG, stable across runs/engines."""
+    seeds = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(nlist)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        )
+        .withColumn("c_norm", _norm(F.col("c_vec")))
+    )
+    assigned = _nearest_centroid(
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")),
+        seeds,
+        "v",
+    )
+    # refine: element-wise mean per list (partial sums shuffle, not vectors)
+    comp = assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+    means = (
+        comp.groupBy("centroid_id", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "centroid_id",
+            F.transform("pm", lambda s: s.getField("m")).alias("c_vec"),
+        )
+        .withColumn("c_norm", _norm(F.col("c_vec")))
+    )
+    return means
+
+
+def cosine_topk_ivf(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors live in ``nlist``
+    inverted lists (nearest-centroid assignment); each probe scores
+    only the vectors of its ``nprobe`` nearest lists — per-probe work
+    drops to ~nprobe/nlist of the corpus. The recall/cost dial is
+    nprobe (vs num_tables/planes for the LSH variant).
+
+    Same output schema as the brute-force baseline."""
+    cents = ivf_centroids(corpus, id_col, vec_col, nlist)
+
+    c_lists = _nearest_centroid(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_v"),
+        ),
+        cents,
+        "c_v",
+    ).withColumn("c_nrm", _norm(F.col("c_v")))
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("p_v"),
+    ).withColumn("p_nrm", _norm(F.col("p_v")))
+    p_scored = p.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", _dot(F.col("p_v"), F.col("c_vec")) / F.col("c_norm")
+    )
+    wp = W.partitionBy("probe_id").orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    p_lists = (
+        p_scored.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("probe_id", "p_v", "p_nrm", "centroid_id")
+    )
+
+    scored = (
+        p_lists.join(c_lists, "centroid_id")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        # a vector can reach a probe through one list only (hard
+        # assignment), so no candidate dedup is needed
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("p_v"), F.col("c_v")) / (F.col("p_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -565,3 +565,18 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle=None,  # approximate: nprobe lists bound the search; recall
+    # vs brute force is asserted in tests/test_similarity.py
+    tags=("similarity", "extension", "approx"),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat cosine top-5 — the cluster-pruned scale path: corpus
+    vectors in 16 nearest-centroid inverted lists, each probe searches
+    its 4 nearest lists (~1/4 of the corpus instead of all of it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    return similarity.cosine_topk_ivf(probes, emb, k=5, nlist=16, nprobe=4)

