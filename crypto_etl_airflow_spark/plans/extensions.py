@@ -580,3 +580,60 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 50)
     return similarity.cosine_topk_ivf(probes, emb, k=5, nlist=16, nprobe=4)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM tok WHERE term != '' GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("text", "vocab", "extension"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — term frequency from one
+    explode+group pass, document frequency from a grouped distinct
+    over the same relation, idf = ln(N/df); keyword extraction /
+    sparse-featurization, all JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = tf.select(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
