@@ -284,3 +284,60 @@ def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked_after_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased_after_click
+    """,
+    tags=("window", "funnel", "timeseries"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked at or
+    after their first view, then purchased at or after that click —
+    each stage is a grouped min-timestamp joined forward (all shuffles
+    on user_id, so the stages reuse one partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )

@@ -41,3 +41,31 @@ def test_first_refresh_creates_table(spark, tmp_path):
     assert set(out.columns) == {
         "bucket", "entity", "n_events", "total_value", "min_value", "max_value"
     }
+
+
+def test_streaming_feeds_rollup(spark, tmp_path):
+    """Composition: the streaming foreachBatch sink folds each
+    micro-batch into the continuous aggregate — after draining, the
+    rollup equals the one computed from the full table."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.streaming.sources import stream_events
+
+    path = str(tmp_path / "stream_rollup")
+
+    sdf = stream_events(spark, SF_SMOKE)
+
+    def fold(batch_df, batch_id):
+        refresh_hourly_rollup(spark, batch_df, path)
+
+    q = (
+        sdf.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(path)
+    want = hourly_partial(load_table(spark, SF_SMOKE, "events"))
+    assert _canon(got) == _canon(want)
