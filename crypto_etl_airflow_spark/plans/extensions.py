@@ -637,3 +637,52 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
     )
+
+
+@register(
+    "language_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter({_TOKS}, x -> list_contains(['the','and','is','of','to','a','in','that'], x))) AS en_s,
+               len(list_filter({_TOKS}, x -> list_contains(['der','die','und','ist','das','nicht','ein'], x))) AS de_s,
+               len(list_filter({_TOKS}, x -> list_contains(['el','la','de','que','los','una','por'], x))) AS es_s,
+               len(list_filter({_TOKS}, x -> list_contains(['le','la','et','les','des','une','dans'], x))) AS fr_s,
+               len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS zh_s
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN zh_s > 0 THEN 'zh'
+                    WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s
+                         AND en_s > 0 THEN 'en'
+                    WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de'
+                    WHEN es_s >= fr_s AND es_s > 0 THEN 'es'
+                    WHEN fr_s > 0 THEN 'fr'
+                    ELSE 'unknown' END AS lang_pred
+        FROM scored
+    )
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE lang_pred = 'en') AS BIGINT) AS en,
+           CAST(count(*) FILTER (WHERE lang_pred = 'de') AS BIGINT) AS de,
+           CAST(count(*) FILTER (WHERE lang_pred = 'es') AS BIGINT) AS es,
+           CAST(count(*) FILTER (WHERE lang_pred = 'fr') AS BIGINT) AS fr,
+           CAST(count(*) FILTER (WHERE lang_pred = 'zh') AS BIGINT) AS zh,
+           CAST(count(*) FILTER (WHERE lang_pred = 'unknown') AS BIGINT) AS unknown
+    FROM pred GROUP BY lang
+    """,
+    tags=("text", "pivot", "extension"),
+)
+def language_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: actual ``lang`` rows × predicted
+    columns via explicit-values pivot — the evaluation readout for
+    the classifier heuristic (no distinct-values driver job because
+    the pivot values are declared)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select("lang", language_id(F.col("text")).alias("lang_pred"))
+    return (
+        pred.groupBy("lang")
+        .pivot("lang_pred", ["en", "de", "es", "fr", "zh", "unknown"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
