@@ -341,3 +341,96 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
     )
+
+
+@register(
+    "anomaly_zscore_events",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    """,
+    tags=("agg", "stats", "quality", "timeseries"),
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity z-score outliers (|z| > 3): grouped mean/stddev
+    broadcast back onto the events — the monitoring counterpart of
+    the quality gate (flag rows, don't fail the batch)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT *,
+               ntile(4) OVER (ORDER BY last_order, custkey) AS r_score,
+               ntile(4) OVER (ORDER BY frequency, custkey) AS f_score,
+               ntile(4) OVER (ORDER BY monetary, custkey) AS m_score
+        FROM rfm
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(monetary), 6) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    tags=("window", "agg", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quartiles (ntile with total-order tiebreaks for cross-engine
+    determinism), rolled up to segment sizes."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = (
+        rfm.withColumn(
+            "r_score",
+            F.ntile(4).over(W.orderBy("last_order", "custkey")).cast("int"),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(4).over(W.orderBy("frequency", "custkey")).cast("int"),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(4).over(W.orderBy("monetary", "custkey")).cast("int"),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )
