@@ -865,3 +865,47 @@ def asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["value"],
         tolerance="30 MINUTE",
     )
+
+
+@register(
+    "scalar_map_pack",
+    oracle="""
+    WITH m AS (
+        SELECT event_id, event_type,
+               map(['v', 'v2'], [value, value * 2]) AS mm
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(cardinality(mm)) AS BIGINT) AS min_map_size,
+           CAST(max(cardinality(mm)) AS BIGINT) AS max_map_size,
+           min(array_to_string(map_keys(mm), ',')) AS keys_joined,
+           round(sum(mm['v'][1]), 4) AS sum_v,
+           round(sum(mm['v2'][1]), 4) AS sum_v2,
+           CAST(sum(CASE WHEN list_contains(map_keys(mm), 'v') THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_has_v
+    FROM m GROUP BY event_type
+    """,
+    tags=("scalar", "map"),
+)
+def scalar_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed scalar family (SURVEY.md §2.8): construct a
+    map<string,double> per row, then size / keys / lookup /
+    containment — aggregated to per-entity scalars so the comparison
+    never serializes a map across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    mm = F.create_map(
+        F.lit("v"), F.col("value"), F.lit("v2"), F.col("value") * 2
+    )
+    withm = ev.select("event_type", mm.alias("mm"))
+    return withm.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min(F.size("mm")).cast("long").alias("min_map_size"),
+        F.max(F.size("mm")).cast("long").alias("max_map_size"),
+        F.min(F.array_join(F.map_keys("mm"), ",")).alias("keys_joined"),
+        F.round(F.sum(F.element_at("mm", "v")), 4).alias("sum_v"),
+        F.round(F.sum(F.element_at("mm", "v2")), 4).alias("sum_v2"),
+        F.sum(F.when(F.map_contains_key("mm", "v"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_has_v"),
+    )
