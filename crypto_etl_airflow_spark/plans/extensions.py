@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     bpe_ish_token_count,
-    fingerprint,
     language_id,
     language_scores,
     mean_token_length,

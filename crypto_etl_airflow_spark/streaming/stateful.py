@@ -14,7 +14,7 @@ batch at a time — no driver collection, no global state.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator
+from typing import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -5,10 +5,7 @@ import json
 
 import pytest
 
-from crypto_etl_airflow_spark.sources.http_datasource import (
-    HttpJsonDataSource,
-    register_http_json,
-)
+from crypto_etl_airflow_spark.sources.http_datasource import register_http_json
 
 
 @pytest.fixture()

@@ -17,7 +17,6 @@ from crypto_etl_airflow_spark.streaming.runner import (
     run_append_to_memory,
     run_complete_to_memory,
 )
-from crypto_etl_airflow_spark.streaming.sources import stream_parquet_dir
 from crypto_etl_airflow_spark.streaming.stateful import user_running_stats
 from crypto_etl_airflow_spark.streaming.windows import (
     session_stats,
