@@ -125,11 +125,21 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
 
 def binary_stats(media: DataFrame) -> DataFrame:
     """Metadata/size profile per media type — pure column expressions
-    over the binary column (no decode)."""
+    over the binary column (no decode).
+
+    The mean payload size is emitted as integer micro-bytes: the exact
+    long sum divided by the count is one correctly-rounded IEEE
+    division in any engine, so scaling to 1e-6 bytes and casting to
+    BIGINT keeps the value hash engine-independent (a raw double mean
+    can differ in decimal rendering across engines).
+    """
+    ol = F.octet_length("payload")
     return media.groupBy("media_type").agg(
         F.count("*").alias("n_items"),
-        F.sum(F.octet_length("payload")).alias("total_bytes"),
-        F.round(F.avg(F.octet_length("payload")), 6).alias("avg_bytes"),
+        F.sum(ol).alias("total_bytes"),
+        F.round(F.sum(ol).cast("double") / F.count("*") * 1e6)
+        .cast("long")
+        .alias("avg_micro_bytes"),
         F.max("width").alias("max_width"),
         F.max("height").alias("max_height"),
     )

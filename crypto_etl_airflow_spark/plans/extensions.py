@@ -331,8 +331,9 @@ _MEDIA_SQL = """
     WITH media AS ({_MEDIA_SQL})
     SELECT media_type,
            count(*) AS n_items,
-           sum(octet_length(payload)) AS total_bytes,
-           round(avg(octet_length(payload)), 6) AS avg_bytes,
+           CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+           CAST(round(CAST(sum(octet_length(payload)) AS DOUBLE)
+                      / count(*) * 1e6) AS BIGINT) AS avg_micro_bytes,
            max(width) AS max_width,
            max(height) AS max_height
     FROM media GROUP BY media_type
@@ -369,8 +370,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # decode is a stubbed mapInPandas stage (no codec libs
-    # in this container); schema/batching is exercised in tests
+    # The stub decoder is sha256-based (operators/multimodal.py::
+    # fake_features), and DuckDB's sha256(VARCHAR) hashes the same
+    # UTF-8 bytes Python's hashlib sees — so the Arrow mapInPandas
+    # stage is value-checkable end to end: f0 is the first 4 digest
+    # bytes over 2^32 (an exact dyadic double in both engines).
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id, media_type,
+           CAST(octet_length(payload) AS BIGINT) AS payload_bytes,
+           round(CAST(CONCAT('0x', substr(sha256(decode(payload)), 1, 8))
+                      AS BIGINT) / 4294967296.0, 6) AS f0
+    FROM media
+    """,
     tags=("multimodal", "extension", "approx"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
