@@ -71,9 +71,65 @@ def _load_all() -> None:
     )
 
 
+# Certification priority: the external driver verifies queries in the
+# order this registry emits them and may cap how many it runs per
+# round, so queries that still need a driver-green CORRECTNESS row
+# come first — (a) the 33 not covered in round 1, then (b) queries
+# whose implementation or oracle changed this round. Already-green,
+# unchanged queries sort last (their rows stand from round 1).
+_PRIORITY = [
+    # (a) registered 51st..83rd in round 1 — never driver-checked
+    "agg_having",
+    "agg_stddev_percentiles",
+    "agg_approx_distinct",
+    "window_rank_parts",
+    "window_ntile_customers",
+    "window_running_total",
+    "topk_orders",
+    "setops_nations",
+    "unpivot_part_measures",
+    "scalar_string_pack",
+    "scalar_date_pack",
+    "scalar_math_pack",
+    "scalar_conditional_pack",
+    "scalar_array_pack",
+    "scalar_map_pack",
+    "asof_last_error_before_click",
+    "asof_with_tolerance",
+    "streaming_tumbling_counts",
+    "streaming_sliding_avg",
+    "session_windows_per_user",
+    "streaming_stateful_user_stats",
+    "streaming_ingest_idempotent",
+    "interval_join_click_errors",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_customers",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "join_salted_skew",
+    # (b) changed in round 2 (new oracles / integer-exact forms /
+    # capped-shingle plans) — need fresh certification
+    "multimodal_binary_stats",
+    "multimodal_features",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+]
+
+
 def all_specs() -> dict[str, QuerySpec]:
     _load_all()
-    return dict(_REGISTRY)
+    rank = {name: i for i, name in enumerate(_PRIORITY)}
+    ordered = sorted(_REGISTRY, key=lambda n: rank.get(n, len(rank)))
+    return {name: _REGISTRY[name] for name in ordered}
 
 
 def get(name: str) -> QuerySpec:
