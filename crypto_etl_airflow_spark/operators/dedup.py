@@ -29,6 +29,8 @@ runs and clusters, no RNG state.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +38,42 @@ from pyspark.sql import functions as F
 # int64, so the modular hash needs no 128-bit arithmetic (Spark 4 runs
 # ANSI mode and throws on long overflow)
 MERSENNE_P = (1 << 31) - 1
+
+
+def portable_hash48(col) -> F.Column:
+    """First 48 bits of md5 as a non-negative BIGINT.
+
+    The cross-engine hash: ``CAST(CONCAT('0x', substr(md5(x), 1, 12))
+    AS BIGINT)`` computes the identical value in DuckDB (and any ANSI
+    engine with md5), which is what lets MinHash signatures be
+    oracle-checked value-for-value. xxhash64 stays the default for
+    production (faster, JVM-codegen'd); portable mode trades ~2× on
+    the hash for engine-verifiable output.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def portable_hash32(col) -> F.Column:
+    """First 32 bits of md5 as a non-negative BIGINT (see
+    :func:`portable_hash48`)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """The (a_i, b_i) constants of the MinHash family
+    ``(a_i * h + b_i) mod p`` — derived from md5 of the permutation
+    index in PYTHON (not at query time), so the exact same integer
+    literals can be inlined into both the Spark plan and a DuckDB
+    oracle. a_i ∈ [1, p-1], b_i ∈ [0, p-1]."""
+
+    def const(tag: str, i: int, mod: int) -> int:
+        digest = hashlib.md5(f"minhash-{tag}-{i}".encode()).digest()
+        return int.from_bytes(digest[:6], "big") % mod
+
+    return [
+        (const("a", i, MERSENNE_P - 1) + 1, const("b", i, MERSENNE_P))
+        for i in range(num_hashes)
+    ]
 
 
 def normalized_text(text_col: str = "text") -> F.Column:
@@ -104,14 +142,22 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle SETS for all
     pairs sharing at least one shingle; keeps pairs ≥ threshold.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b. At scale the
-    shingle self-join is the hot spot: frequent shingles fan out
-    quadratically — cap them (stop-shingle removal) or switch to
-    minhash_lsh_candidates below.
+    shingle self-join is the hot spot: a shingle appearing in d
+    documents fans out to d² pair rows, so stop-phrases ("of the
+    same") dominate the shuffle quadratically. ``max_doc_freq`` caps
+    that: shingles present in more than this many documents are
+    dropped BEFORE the self-join (from both the join and the per-doc
+    set sizes, so the result is still a true Jaccard over the reduced
+    shingle universe). Hot shingles carry almost no similarity signal
+    — near-dup pairs are decided by their rare shingles — and the hot
+    set is tiny by construction (≤ |corpus| / max_doc_freq shingles
+    can exceed the cap), so it broadcasts to an anti-join.
 
     The join key is the shingle's xxhash64, not the string: the
     shuffle moves 8-byte longs instead of n-word strings. A 64-bit
@@ -119,6 +165,14 @@ def ngram_jaccard_pairs(
     shingles — negligible below ~10⁸ shingles per corpus).
     """
     sh = _hashed_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
@@ -146,25 +200,31 @@ def minhash_signatures(
     text_col: str,
     n: int = 3,
     num_hashes: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: for permutation i, the minimum
-    of ``(a_i * xxhash64(shingle) + b_i) mod p`` over the doc's
-    shingles. Constants a_i, b_i derive from xxhash64(i) — fixed,
-    reproducible, no RNG.
+    of ``(a_i * h(shingle) + b_i) mod p`` over the doc's shingles.
+    Constants a_i, b_i are fixed Python-derived literals
+    (:func:`minhash_constants`) — reproducible, no RNG.
+
+    ``portable=False`` (production): h = xxhash64, JVM-codegen fast
+    path. ``portable=True``: h = first 48 md5 bits
+    (:func:`portable_hash48`), computable bit-for-bit by any md5-
+    capable engine — the mode the DuckDB oracle certifies.
 
     One aggregation: groupBy(doc) of min over each of the k hash
     expressions (map-side partial min makes this cheap).
     """
     sh = word_shingles(df, id_col, text_col, n)
-    h = (F.xxhash64("shingle") % MERSENNE_P + MERSENNE_P) % MERSENNE_P
+    if portable:
+        h = portable_hash48("shingle") % MERSENNE_P
+    else:
+        h = (F.xxhash64("shingle") % MERSENNE_P + MERSENNE_P) % MERSENNE_P
 
-    mins = []
-    for i in range(num_hashes):
-        a = (F.xxhash64(F.lit(f"minhash-a-{i}")) % (MERSENNE_P - 1) + (MERSENNE_P - 1)) % (
-            MERSENNE_P - 1
-        ) + 1  # a in [1, p-1]
-        b = (F.xxhash64(F.lit(f"minhash-b-{i}")) % MERSENNE_P + MERSENNE_P) % MERSENNE_P
-        mins.append(F.min((a * h + b) % MERSENNE_P).alias(f"mh_{i}"))
+    mins = [
+        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_constants(num_hashes))
+    ]
     return sh.groupBy(id_col).agg(*mins)
 
 
@@ -173,6 +233,7 @@ def minhash_lsh_candidates(
     id_col: str,
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_hashes // bands`` rows, hash each band, and pair documents
@@ -182,57 +243,58 @@ def minhash_lsh_candidates(
     The band-bucket join is the scale trick: candidates ∝ collisions,
     never n². Probability a pair with Jaccard j collides:
     1 - (1 - j^r)^b with r = rows per band.
+
+    ``portable=True`` joins on the band's raw signature values
+    instead of their xxhash64 (slightly wider shuffle key: r longs vs
+    one) so the bucketing is reproducible by the DuckDB oracle.
     """
     r = num_hashes // bands
     band_rows = []
     for bi in range(bands):
         cols = [F.col(f"mh_{bi * r + j}") for j in range(r)]
+        if portable:
+            keys = [c.alias(f"k_{j}") for j, c in enumerate(cols)]
+        else:
+            keys = [F.xxhash64(*cols).alias("k_0")]
         band_rows.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(bi).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
-            )
+            signatures.select(F.col(id_col), F.lit(bi).alias("band"), *keys)
         )
     buckets = band_rows[0]
     for extra in band_rows[1:]:
         buckets = buckets.unionAll(extra)
 
-    left = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    right = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    key_names = [c for c in buckets.columns if c.startswith("k_")]
+    left = buckets.withColumnRenamed(id_col, "id_a")
+    right = buckets.withColumnRenamed(id_col, "id_b")
     return (
-        left.join(right, ["band", "bucket"])
+        left.join(right, ["band", *key_names])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
 
 
-def minhash_lsh_pairs(
+def verify_pairs_exact_jaccard(
     df: DataFrame,
+    candidates: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    num_hashes: int = 32,
-    bands: int = 8,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signatures → banded
-    candidates → EXACT Jaccard verification of candidates only.
-
-    Output matches :func:`ngram_jaccard_pairs` up to LSH recall (a
-    near-dup pair is missed only if it collides in no band)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
-
+    """Exact Jaccard over shingle sets for the given (id_a, id_b)
+    candidate pairs only. Candidate-DRIVEN: shingles join onto the
+    candidate list (cands ⋈ shingles(id_a) ⋈ shingles(id_b)), so the
+    shuffle is |candidates| × shingles-per-doc — never the full
+    shingle self-join, whose hot shingles fan out quadratically.
+    Keeps pairs ≥ threshold; returns (id_a, id_b, jaccard)."""
     sh = _hashed_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
     common = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(cands, ["id_a", "id_b"], "left_semi")  # verify candidates only
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -247,6 +309,30 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded
+    candidates → EXACT Jaccard verification of candidates only.
+
+    Output matches :func:`ngram_jaccard_pairs` up to LSH recall (a
+    near-dup pair is missed only if it collides in no band).
+    ``portable=True`` makes every stage md5-reproducible in a DuckDB
+    oracle (see :func:`minhash_signatures`)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, portable)
+    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands, portable)
+    return verify_pairs_exact_jaccard(
+        df, cands, id_col, text_col, n, threshold
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: each token votes its xxhash64
     bits weighted by term frequency; the sign of each bit's vote sum
@@ -255,21 +341,35 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Expressed as explode → per-bit conditional sums → bit OR-fold:
     one shuffle on the doc id. Returns (id, simhash BIGINT).
     """
+    return _simhash(df, id_col, text_col, bits=64)
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash whose token hash is the first 32 md5 bits
+    (:func:`portable_hash32`) — every stage (hash, bit votes, sign
+    fold) is reproducible in an md5-capable SQL engine, which is what
+    the DuckDB oracle certifies. Production default stays the 64-bit
+    xxhash64 form (:func:`simhash64`)."""
+    return _simhash(df, id_col, text_col, bits=32)
+
+
+def _simhash(df: DataFrame, id_col: str, text_col: str, bits: int) -> DataFrame:
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
     )
-    h = F.xxhash64("token")
+    h = F.xxhash64("token") if bits == 64 else portable_hash32("token")
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v_{i}")
-        for i in range(64)
+        for i in range(bits)
     ]
     per_doc = tok.groupBy(id_col).agg(*votes)
     sim = F.lit(0).cast("long")
-    for i in range(64):
-        # shiftleft wraps bit 63 into the long sign bit (two's complement)
+    for i in range(bits):
+        # at bits=64, shiftleft wraps bit 63 into the long sign bit
+        # (two's complement); at bits=32 the value stays non-negative
         bit_i = F.shiftleft(F.lit(1).cast("long"), i)
         sim = sim.bitwiseOR(
             F.when(F.col(f"v_{i}") > 0, bit_i).otherwise(F.lit(0).cast("long"))
@@ -282,14 +382,20 @@ def simhash_neardup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    bits: int = 64,
 ) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance ≤ max_hamming.
 
-    Candidates via 4×16-bit band equality (pigeonhole guarantees
+    Candidates via 4 equal-width band equality (pigeonhole guarantees
     recall for distance ≤ 3), verified with bit_count(a XOR b).
-    Returns (id_a, id_b, hamming).
+    Returns (id_a, id_b, hamming). ``bits=32`` selects the md5-
+    portable fingerprint (:func:`simhash32`) the DuckDB oracle can
+    recompute; 64 is the xxhash64 production default.
     """
-    sims = simhash64(df, id_col, text_col)
+    sims = simhash64(df, id_col, text_col) if bits == 64 else simhash32(
+        df, id_col, text_col
+    )
+    band_bits = bits // 4
 
     bands = []
     for bi in range(4):
@@ -298,8 +404,8 @@ def simhash_neardup_pairs(
                 F.col(id_col),
                 F.col("simhash"),
                 F.lit(bi).alias("band"),
-                F.shiftrightunsigned("simhash", bi * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned("simhash", bi * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
                 .alias("bucket"),
             )
         )
@@ -313,7 +419,7 @@ def simhash_neardup_pairs(
     right = all_bands.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "bucket"
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
     return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))

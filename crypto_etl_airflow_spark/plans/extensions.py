@@ -180,20 +180,34 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(dup_injected, "doc_id", "text")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH toks AS (
+# Shingle CTEs shared by the dedup oracles — mirror
+# operators/dedup.py::word_shingles (distinct word-3-grams).
+_SHINGLE_CTES = """
+    toks AS (
         SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
     ),
     shingles AS (
         SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS sh
         FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    )
+"""
+
+_NGRAM_DF_CAP = 50  # mirror of max_doc_freq in the registered query
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    freq AS (SELECT sh, count(*) AS d FROM shingles GROUP BY sh),
+    kept AS (
+        SELECT s.doc_id, s.sh FROM shingles s
+        JOIN freq USING (sh) WHERE freq.d <= {_NGRAM_DF_CAP}
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT id_a, id_b, round(c / (na.n + nb.n - c), 6) AS jaccard
@@ -207,36 +221,156 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: word-3-gram shingle sets, Jaccard ≥ 0.8.
-    Self-join on shingle — never a cross-product (SURVEY.md §7.5)."""
+    Self-join on shingle — never a cross-product — with stop-shingle
+    capping (document frequency > 50 drops the shingle before the
+    join, the guard against quadratic fan-out on hot phrases at
+    100 TB; the oracle applies the identical predicate)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=_NGRAM_DF_CAP
+    )
+
+
+def _minhash_oracle(
+    n: int = 3, threshold: float = 0.8, num_hashes: int = 32, bands: int = 8
+) -> str:
+    """DuckDB mirror of the FULL portable MinHash-LSH pipeline
+    (operators/dedup.py::minhash_lsh_pairs(portable=True)): md5-48
+    shingle hashes, the same Python-literal (a_i, b_i) constants,
+    banded candidates, exact-Jaccard verification. Value-for-value —
+    the approximation itself is certified, not just its recall."""
+    p = dedup.MERSENNE_P
+    r = num_hashes // bands
+    sig = ",\n               ".join(
+        f"min(({a} * h + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.minhash_constants(num_hashes))
+    )
+    band_rows = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + ", ".join(f"mh_{bi * r + j} AS k_{j}" for j in range(r))
+        + " FROM sig"
+        for bi in range(bands)
+    )
+    key_eq = " AND ".join(f"l.k_{j} = rr.k_{j}" for j in range(r))
+    return f"""
+    WITH {_SHINGLE_CTES},
+    hashed AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', substr(md5(sh), 1, 12)) AS BIGINT) % {p} AS h
+        FROM shingles
+    ),
+    sig AS (
+        SELECT doc_id,
+               {sig}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, rr.doc_id AS id_b
+        FROM bands l JOIN bands rr ON l.band = rr.band AND {key_eq}
+        WHERE l.doc_id < rr.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, count(*) AS cnt
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.id_a
+        JOIN shingles b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(cnt / (na.n + nb.n - cnt), 6) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE cnt / (na.n + nb.n - cnt) >= {threshold}
+    """
 
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # signature/banding internals aren't SQL-expressible;
-    # recall vs the exact pairs is asserted in tests/test_dedup.py
+    oracle=_minhash_oracle(),
     tags=("dedup", "extension", "approx"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) near-dup pairs, candidates verified
-    with exact Jaccard — the sub-quadratic scale path for dedup."""
+    with exact Jaccard — the sub-quadratic scale path for dedup. Runs
+    in md5-portable hash mode so the DuckDB oracle recomputes the
+    ENTIRE pipeline (signatures, banding, verification) value-for-
+    value; production keeps the xxhash64 fast path
+    (operators/dedup.py::minhash_signatures)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.8, num_hashes=32, bands=8
+        docs, "doc_id", "text", n=3, threshold=0.8, num_hashes=32, bands=8,
+        portable=True,
     )
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB mirror of the portable 32-bit SimHash pipeline
+    (operators/dedup.py::simhash_neardup_pairs(bits=32)): md5-32
+    token hashes, per-bit ±1 votes, sign fold, 4×8-bit pigeonhole
+    bands, bit_count(xor) verification."""
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(32)
+    )
+    fold = "\n                 + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', substr(md5(token), 1, 8)) AS BIGINT) AS h
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM hashed GROUP BY doc_id
+    ),
+    sims AS (
+        SELECT doc_id,
+               CAST({fold} AS BIGINT) AS simhash
+        FROM votes
+    ),
+    bands AS (
+        SELECT doc_id, simhash, band,
+               ((simhash >> (band * 8)) & 255) AS bucket
+        FROM sims, unnest([0, 1, 2, 3]) AS bt(band)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS id_a, rr.doc_id AS id_b,
+               CAST(bit_count(xor(l.simhash, rr.simhash)) AS INT) AS hamming
+        FROM bands l
+        JOIN bands rr ON l.band = rr.band AND l.bucket = rr.bucket
+        WHERE l.doc_id < rr.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
 
 
 @register(
     "dedup_simhash",
-    oracle=None,  # bit-vote fingerprint isn't SQL-expressible cross-engine
+    oracle=_simhash_oracle(max_hamming=1),
     tags=("dedup", "extension", "approx"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs within Hamming distance ≤ 3 via
-    16-bit band candidates (pigeonhole-complete for d ≤ 3)."""
+    """SimHash near-dup pairs via equal-width band candidates
+    (pigeonhole-complete for d ≤ 3). Runs the md5-portable 32-bit
+    fingerprint so the DuckDB oracle recomputes hash → votes → fold →
+    bands → verify value-for-value; the Hamming cutoff tightens to 1
+    at 32 bits (3/64 ≈ 1/32 relative distance — same selectivity as
+    the 64-bit xxhash64 production default at d ≤ 3)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=1, bits=32
+    )
 
 
 _COSINE_ORACLE_BASE = """

@@ -452,18 +452,43 @@ def agg_stddev_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    # Self-verifying sketch check: Spark computes BOTH the HLL++
+    # estimate and the exact distinct count in one plan and asserts
+    # the relative error bound itself; the oracle states the exact
+    # counts (ANSI-SQL-computable) and the expected verdicts. HLL
+    # registers are max-merged, so the estimate is deterministic
+    # regardless of partitioning — the booleans cannot flap.
+    oracle="""
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_within_3pct,
+           TRUE AS parts_within_3pct
+    FROM lineitem
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the sketch path for
-    100 TB cardinality estimation; no cross-engine oracle because HLL
-    estimates are engine-specific."""
+    """approx_count_distinct (HyperLogLog++, rsd=0.01) — the sketch
+    path for 100 TB cardinality estimation — verified in-plan against
+    the exact count: the query emits the exact cardinalities plus
+    booleans asserting the estimate lands within 3% relative error."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.03)
+    )
+    return (
+        li.agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "exact_orders",
+            "exact_parts",
+            within("approx_orders", "exact_orders").alias("orders_within_3pct"),
+            within("approx_parts", "exact_parts").alias("parts_within_3pct"),
+        )
     )
 
 
