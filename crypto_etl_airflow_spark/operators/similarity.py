@@ -18,6 +18,8 @@ shuffling on the bucket key instead of building the cross-product.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -106,21 +108,24 @@ def neardup_pairs_cosine(
     )
 
 
+def hyperplane_components(table_idx: int, plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane as PYTHON floats:
+    component j is (md5("rhp-<table>-<plane>-<j>") % 2049 − 1024) /
+    1024 ∈ [−1, 1] — a dyadic rational, hence an EXACT double whose
+    decimal repr round-trips, so the identical literals can be inlined
+    into both the Spark plan and a DuckDB oracle. No RNG state; same
+    plane on every executor, run, and engine."""
+    comps = []
+    for j in range(dim):
+        digest = hashlib.md5(f"rhp-{table_idx}-{plane_idx}-{j}".encode()).digest()
+        comps.append((int.from_bytes(digest[:6], "big") % 2049 - 1024) / 1024.0)
+    return comps
+
+
 def _hyperplane(table_idx: int, plane_idx: int, dim: int) -> F.Column:
-    """Deterministic pseudo-random hyperplane: component j is a value
-    in [-1, 1) derived from xxhash64('rhp-<table>-<plane>-<j>'). Pure
-    expressions — identical on every executor and every run, no RNG
-    state to ship."""
-    comps = [
-        (
-            (F.xxhash64(F.lit(f"rhp-{table_idx}-{plane_idx}-{j}")) % 2001 + 2001)
-            % 2001
-            - 1000
-        ).cast("double")
-        / 1000.0
-        for j in range(dim)
-    ]
-    return F.array(*comps)
+    return F.array(
+        *[F.lit(v) for v in hyperplane_components(table_idx, plane_idx, dim)]
+    )
 
 
 def rhp_bucket(vec_col, num_planes: int, dim: int, table_idx: int = 0) -> F.Column:
@@ -200,20 +205,29 @@ def cosine_topk_lsh(
     )
 
 
-def _nearest_centroid(vecs: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:
-    """Argmin-cosine centroid id for every row of ``vecs`` (centroid
-    table is tiny → broadcast; argmin via one window over the small
-    cross product)."""
+def _nearest_centroid(
+    vecs: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Best-cosine centroid id for every row of ``vecs`` (centroid
+    table is tiny → broadcast). The argmax is ``groupBy(id).agg(
+    min_by(payload, (−sim, centroid_id)))`` so the shuffle key is the
+    8-byte id — never the embedding array itself (an array-typed
+    partition key would hash/compare the full vector on every
+    exchange) — and ties resolve deterministically to the lowest
+    centroid id."""
     scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
         "__sim", _dot(F.col(vec_col), F.col("c_vec")) / (F.col("c_norm"))
     )
-    w = W.partitionBy(*[c for c in vecs.columns]).orderBy(
-        F.desc("__sim"), F.asc("centroid_id")
+    payload = F.struct(
+        *[F.col(c) for c in vecs.columns if c != id_col], F.col("centroid_id")
+    )
+    order = F.struct(
+        (-F.col("__sim")).alias("neg_sim"), F.col("centroid_id").alias("cid")
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__sim", "__rn", "c_vec", "c_norm")
+        scored.groupBy(id_col)
+        .agg(F.min_by(payload, order).alias("__best"))
+        .select(id_col, "__best.*")
     )
 
 
@@ -241,13 +255,18 @@ def ivf_centroids(
     assigned = _nearest_centroid(
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")),
         seeds,
+        id_col,
         "v",
     )
-    # refine: element-wise mean per list (partial sums shuffle, not vectors)
+    # refine: element-wise mean per list (partial sums shuffle, not
+    # vectors), rounded to 6 decimals so the refined centroids are
+    # identical doubles in any engine that re-derives them (summation
+    # order varies across engines; the round absorbs the last-ulp
+    # difference exactly as the green centroids-by-label query does)
     comp = assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
     means = (
         comp.groupBy("centroid_id", "pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(F.round(F.avg("x"), 6).alias("m"))
         .groupBy("centroid_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
@@ -283,6 +302,7 @@ def cosine_topk_ivf(
             F.col(vec_col).cast("array<double>").alias("c_v"),
         ),
         cents,
+        "neighbor_id",
         "c_v",
     ).withColumn("c_nrm", _norm(F.col("c_v")))
 

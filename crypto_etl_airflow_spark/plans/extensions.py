@@ -429,16 +429,65 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.neardup_pairs_cosine(emb, threshold=0.45)
 
 
+def _lsh_oracle(k: int = 5, num_planes: int = 4, num_tables: int = 8) -> str:
+    """DuckDB mirror of the FULL random-hyperplane LSH pipeline
+    (operators/similarity.py::cosine_topk_lsh): the hyperplanes are
+    re-derived in SQL from the same md5 formula whose Python twin
+    (``hyperplane_components``) inlines them into the Spark plan —
+    dyadic-rational components, so both engines hold bit-identical
+    planes — then bucketing, multi-table candidate union, scoring and
+    ranking are recomputed value-for-value."""
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    planes AS (
+        SELECT t, i,
+               list((CAST(CONCAT('0x', substr(md5('rhp-' || t || '-' || i
+                                               || '-' || j), 1, 12)) AS BIGINT)
+                     % 2049 - 1024) / 1024.0 ORDER BY j) AS pw
+        FROM generate_series(0, {num_tables - 1}) tt(t),
+             generate_series(0, {num_planes - 1}) ii(i),
+             generate_series(0, 63) jj(j)
+        GROUP BY t, i
+    ),
+    buckets AS (
+        SELECT v.vec_id, pl.t,
+               sum(CASE WHEN list_dot_product(v.e, pl.pw) >= 0
+                        THEN (1 << pl.i) ELSE 0 END) AS bucket
+        FROM v, planes pl GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+        FROM buckets p JOIN buckets c ON p.t = c.t AND p.bucket = c.bucket
+        WHERE p.vec_id < 50 AND p.vec_id != c.vec_id
+    ),
+    scored AS (
+        SELECT probe_id, neighbor_id,
+               round(list_dot_product(pe.e, ce.e)
+                     / (sqrt(list_dot_product(pe.e, pe.e))
+                        * sqrt(list_dot_product(ce.e, ce.e))), 6) AS cosine_sim
+        FROM cand
+        JOIN v pe ON pe.vec_id = probe_id
+        JOIN v ce ON ce.vec_id = neighbor_id
+    )
+    SELECT probe_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 @register(
     "similarity_topk_lsh",
-    oracle=None,  # approximate: bucketing drops candidates; recall vs
-    # brute force is asserted in tests/test_similarity.py
+    oracle=_lsh_oracle(),
     tags=("similarity", "extension", "approx"),
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane-LSH-bucketed cosine top-5 — the scale path:
     each probe scores only same-bucket candidates across 8 hash
-    tables (~8/2^4 of the corpus instead of all of it)."""
+    tables (~8/2^4 of the corpus instead of all of it). The planes
+    are md5-derived literals shared with the DuckDB oracle, which
+    recomputes bucketing, candidates and ranking value-for-value."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 50)
     return similarity.cosine_topk_lsh(
@@ -712,16 +761,93 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(k: int = 5, nlist: int = 16, nprobe: int = 4) -> str:
+    """DuckDB mirror of the FULL deterministic IVF-flat pipeline
+    (operators/similarity.py::cosine_topk_ivf): lowest-id seed
+    centroids, one k-means refinement whose per-component means are
+    rounded to 6 decimals in BOTH engines (identical doubles from
+    then on), nearest-list assignment with lowest-centroid tiebreak,
+    nprobe search, scoring, ranking — value-for-value."""
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    seeds AS (
+        SELECT vec_id AS centroid_id, e AS c_vec
+        FROM v ORDER BY vec_id LIMIT {nlist}
+    ),
+    assign0 AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, s.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.e, s.c_vec)
+                                / sqrt(list_dot_product(s.c_vec, s.c_vec)) DESC,
+                                s.centroid_id) AS rn
+            FROM v, seeds s
+        ) WHERE rn = 1
+    ),
+    comp AS (
+        SELECT a.centroid_id, j - 1 AS pos, round(avg(v.e[j]), 6) AS m
+        FROM assign0 a
+        JOIN v USING (vec_id), unnest(generate_series(1, len(v.e))) AS u(j)
+        GROUP BY 1, 2
+    ),
+    cents AS (
+        SELECT centroid_id, list(m ORDER BY pos) AS c_vec
+        FROM comp GROUP BY centroid_id
+    ),
+    clists AS (
+        SELECT vec_id AS neighbor_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.e, c.c_vec)
+                                / sqrt(list_dot_product(c.c_vec, c.c_vec)) DESC,
+                                c.centroid_id) AS rn
+            FROM v, cents c
+        ) WHERE rn = 1
+    ),
+    plists AS (
+        SELECT vec_id AS probe_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.e, c.c_vec)
+                                / sqrt(list_dot_product(c.c_vec, c.c_vec)) DESC,
+                                c.centroid_id) AS rn
+            FROM v, cents c WHERE v.vec_id < 50
+        ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+        SELECT p.probe_id, c.neighbor_id,
+               round(list_dot_product(pv.e, cv.e)
+                     / (sqrt(list_dot_product(pv.e, pv.e))
+                        * sqrt(list_dot_product(cv.e, cv.e))), 6) AS cosine_sim
+        FROM plists p
+        JOIN clists c USING (centroid_id)
+        JOIN v pv ON pv.vec_id = p.probe_id
+        JOIN v cv ON cv.vec_id = c.neighbor_id
+        WHERE p.probe_id != c.neighbor_id
+    )
+    SELECT probe_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 @register(
     "similarity_topk_ivf",
-    oracle=None,  # approximate: nprobe lists bound the search; recall
-    # vs brute force is asserted in tests/test_similarity.py
+    oracle=_ivf_oracle(),
     tags=("similarity", "extension", "approx"),
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat cosine top-5 — the cluster-pruned scale path: corpus
     vectors in 16 nearest-centroid inverted lists, each probe searches
-    its 4 nearest lists (~1/4 of the corpus instead of all of it)."""
+    its 4 nearest lists (~1/4 of the corpus instead of all of it).
+    Fully deterministic (lowest-id seeds, rounded refined centroids),
+    so the DuckDB oracle recomputes the whole pipeline value-for-
+    value."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 50)
     return similarity.cosine_topk_ivf(probes, emb, k=5, nlist=16, nprobe=4)
