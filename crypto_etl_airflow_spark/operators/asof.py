@@ -82,7 +82,17 @@ def asof_join(
 
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+        .orderBy(
+            F.col(on).asc(),
+            F.col(_SIDE).asc(),
+            # deterministic tiebreak: build rows sharing (keys, ts)
+            # would otherwise forward-fill whichever one the shuffle
+            # happened to sort last — ordering by the carried values
+            # pins the winner (greatest value tuple) on every run and
+            # partitioning; probe rows carry NULL aux columns, so
+            # their relative order can't affect the fill
+            *[F.col(f"__b_{c}").asc() for c in fill_cols],
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.select(

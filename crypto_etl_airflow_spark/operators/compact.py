@@ -36,6 +36,26 @@ def parquet_file_count(path: str) -> int:
     return n
 
 
+def swap_directory(staging: str, path: str) -> None:
+    """Replace directory ``path`` with ``staging``, crash-safely
+    ordered: the live dir is first renamed ASIDE (``path.__old``),
+    then staging renamed into place, then the old dir deleted — so
+    at every instant the data exists under ``path`` or ``path.__old``
+    and a crash never loses the table (rmtree-before-rename has a
+    window where the data is gone). A reader racing the two renames
+    can still hit ENOENT — same single-writer assumption as the
+    upsert writer; on object storage this becomes a transactional
+    format's metadata commit."""
+    old = path.rstrip("/") + ".__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -50,6 +70,5 @@ def compact(
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
         staging
     )
-    shutil.rmtree(path)
-    os.rename(staging, path)
+    swap_directory(staging, path)
     return parquet_file_count(path)

@@ -31,22 +31,38 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every vertex of the undirected graph ``edges`` with the
     min vertex id of its component. Vertices are ids appearing in any
     edge. Returns (id, component).
+
+    ``checkpoint_dir`` selects RELIABLE checkpoints (written beneath
+    that directory, typically on the cluster's shared filesystem) for
+    the per-round lineage truncation: ``localCheckpoint`` blocks live
+    on executor local storage, so an executor loss mid-algorithm is
+    unrecoverable — fine single-node, wrong on a 1000-executor run.
+    Default stays the zero-IO local fast path.
     """
-    und = (
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    und = ckpt(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = ckpt(
         und.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -55,7 +71,7 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
+        updated = ckpt(
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
@@ -66,7 +82,6 @@ def connected_components(
                     "__changed"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
         n_changed = updated.filter("__changed").count()
         labels = updated.drop("__changed")

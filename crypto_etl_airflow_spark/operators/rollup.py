@@ -18,10 +18,11 @@ at which point the same merge writes only affected date partitions.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .compact import swap_directory
 
 
 def hourly_partial(
@@ -94,7 +95,5 @@ def refresh_hourly_rollup(
         merged = delta
     staging = path.rstrip("/") + ".__rollup_tmp"
     merged.write.mode("overwrite").parquet(staging)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(staging, path)
+    swap_directory(staging, path)
     return spark.read.parquet(path)

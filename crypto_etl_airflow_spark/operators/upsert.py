@@ -48,6 +48,7 @@ def upsert_append(
     partition_by: list[str] | None = None,
     prune_filter: Column | None = None,
     allow_empty: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> int:
     """Append ``batch`` to the parquet table at ``path``, skipping
     rows whose key already exists. Returns the number of rows written.
@@ -55,6 +56,13 @@ def upsert_append(
     ``prune_filter`` optionally restricts the existing-table read
     (e.g. a date-range predicate over the partition column) so the
     anti-join scans only the partitions the batch can collide with.
+
+    ``checkpoint_dir`` switches the read-before-write barrier to a
+    RELIABLE checkpoint beneath that directory: ``localCheckpoint``
+    blocks live on executor storage, so an executor lost between the
+    checkpoint and the append write would fail the batch (safe but
+    fragile); a reliable checkpoint survives it. Default keeps the
+    single-node zero-IO path.
     """
     if batch.isEmpty():
         if allow_empty:
@@ -69,9 +77,13 @@ def upsert_append(
             existing_keys = existing_keys.filter(prune_filter)
         fresh = fresh.join(existing_keys, on=keys, how="left_anti")
 
-    # localCheckpoint truncates lineage: the append must not lazily
+    # checkpoint truncates lineage: the append must not lazily
     # re-read the very path it is writing into (read-before-write)
-    fresh = fresh.localCheckpoint(eager=True)
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        fresh = fresh.checkpoint(eager=True)
+    else:
+        fresh = fresh.localCheckpoint(eager=True)
     n = fresh.count()
     if n:
         writer = fresh.write.mode("append")

@@ -79,3 +79,24 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     }
     # id=1: match at 00:05 is 5 min old -> kept; id=2: 45 min old -> NULL
     assert out == {1: 7.0, 2: None}
+
+
+def test_asof_tied_build_timestamps_resolve_deterministically(spark):
+    # two build rows at the identical (key, ts): the fill must pick a
+    # pinned winner (greatest value tuple) on every run/partitioning
+    probe = spark.createDataFrame(
+        [(1, "u", _ts(10))], "id long, k string, ts timestamp"
+    )
+    build = spark.createDataFrame(
+        [("u", _ts(5), 40.0), ("u", _ts(5), 70.0)],
+        "k string, ts timestamp, v double",
+    )
+    for n_parts in (1, 7):
+        out = asof_join(
+            probe.repartition(n_parts),
+            build.repartition(n_parts),
+            on="ts",
+            keys=["k"],
+            value_cols=["v"],
+        ).collect()
+        assert [r.v_asof for r in out] == [70.0]

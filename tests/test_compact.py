@@ -66,3 +66,25 @@ def test_partitioned_upsert_with_prune_filter_stays_idempotent(spark, tmp_path):
     )
     assert n == 0  # everything already present
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_swap_directory_replaces_and_cleans_up(tmp_path):
+    from crypto_etl_airflow_spark.operators.compact import swap_directory
+
+    live = tmp_path / "table"
+    staging = tmp_path / "table.__compact_tmp"
+    live.mkdir(); (live / "old.txt").write_text("old")
+    staging.mkdir(); (staging / "new.txt").write_text("new")
+    swap_directory(str(staging), str(live))
+    assert (live / "new.txt").read_text() == "new"
+    assert not staging.exists()
+    assert not (tmp_path / "table.__old").exists()
+
+
+def test_swap_directory_no_preexisting_target(tmp_path):
+    from crypto_etl_airflow_spark.operators.compact import swap_directory
+
+    staging = tmp_path / "t.__tmp"
+    staging.mkdir(); (staging / "f").write_text("x")
+    swap_directory(str(staging), str(tmp_path / "t"))
+    assert (tmp_path / "t" / "f").read_text() == "x"

@@ -26,3 +26,17 @@ def test_long_chain_converges(spark):
 def test_self_loop_and_duplicate_edges(spark):
     got = _cc(spark, [(5, 5), (5, 6), (6, 5), (5, 6)])
     assert got == {5: 5, 6: 5}
+
+
+def test_reliable_checkpoint_dir_same_result(spark, tmp_path):
+    # the cluster-safe mode: lineage truncated via reliable
+    # checkpoints under checkpoint_dir instead of executor-local blocks
+    df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["src", "dst"])
+    got = {
+        r.id: r.component
+        for r in connected_components(
+            df, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert any((tmp_path / "ckpt").iterdir())  # checkpoints actually written
