@@ -91,3 +91,86 @@ def upsert_append(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
     return n
+
+
+class JdbcSink:
+    """Relational batch sink — the reference's load stage writes
+    Postgres via psycopg2 ``execute_batch`` with ``INSERT ... ON
+    CONFLICT (crypto_id, extracted_at) DO NOTHING`` (reference
+    dags/crypto-etl-pipeline-psql.py:85-97). Spark form: read the
+    table's key projection back through JDBC for the anti-join, then
+    ``df.write.format("jdbc")`` in append mode; ``batchsize`` plays
+    the role of execute_batch's page_size (rows per executemany
+    round-trip per partition).
+
+    Scale posture: the write parallelism is the DataFrame's partition
+    count — each partition opens one connection; coalesce the batch
+    if the database can't take hundreds of writers. The key read-back
+    pushes the column projection into the database via ``query``.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        table: str,
+        properties: dict[str, str] | None = None,
+        batchsize: int = 10_000,
+    ) -> None:
+        self.url = url
+        self.table = table
+        self.properties = dict(properties or {})
+        self.batchsize = batchsize
+
+    def reader_options(self, keys: list[str]) -> dict[str, str]:
+        return {
+            "url": self.url,
+            "query": f"SELECT {', '.join(keys)} FROM {self.table}",
+            **self.properties,
+        }
+
+    def writer_options(self) -> dict[str, str]:
+        return {
+            "url": self.url,
+            "dbtable": self.table,
+            "batchsize": str(self.batchsize),
+            **self.properties,
+        }
+
+    def read_keys(self, spark: SparkSession, keys: list[str]) -> DataFrame:
+        return (
+            spark.read.format("jdbc").options(**self.reader_options(keys)).load()
+        )
+
+    def append(self, df: DataFrame) -> None:
+        df.write.format("jdbc").options(**self.writer_options()).mode(
+            "append"
+        ).save()
+
+
+def upsert_append_sink(
+    spark: SparkSession,
+    batch: DataFrame,
+    sink: JdbcSink,
+    keys: list[str],
+    allow_empty: bool = False,
+) -> int:
+    """The idempotent-append pipeline of :func:`upsert_append`
+    (within-batch dropDuplicates → anti-join vs the sink's existing
+    keys → append) against a relational sink — the engine's parity
+    path for the reference's transactional Postgres load. Returns
+    rows written."""
+    if batch.isEmpty():
+        if allow_empty:
+            return 0
+        raise EmptyBatchError("No data to load: empty batch")
+
+    fresh = batch.dropDuplicates(keys)
+    existing_keys = sink.read_keys(spark, keys)
+    if existing_keys is not None:
+        fresh = fresh.join(existing_keys.select(*keys), on=keys, how="left_anti")
+
+    fresh = fresh.localCheckpoint(eager=True)
+    n = fresh.count()
+    if n:
+        sink.append(fresh)
+    return n

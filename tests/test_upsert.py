@@ -83,3 +83,57 @@ def test_partitioned_write(spark, tmp_path):
     )
     upsert_append(spark, batch, path, KEYS, partition_by=["dt"])
     assert spark.read.parquet(path).count() == 2
+
+
+class _FakeJdbc:
+    """JdbcSink test double: same read_keys/append surface, backed by
+    an in-memory list of rows — proves the anti-join dedup wiring
+    without a database."""
+
+    def __init__(self, spark, schema, keys):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        self.spark = spark
+        self.schema = schema
+        self.rows = []
+
+    def read_keys(self, spark, keys):
+        return spark.createDataFrame(
+            [tuple(r[k] for k in keys) for r in self.rows],
+            ", ".join(f"{k} {dict(id='long', day='string')[k]}" for k in keys),
+        )
+
+    def append(self, df):
+        self.rows.extend(r.asDict() for r in df.collect())
+
+
+def test_jdbc_sink_options_carry_mode_batchsize_and_projection():
+    from crypto_etl_airflow_spark.operators.upsert import JdbcSink
+
+    sink = JdbcSink(
+        "jdbc:postgresql://db/warehouse",
+        "crypto_prices",
+        properties={"driver": "org.postgresql.Driver"},
+        batchsize=500,
+    )
+    w = sink.writer_options()
+    assert w["url"] == "jdbc:postgresql://db/warehouse"
+    assert w["dbtable"] == "crypto_prices"
+    assert w["batchsize"] == "500"
+    assert w["driver"] == "org.postgresql.Driver"
+    r = sink.reader_options(["crypto_id", "extracted_at"])
+    assert r["query"] == "SELECT crypto_id, extracted_at FROM crypto_prices"
+
+
+def test_jdbc_upsert_is_idempotent_via_fake_sink(spark):
+    from crypto_etl_airflow_spark.operators.upsert import upsert_append_sink
+
+    batch = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "a", 1.0), (2, "a", 2.0)],
+        "id long, day string, v double",
+    )
+    sink = _FakeJdbc(spark, batch.schema, ["id", "day"])
+    assert upsert_append_sink(spark, batch, sink, keys=["id", "day"]) == 2
+    # re-run: every key already present -> nothing written
+    assert upsert_append_sink(spark, batch, sink, keys=["id", "day"]) == 0
+    assert sorted(r["id"] for r in sink.rows) == [1, 2]
