@@ -34,6 +34,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .parallel import widen_small_input as _widen
+
 # 31-bit Mersenne prime: (a*h + b) with a,h,b < 2^31 stays well inside
 # int64, so the modular hash needs no 128-bit arithmetic (Spark 4 runs
 # ANSI mode and throws on long overflow)
@@ -80,11 +82,20 @@ def normalized_text(text_col: str = "text") -> F.Column:
     return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def word_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle).
 
     Built with sequence+transform+slice — pure array expressions, no
     UDF. Documents shorter than n words produce no shingles.
+    ``distinct=False`` skips the set-dedup shuffle for consumers that
+    are duplicate-insensitive (MinHash: min over a multiset equals
+    min over its set).
     """
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark,
@@ -95,19 +106,21 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
     )
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    out = _widen(df).select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def _hashed_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, xxhash64(shingle)) — the narrow-key form every pairwise
-    stage joins and aggregates on."""
-    return word_shingles(df, id_col, text_col, n).select(
-        F.col(id_col), F.xxhash64("shingle").alias("sh")
+    """(id, xxhash64(shingle)), set-distinct per document — the
+    narrow-key form every pairwise stage joins and aggregates on.
+    Hashing happens BEFORE the distinct so the dedup shuffle moves
+    8-byte longs instead of n-word strings."""
+    return (
+        word_shingles(df, id_col, text_col, n, distinct=False)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
+        .distinct()
     )
 
 
@@ -164,7 +177,11 @@ def ngram_jaccard_pairs(
     collision would merge two shingles (P ≈ k²/2⁶⁵ for k distinct
     shingles — negligible below ~10⁸ shingles per corpus).
     """
-    sh = _hashed_shingles(df, id_col, text_col, n)
+    # the shingle set feeds several consumers (doc-freq cap, per-doc
+    # sizes, both self-join sides); a lazy localCheckpoint
+    # materializes the expensive generation once instead of
+    # recomputing it per consumer
+    sh = _hashed_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("sh")
@@ -215,7 +232,9 @@ def minhash_signatures(
     One aggregation: groupBy(doc) of min over each of the k hash
     expressions (map-side partial min makes this cheap).
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    # no distinct: min over the shingle multiset equals min over its
+    # set, so the dedup shuffle would be pure cost
+    sh = word_shingles(df, id_col, text_col, n, distinct=False)
     if portable:
         h = portable_hash48("shingle") % MERSENNE_P
     else:
@@ -288,7 +307,7 @@ def verify_pairs_exact_jaccard(
     shuffle is |candidates| × shingles-per-doc — never the full
     shingle self-join, whose hot shingles fan out quadratically.
     Keeps pairs ≥ threshold; returns (id_a, id_b, jaccard)."""
-    sh = _hashed_shingles(df, id_col, text_col, n)
+    sh = _hashed_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
@@ -354,7 +373,7 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _simhash(df: DataFrame, id_col: str, text_col: str, bits: int) -> DataFrame:
-    tok = df.select(
+    tok = _widen(df).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
     )

@@ -25,6 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot as _dot, norm as _norm  # noqa: F401 — cosine re-exported for callers
+from .parallel import widen_small_input as _widen
 
 
 def cosine_topk_bruteforce(
@@ -42,7 +43,11 @@ def cosine_topk_bruteforce(
     """
     # norms are per-ROW quantities: compute them once before the
     # pair join instead of once per pair (n+m norms, not 2·n·m) —
-    # same expression, same doubles, so oracle exactness is unchanged
+    # same expression, same doubles, so oracle exactness is unchanged.
+    # The probe side is the streamed side of the nested-loop join
+    # (corpus broadcasts): widen it so pair scoring parallelizes
+    # instead of running on the scan's single input task
+    probes = _widen(probes)
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("p_vec"),
@@ -84,6 +89,7 @@ def neardup_pairs_cosine(
     """All pairs with cosine ≥ threshold (embedding near-dup dedup).
     Brute-force pairs with id_a < id_b; the LSH variant below is the
     scale path."""
+    vectors = _widen(vectors)
     a = vectors.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -161,6 +167,9 @@ def cosine_topk_lsh(
     candidates per probe per table); candidates are deduped before
     scoring so each pair's cosine is computed once. Same output
     schema as the brute-force variant."""
+    # widen both sides: the per-row bucket hash (tables × planes
+    # 64-dim dots) is the expensive expression stage here
+    probes, corpus = _widen(probes), _widen(corpus)
     p_ids = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("p_vec"),
@@ -294,6 +303,7 @@ def cosine_topk_ivf(
     nprobe (vs num_tables/planes for the LSH variant).
 
     Same output schema as the brute-force baseline."""
+    corpus = _widen(corpus)
     cents = ivf_centroids(corpus, id_col, vec_col, nlist)
 
     c_lists = _nearest_centroid(
