@@ -352,6 +352,61 @@ def minhash_lsh_pairs(
     )
 
 
+def benchmark_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Training-corpus DECONTAMINATION: for every document, the
+    fraction of its n-gram shingle set that appears anywhere in the
+    ``benchmark`` corpus; documents at or above ``threshold`` are
+    flagged. The eval-leakage guard every pretraining pipeline runs
+    before a benchmark can be trusted.
+
+    Returns (id, n_shingles, n_overlap, overlap_ratio, contaminated)
+    for every document with at least one shingle.
+
+    Scale posture: the benchmark's DISTINCT shingle-hash set is tiny
+    relative to a 100 TB corpus (evals are thousands of documents,
+    not billions) — it broadcasts into a semi-join against the corpus
+    shingles, so the corpus is scanned once with NO shuffle of corpus
+    shingles at all; the only aggregations group on the document id.
+    """
+    doc_sh = _hashed_shingles(df, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
+    bench_sh = (
+        _hashed_shingles(benchmark, id_col, text_col, n)
+        .select("sh")
+        .distinct()
+    )
+    overlap = (
+        doc_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    sizes = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    ratio = F.round(
+        F.col("n_overlap") / F.col("n_shingles"), 6
+    )
+    return (
+        sizes.join(overlap, id_col, "left")
+        .na.fill({"n_overlap": 0})
+        .select(
+            id_col,
+            "n_shingles",
+            "n_overlap",
+            ratio.alias("overlap_ratio"),
+            (F.col("n_overlap") / F.col("n_shingles") >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: each token votes its xxhash64
     bits weighted by term frequency; the sign of each bit's vote sum

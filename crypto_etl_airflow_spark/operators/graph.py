@@ -88,3 +88,34 @@ def connected_components(
         if n_changed == 0:
             break
     return labels
+
+
+def keep_best_per_cluster(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Canonical-document selection: given ``components`` (id,
+    component) from :func:`connected_components` and per-id
+    ``scores``, keep ONE id per duplicate cluster — the highest
+    score, ties to the lowest id. This is the policy step that turns
+    duplicate clusters into a training set ("keep the best-quality
+    copy", not "keep the arbitrary min-id copy").
+
+    Returns (component, kept_id, best_score, n_members). One grouped
+    ``min_by`` over (−score, id) — a single shuffle on the component
+    id, no window over data rows.
+    """
+    joined = components.join(
+        scores.withColumnRenamed(id_col, "id") if id_col != "id" else scores,
+        "id",
+    )
+    order = F.struct(
+        (-F.col(score_col)).alias("neg"), F.col("id").alias("i")
+    )
+    return joined.groupBy("component").agg(
+        F.min_by(F.col("id"), order).alias("kept_id"),
+        F.max(score_col).alias("best_score"),
+        F.count("*").alias("n_members"),
+    )

@@ -54,3 +54,28 @@ def hash_split(
     for name, lo_, hi_ in reversed(bounds):
         expr = F.when((b >= lo_) & (b < hi_), name).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its key
+    hash-bucket falls below its stratum's fraction. The corpus-
+    rebalancing primitive (e.g. downsample the dominant language while
+    keeping rare ones whole) with the same engine-reproducible md5
+    bucketing as :func:`hash_split` — no RNG, no partition
+    sensitivity, and the SAME rows survive on every run, engine, and
+    cluster. Strata missing from ``fractions`` use ``default``.
+    """
+    b = hash_bucket(key, buckets)
+    thr = F.lit(int(round(default * buckets)))
+    for name, frac in fractions.items():
+        thr = F.when(
+            F.col(strata_col) == name, F.lit(int(round(frac * buckets)))
+        ).otherwise(thr)
+    return df.filter(b < thr)

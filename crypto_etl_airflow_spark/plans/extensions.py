@@ -658,6 +658,186 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_decontaminate",
+    oracle="""
+    WITH corpus_toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents WHERE doc_id % 20 != 0
+    ),
+    corpus_sh AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+        FROM corpus_toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    bench_toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    bench_sh AS (
+        SELECT DISTINCT array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+        FROM bench_toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM corpus_sh GROUP BY doc_id),
+    ov AS (
+        SELECT c.doc_id, count(*) AS n_ov
+        FROM corpus_sh c JOIN bench_sh b USING (sh)
+        GROUP BY c.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_sh AS BIGINT) AS n_shingles,
+           CAST(coalesce(ov.n_ov, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(ov.n_ov, 0) / s.n_sh, 6) AS overlap_ratio,
+           coalesce(ov.n_ov, 0) / s.n_sh >= 0.1 AS contaminated
+    FROM sizes s LEFT JOIN ov USING (doc_id)
+    """,
+    tags=("dedup", "decontamination", "extension"),
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: every 20th document plays the eval
+    benchmark; each remaining corpus document reports the fraction of
+    its word-3-gram shingles that appear anywhere in the benchmark
+    and is flagged at ≥ 10% overlap — the eval-leakage guard a
+    pretraining pipeline runs before trusting its benchmarks
+    (operators/dedup.py::benchmark_overlap: the benchmark shingle set
+    broadcasts; the corpus never shuffles its shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.benchmark_overlap(
+        corpus, bench, "doc_id", "text", n=3, threshold=0.1
+    )
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle="""
+    WITH b AS (
+        SELECT lang,
+               CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10000 AS bucket
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE bucket <
+                CASE lang WHEN 'en' THEN 1000
+                          WHEN 'zh' THEN 10000
+                          ELSE 5000 END) AS BIGINT) AS n_sampled
+    FROM b GROUP BY lang
+    """,
+    tags=("sampling", "extension"),
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — the corpus-rebalancing
+    primitive: keep 10% of English (dominant), all of Chinese (rare),
+    half of everything else, by the same engine-reproducible md5
+    bucket as the train/val/test split; the oracle re-derives which
+    exact rows survive (operators/sampling.py::stratified_sample)."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.1, "zh": 1.0}, default=0.5
+    )
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    kept = sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+    return totals.join(kept, "lang", "left").na.fill({"n_sampled": 0})
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE c / (na.n + nb.n - c) >= 0.6
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    qa AS (
+        SELECT doc_id,
+               length(text) AS n,
+               round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                     / length(text), 6) AS p_ratio,
+               round(len(list_filter({_TOKS}, x -> list_contains({_STOPS}, x)))
+                     / len({_TOKS}), 6) AS s_ratio,
+               round(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum')
+                     / len({_TOKS}), 6) AS mtl
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               round(((CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                            WHEN n >= 30 THEN 0.5 ELSE 0.0 END)
+                      + (CASE WHEN p_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN s_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN mtl >= 2.5 AND mtl <= 12 THEN 1.0 ELSE 0.0 END)
+                     ) / 4.0, 6) AS quality
+        FROM qa
+    ),
+    j AS (
+        SELECT c.component, c.id, q.quality
+        FROM comp c JOIN q ON q.doc_id = c.id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY component
+                                     ORDER BY quality DESC, id) AS rn
+        FROM j
+    )
+    SELECT r.component, r.id AS kept_id, r.quality AS best_quality, m.n_members
+    FROM ranked r
+    JOIN (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+          FROM j GROUP BY component) m USING (component)
+    WHERE r.rn = 1
+    """,
+    tags=("dedup", "graph", "extension"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: near-dup clusters (Jaccard ≥ 0.6
+    connected components) each keep their HIGHEST-QUALITY member
+    (ties → lowest id) — the policy step that turns duplicate
+    clusters into a training set, composing graph components with the
+    quality score (operators/graph.py::keep_best_per_cluster)."""
+    from ..operators.graph import connected_components, keep_best_per_cluster
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
+    scores = docs.select(
+        F.col("doc_id").alias("id"), quality_score(F.col("text")).alias("quality")
+    )
+    best = keep_best_per_cluster(comp, scores, id_col="id", score_col="quality")
+    return best.select(
+        "component",
+        "kept_id",
+        F.col("best_score").alias("best_quality"),
+        "n_members",
+    )
+
+
+@register(
     "split_train_val_test",
     oracle="""
     WITH b AS (

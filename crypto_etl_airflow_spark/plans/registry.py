@@ -122,6 +122,10 @@ _PRIORITY = [
     "similarity_topk_ivf",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    # (c) new in round 2 — no driver row exists yet
+    "dedup_decontaminate",
+    "sample_stratified_by_lang",
+    "dedup_keep_best",
 ]
 
 

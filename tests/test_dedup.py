@@ -76,3 +76,22 @@ def test_simhash_is_deterministic_and_near_dups_have_small_hamming(spark):
 def test_word_shingles_short_doc_is_empty(spark):
     df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
     assert dedup.word_shingles(df, "doc_id", "text", n=3).count() == 0
+
+
+def test_benchmark_overlap_flags_copied_docs(spark):
+    from crypto_etl_airflow_spark.operators.dedup import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the secret eval answer is forty two exactly"),  # verbatim copy
+            (2, "a completely different document about weather patterns today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in benchmark_overlap(corpus, bench, "doc_id", "text").collect()}
+    assert out[1].contaminated and out[1].overlap_ratio == 1.0
+    assert not out[2].contaminated and out[2].n_overlap == 0

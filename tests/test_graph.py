@@ -40,3 +40,18 @@ def test_reliable_checkpoint_dir_same_result(spark, tmp_path):
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert any((tmp_path / "ckpt").iterdir())  # checkpoints actually written
+
+
+def test_keep_best_per_cluster_picks_highest_score_lowest_id(spark):
+    from crypto_etl_airflow_spark.operators.graph import keep_best_per_cluster
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], ["id", "component"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.1)], ["id", "score"]
+    )
+    out = {r.component: r for r in keep_best_per_cluster(comp, scores).collect()}
+    assert out[1].kept_id == 2 and out[1].best_score == 0.9  # tie -> lowest id
+    assert out[1].n_members == 3
+    assert out[10].kept_id == 10 and out[10].n_members == 2

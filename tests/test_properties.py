@@ -126,3 +126,20 @@ def test_hash_split_deterministic_and_exhaustive(spark, ids):
     assert a == b
     assert set(a.values()) <= {"train", "val"}
     assert all(v is not None for v in a.values())
+
+
+def test_stratified_sample_deterministic_and_per_stratum(spark):
+    from crypto_etl_airflow_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)], ["k", "s"]
+    )
+    kept1 = stratified_sample(df, "k", "s", {"a": 0.2}, default=1.0)
+    kept2 = stratified_sample(df.repartition(13), "k", "s", {"a": 0.2}, default=1.0)
+    ids1 = sorted(r.k for r in kept1.collect())
+    assert ids1 == sorted(r.k for r in kept2.collect())  # partition-stable
+    from pyspark.sql import functions as F
+
+    by_s = {r.s: r.n for r in kept1.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert by_s["b"] == 1000                      # default=1.0 keeps all
+    assert 120 <= by_s["a"] <= 280                # ~20% of 1000
