@@ -838,6 +838,33 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_windows",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 24 AS INT) AS chunk_idx,
+           CAST(s AS INT) AS start_tok,
+           CAST(len(list_slice(t, s, s + 31)) AS INT) AS n_tokens,
+           array_to_string(list_slice(t, s, s + 31), ' ') AS chunk_text
+    FROM toks, unnest(generate_series(1, len(t), 24)) AS u(s)
+    """,
+    tags=("text", "chunking", "extension"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: every document explodes into 32-token
+    windows with stride 24 (8-token overlap; final window may be
+    short) — the training-sequence preparation primitive, pure array
+    expressions, each chunk string reproduced byte-for-byte by the
+    oracle (operators/chunking.py)."""
+    from ..operators.chunking import chunk_token_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_token_windows(docs, "doc_id", "text", chunk_size=32, stride=24)
+
+
+@register(
     "split_train_val_test",
     oracle="""
     WITH b AS (

@@ -126,6 +126,7 @@ _PRIORITY = [
     "dedup_decontaminate",
     "sample_stratified_by_lang",
     "dedup_keep_best",
+    "text_chunk_windows",
 ]
 
 
