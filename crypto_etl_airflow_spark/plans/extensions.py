@@ -838,6 +838,41 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS g
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_bigrams,
+           round(1 - count(DISTINCT g) / count(*), 6) AS dup_fraction
+    FROM grams GROUP BY doc_id
+    """,
+    tags=("text", "quality", "extension"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal: fraction of word bigrams
+    that are duplicates (1 − distinct/total) — the standard
+    repetitive-boilerplate filter a pretraining quality pipeline
+    applies alongside the length/punct/stopword scores. One grouped
+    aggregation over the (non-distinct) bigram explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = dedup.word_shingles(docs, "doc_id", "text", n=2, distinct=False)
+    return grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.count_distinct("shingle").alias("n_distinct_bigrams"),
+        F.round(
+            1 - F.count_distinct("shingle") / F.count("*"), 6
+        ).alias("dup_fraction"),
+    )
+
+
+@register(
     "text_chunk_windows",
     oracle="""
     WITH toks AS (

@@ -127,6 +127,7 @@ _PRIORITY = [
     "sample_stratified_by_lang",
     "dedup_keep_best",
     "text_chunk_windows",
+    "text_repetition_stats",
 ]
 
 
