@@ -128,6 +128,16 @@ _PRIORITY = [
     "dedup_keep_best",
     "text_chunk_windows",
     "text_repetition_stats",
+    "q2_cheapest_supplier",
+    "q9_profit_by_nation_year",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q13_customer_distribution",
+    "q16_supplier_cnt_by_part",
+    "q17_small_quantity_revenue",
+    "q20_majority_suppliers",
+    "q21_sole_late_supplier",
+    "q22_dormant_rich_customers",
 ]
 
 
