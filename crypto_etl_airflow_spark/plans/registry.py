@@ -139,6 +139,7 @@ _PRIORITY = [
     "q21_sole_late_supplier",
     "q22_dormant_rich_customers",
     "agg_approx_percentiles",
+    "streaming_enrich_segment",
 ]
 
 

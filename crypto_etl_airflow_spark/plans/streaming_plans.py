@@ -163,6 +163,36 @@ def streaming_ingest_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_enrich_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 6) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+    tags=("streaming", "join", "enrichment"),
+)
+def streaming_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment: the event stream joins the static
+    customer dimension — broadcast, no streaming state, the standard
+    dimension-lookup pattern — then aggregates per market segment.
+    Executed as a real streaming query (file source, availableNow,
+    complete-mode memory sink); a fully drained stream equals the
+    batch join, which is the oracle."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = stream_events(spark, sf_dir)
+    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    return run_complete_to_memory(agg)
+
+
+@register(
     "interval_join_click_errors",
     oracle="""
     SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
