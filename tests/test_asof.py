@@ -100,3 +100,49 @@ def test_asof_tied_build_timestamps_resolve_deterministically(spark):
             value_cols=["v"],
         ).collect()
         assert [r.v_asof for r in out] == [70.0]
+
+
+def test_asof_matches_pandas_merge_asof_on_random_data(spark):
+    """Semantic cross-check against pandas merge_asof (backward,
+    by-key, with and without tolerance) on seeded random series with
+    unique (key, ts) build rows."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    base = dt.datetime(2024, 1, 1)
+    for tol in (None, "30 minutes"):
+        keys = ["a", "b", "c"]
+        build_rows, probe_rows = [], []
+        for k in keys:
+            b_ts = sorted(rng.choice(10_000, size=40, replace=False).tolist())
+            build_rows += [
+                (k, base + dt.timedelta(seconds=int(s) * 60), float(i))
+                for i, s in enumerate(b_ts)
+            ]
+            p_ts = rng.choice(10_000, size=60, replace=True).tolist()
+            probe_rows += [
+                (len(probe_rows) + j, k, base + dt.timedelta(seconds=int(s) * 60))
+                for j, s in enumerate(p_ts)
+            ]
+        probe = spark.createDataFrame(probe_rows, "id long, k string, ts timestamp")
+        build = spark.createDataFrame(build_rows, "k string, ts timestamp, v double")
+        got = {
+            r.id: r.v_asof
+            for r in asof_join(
+                probe, build, on="ts", keys=["k"], value_cols=["v"], tolerance=tol
+            ).collect()
+        }
+        pb = pd.DataFrame(probe_rows, columns=["id", "k", "ts"]).sort_values("ts")
+        bb = pd.DataFrame(build_rows, columns=["k", "ts", "v"]).sort_values("ts")
+        kwargs = {}
+        if tol is not None:
+            kwargs["tolerance"] = pd.Timedelta(minutes=30)
+        merged = pd.merge_asof(
+            pb, bb, on="ts", by="k", direction="backward", **kwargs
+        )
+        want = {
+            int(r.id): (None if pd.isna(r.v) else float(r.v))
+            for r in merged.itertuples()
+        }
+        assert got == want, f"tolerance={tol}"

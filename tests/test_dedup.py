@@ -95,3 +95,23 @@ def test_benchmark_overlap_flags_copied_docs(spark):
     out = {r.doc_id: r for r in benchmark_overlap(corpus, bench, "doc_id", "text").collect()}
     assert out[1].contaminated and out[1].overlap_ratio == 1.0
     assert not out[2].contaminated and out[2].n_overlap == 0
+
+
+def test_minhash_portable_mode_recall_vs_exact(spark):
+    """The md5-portable hash mode (the one the DuckDB oracle
+    certifies) must meet the same recall bar as the xxhash64
+    production mode — different hash family, same banding math."""
+    docs = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", 3, 0.8, portable=True
+        ).collect()
+    }
+    assert lsh <= exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"portable recall {recall:.2f} < 0.9"
