@@ -128,25 +128,27 @@ def exact_duplicates(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """Exact dedup via normalized-text fingerprint: every row keeps
-    its group's min id; ``is_duplicate`` marks non-canonical rows."""
+    its group's min id; ``is_duplicate`` marks non-canonical rows.
+
+    ONE shuffle: min/count as window functions over the fingerprint
+    partition (instead of groupBy + join back, which shuffles twice
+    for the same hash distribution). A window partition holds one
+    fingerprint's rows — bounded by duplicate-group size, the same
+    skew exposure the aggregate form has."""
+    from pyspark.sql import Window as W
+
     from ..functions.text import fingerprint
 
     with_fp = df.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
     )
-    groups = with_fp.groupBy("fingerprint").agg(
-        F.min(id_col).alias("keep_id"), F.count("*").alias("group_size")
-    )
-    return (
-        with_fp.join(groups, "fingerprint")
-        .select(
-            id_col,
-            "fingerprint",
-            "keep_id",
-            "group_size",
-            (F.col(id_col) != F.col("keep_id")).alias("is_duplicate"),
-        )
-    )
+    w = W.partitionBy("fingerprint")
+    return with_fp.select(
+        id_col,
+        "fingerprint",
+        F.min(id_col).over(w).alias("keep_id"),
+        F.count("*").over(w).alias("group_size"),
+    ).withColumn("is_duplicate", F.col(id_col) != F.col("keep_id"))
 
 
 def ngram_jaccard_pairs(
