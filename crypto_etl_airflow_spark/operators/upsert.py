@@ -93,6 +93,56 @@ def upsert_append(
     return n
 
 
+def merge_replace_keys(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """The UPDATE half of MERGE: rows whose key matches the batch are
+    REPLACED by the batch's version; new keys are inserted — the
+    reference's ``ON CONFLICT DO NOTHING`` upgraded to ``DO UPDATE``.
+
+    Plan: keep the current table's non-matching rows (left-anti join
+    against the deduped batch's keys), union the batch, write to a
+    staging path, crash-safe swap into place. Returns
+    (n_replaced, n_inserted).
+
+    Scale posture: this rewrites the table — the right default for
+    rollup-sized tables; for a 100 TB fact table, date partitioning
+    plus a key-range prune restricts the rewrite to the partitions
+    the batch touches, and a transactional format (Delta/Iceberg
+    MERGE INTO) replaces the swap with a metadata commit. Single
+    writer, like the reference.
+    """
+    from .compact import swap_directory
+
+    if batch.isEmpty():
+        return (0, 0)
+    fresh = batch.dropDuplicates(keys).localCheckpoint(eager=True)
+
+    if table_exists(spark, path):
+        existing = spark.read.parquet(path)
+        kept = existing.join(fresh.select(*keys), on=keys, how="left_anti")
+        n_existing = existing.count()
+        n_kept = kept.count()
+        n_replaced = n_existing - n_kept
+        merged = kept.unionByName(fresh)
+    else:
+        n_replaced = 0
+        merged = fresh
+    n_inserted = fresh.count() - n_replaced
+
+    staging = path.rstrip("/") + ".__merge_tmp"
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    swap_directory(staging, path)
+    return (n_replaced, n_inserted)
+
+
 class JdbcSink:
     """Relational batch sink — the reference's load stage writes
     Postgres via psycopg2 ``execute_batch`` with ``INSERT ... ON

@@ -434,3 +434,54 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.avg("monetary"), 6).alias("avg_monetary"),
     )
+
+
+@register(
+    "quality_psi_value_drift",
+    oracle="""
+    WITH binned AS (
+        SELECT CASE WHEN value < 10 THEN 0
+                    WHEN value < 25 THEN 1
+                    WHEN value < 50 THEN 2
+                    WHEN value < 100 THEN 3
+                    WHEN value < 200 THEN 4
+                    ELSE 5 END AS bin,
+               ts < TIMESTAMP '2024-01-16' AS in_a
+        FROM events
+    ),
+    j AS (
+        SELECT bin,
+               count(*) FILTER (WHERE in_a) AS n_a,
+               count(*) FILTER (WHERE NOT in_a) AS n_b
+        FROM binned GROUP BY bin
+    ),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j),
+    terms AS (
+        SELECT bin, n_a, n_b,
+               ((n_b + 1.0) / (tb + 6.0) - (n_a + 1.0) / (ta + 6.0))
+               * ln(((n_b + 1.0) / (tb + 6.0)) / ((n_a + 1.0) / (ta + 6.0)))
+                   AS term
+        FROM j CROSS JOIN t
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(term, 6) AS psi_term,
+           round(sum(term) OVER (), 6) AS psi_total
+    FROM terms
+    """,
+    tags=("quality", "drift", "extension"),
+)
+def quality_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift check on the event value
+    distribution, first half of January vs second half — the
+    schema-valid-but-statistically-different guard a quality gate
+    adds beyond min/max/freshness (quality/drift.py). Fixed bin
+    edges, Laplace smoothing; psi_total repeated per row so a gate
+    can threshold one value (<0.1 stable, >0.25 shifted)."""
+    from ..quality.drift import distribution_psi
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("ts") < "2024-01-16")
+    b = ev.filter(F.col("ts") >= "2024-01-16")
+    return distribution_psi(a, b, "value", edges=[10.0, 25.0, 50.0, 100.0, 200.0])

@@ -140,6 +140,7 @@ _PRIORITY = [
     "q22_dormant_rich_customers",
     "agg_approx_percentiles",
     "streaming_enrich_segment",
+    "quality_psi_value_drift",
 ]
 
 

@@ -137,3 +137,23 @@ def test_jdbc_upsert_is_idempotent_via_fake_sink(spark):
     # re-run: every key already present -> nothing written
     assert upsert_append_sink(spark, batch, sink, keys=["id", "day"]) == 0
     assert sorted(r["id"] for r in sink.rows) == [1, 2]
+
+
+def test_merge_replace_keys_updates_and_inserts(spark, tmp_path):
+    from crypto_etl_airflow_spark.operators.upsert import merge_replace_keys
+
+    path = str(tmp_path / "t")
+    first = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "id long, day string, v double"
+    )
+    assert merge_replace_keys(spark, first, path, keys=["id", "day"]) == (0, 2)
+    # overlap on (1, a) with a NEW value, plus a new key
+    second = spark.createDataFrame(
+        [(1, "a", 99.0), (3, "a", 3.0)], "id long, day string, v double"
+    )
+    assert merge_replace_keys(spark, second, path, keys=["id", "day"]) == (1, 1)
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 99.0, 2: 2.0, 3: 3.0}  # updated, untouched, inserted
+    # idempotent re-merge: replaces itself, inserts nothing, same data
+    assert merge_replace_keys(spark, second, path, keys=["id", "day"]) == (2, 0)
+    assert {r.id: r.v for r in spark.read.parquet(path).collect()} == got
