@@ -141,6 +141,7 @@ _PRIORITY = [
     "agg_approx_percentiles",
     "streaming_enrich_segment",
     "quality_psi_value_drift",
+    "join_right_segment_orders",
 ]
 
 

@@ -236,6 +236,36 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
+    "join_right_segment_orders",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=("join",),
+)
+def join_right_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join — pending orders right-joined to customers,
+    so customers without a pending order survive with NULL order
+    columns: count(o_orderkey) skips them, count(*) includes them.
+    (Catalyst plans it as the mirrored left join; the declared
+    operator is the point.)"""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    pending = orders.filter(F.col("o_orderstatus") == "P")
+    return (
+        pending.join(cust, pending.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
     "join_full_nation_presence",
     oracle="""
     WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
