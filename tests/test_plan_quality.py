@@ -38,7 +38,15 @@ def test_plan_has_no_python_eval(spark, spec):
 
 @pytest.mark.parametrize(
     "name",
-    ["q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation", "q6_forecast_revenue"],
+    [
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "q5_revenue_by_nation",
+        "q6_forecast_revenue",
+        "q9_profit_by_nation_year",
+        "q16_supplier_cnt_by_part",
+        "q22_dormant_rich_customers",
+    ],
 )
 def test_filters_reach_parquet_scan(spark, name):
     df = all_specs()[name].builder(spark, SF_SMOKE)
@@ -62,3 +70,12 @@ def test_plan_summary_diagnostics(spark):
     assert s.pushed_filters  # region filter reached the scan
     assert not s.python_eval
     assert s.n_codegen_stages >= 1
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The benchmark shingle set must broadcast into the corpus
+    semi-join — a shuffled corpus-shingle join would be the 100 TB
+    regression this operator exists to avoid."""
+    df = all_specs()["dedup_decontaminate"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
