@@ -134,6 +134,63 @@ def _hyperplane(table_idx: int, plane_idx: int, dim: int) -> F.Column:
     )
 
 
+def neardup_pairs_cosine_lsh(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the scale path for
+    :func:`neardup_pairs_cosine`: only pairs sharing an LSH bucket in
+    at least one table are scored, so candidate volume tracks true
+    near-dup volume instead of n². Same output schema (id_a, id_b,
+    cosine_sim ≥ threshold), up to LSH recall."""
+    vectors = _widen(vectors)
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    cand = None
+    for t in range(num_tables):
+        b = v.select(
+            "vid", rhp_bucket(F.col("vec"), num_planes, dim, t).alias("bucket")
+        )
+        pairs = (
+            b.select(F.col("vid").alias("id_a"), "bucket")
+            .join(b.select(F.col("vid").alias("id_b"), "bucket"), "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = pairs if cand is None else cand.unionAll(pairs)
+    a = v.select(
+        F.col("vid").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b2 = v.select(
+        F.col("vid").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cand.distinct()
+        .join(a, "id_a")
+        .join(b2, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def rhp_bucket(vec_col, num_planes: int, dim: int, table_idx: int = 0) -> F.Column:
     """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i).
     Cosine-similar vectors agree on most signs, so they land in the

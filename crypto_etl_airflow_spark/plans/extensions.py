@@ -478,6 +478,56 @@ def _lsh_oracle(k: int = 5, num_planes: int = 4, num_tables: int = 8) -> str:
 
 
 @register(
+    "embedding_neardup_pairs_lsh",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    planes AS (
+        SELECT t, i,
+               list((CAST(CONCAT('0x', substr(md5('rhp-' || t || '-' || i
+                                               || '-' || j), 1, 12)) AS BIGINT)
+                     % 2049 - 1024) / 1024.0 ORDER BY j) AS pw
+        FROM generate_series(0, 7) tt(t),
+             generate_series(0, 3) ii(i),
+             generate_series(0, 63) jj(j)
+        GROUP BY t, i
+    ),
+    buckets AS (
+        SELECT v.vec_id, pl.t,
+               sum(CASE WHEN list_dot_product(v.e, pl.pw) >= 0
+                        THEN (1 << pl.i) ELSE 0 END) AS bucket
+        FROM v, planes pl GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_dot_product(va.e, vb.e)
+                 / (sqrt(list_dot_product(va.e, va.e))
+                    * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cosine_sim
+    FROM cand
+    JOIN v va ON va.vec_id = id_a
+    JOIN v vb ON vb.vec_id = id_b
+    WHERE list_dot_product(va.e, vb.e)
+          / (sqrt(list_dot_product(va.e, va.e))
+             * sqrt(list_dot_product(vb.e, vb.e))) >= 0.45
+    """,
+    tags=("similarity", "dedup", "extension", "approx"),
+)
+def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via LSH bucketing — the scale path
+    for `embedding_neardup_pairs`: candidates ∝ bucket collisions,
+    never n² pairs. Same md5-derived literal hyperplanes as the top-k
+    LSH query; the oracle recomputes bucketing, candidates and
+    scoring value-for-value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs_cosine_lsh(
+        emb, threshold=0.45, num_planes=4, num_tables=8, dim=64
+    )
+
+
+@register(
     "similarity_topk_lsh",
     oracle=_lsh_oracle(),
     tags=("similarity", "extension", "approx"),

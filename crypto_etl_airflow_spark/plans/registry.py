@@ -142,6 +142,7 @@ _PRIORITY = [
     "streaming_enrich_segment",
     "quality_psi_value_drift",
     "join_right_segment_orders",
+    "embedding_neardup_pairs_lsh",
 ]
 
 

@@ -114,3 +114,23 @@ def test_ivf_deterministic(spark):
     a = sorted(map(tuple, cosine_topk_ivf(probes, emb, k=3).collect()))
     b = sorted(map(tuple, cosine_topk_ivf(probes, emb, k=3).collect()))
     assert a == b
+
+
+def test_neardup_lsh_is_subset_with_recall(spark):
+    from crypto_etl_airflow_spark.operators.similarity import (
+        neardup_pairs_cosine,
+        neardup_pairs_cosine_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs_cosine(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs_cosine_lsh(emb, threshold=0.45).collect()
+    }
+    assert lsh <= exact  # scored candidates: no false positives
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.5  # multi-table recall floor
