@@ -36,6 +36,20 @@ def parquet_file_count(path: str) -> int:
     return n
 
 
+def recover_directory(path: str) -> bool:
+    """Heal the crash window of :func:`swap_directory`: if a prior
+    swap died after renaming the live dir aside but before renaming
+    staging into place, the table's only copy sits at ``path.__old``.
+    Rename it back. Returns True if a recovery happened. Callers that
+    READ a swap-managed table (merge, compact) run this first so a
+    crashed swap never makes the table silently appear empty."""
+    old = path.rstrip("/") + ".__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def swap_directory(staging: str, path: str) -> None:
     """Replace directory ``path`` with ``staging``, crash-safely
     ordered: the live dir is first renamed ASIDE (``path.__old``),
@@ -47,6 +61,11 @@ def swap_directory(staging: str, path: str) -> None:
     upsert writer; on object storage this becomes a transactional
     format's metadata commit."""
     old = path.rstrip("/") + ".__old"
+    # Crash window of a PRIOR swap: ``old`` may hold the table's only
+    # surviving copy — restore it instead of deleting it. Only when
+    # the live dir exists too is the aside copy a completed-swap
+    # leftover that is safe to drop.
+    recover_directory(path)
     if os.path.exists(old):
         shutil.rmtree(old)
     if os.path.exists(path):
@@ -65,6 +84,7 @@ def compact(
     ``ceil(size / target_file_bytes)`` files. Returns the new file
     count. Preserves rows exactly (no ordering guarantee — parquet
     tables are unordered sets)."""
+    recover_directory(path)
     n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
     staging = path.rstrip("/") + ".__compact_tmp"
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(

@@ -31,10 +31,25 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .parallel import widen_small_input as _widen
+
+
+def _reuse(df: DataFrame) -> DataFrame:
+    """Mark a multi-consumer intermediate (the shingle set feeds the
+    doc-freq cap, per-doc sizes, and both self-join sides) for reuse.
+
+    ``persist(MEMORY_AND_DISK)`` rather than ``localCheckpoint``:
+    a localCheckpoint TRUNCATES lineage and stores its blocks on
+    executor storage, so one executor lost mid-query fails the whole
+    job at 1000-executor scale (nothing left to recompute from).
+    Persisted blocks keep their lineage — a lost block is recomputed
+    from the parquet scan, the job survives. Single-node cost is
+    identical (same blocks, same memory)."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 # 31-bit Mersenne prime: (a*h + b) with a,h,b < 2^31 stays well inside
 # int64, so the modular hash needs no 128-bit arithmetic (Spark 4 runs
@@ -180,10 +195,10 @@ def ngram_jaccard_pairs(
     shingles — negligible below ~10⁸ shingles per corpus).
     """
     # the shingle set feeds several consumers (doc-freq cap, per-doc
-    # sizes, both self-join sides); a lazy localCheckpoint
-    # materializes the expensive generation once instead of
-    # recomputing it per consumer
-    sh = _hashed_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    # sizes, both self-join sides); persist materializes the expensive
+    # generation once instead of recomputing it per consumer, without
+    # truncating lineage (see _reuse)
+    sh = _reuse(_hashed_shingles(df, id_col, text_col, n))
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("sh")
@@ -309,7 +324,7 @@ def verify_pairs_exact_jaccard(
     shuffle is |candidates| × shingles-per-doc — never the full
     shingle self-join, whose hot shingles fan out quadratically.
     Keeps pairs ≥ threshold; returns (id_a, id_b, jaccard)."""
-    sh = _hashed_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = _reuse(_hashed_shingles(df, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
@@ -377,9 +392,7 @@ def benchmark_overlap(
     shingles, so the corpus is scanned once with NO shuffle of corpus
     shingles at all; the only aggregations group on the document id.
     """
-    doc_sh = _hashed_shingles(df, id_col, text_col, n).localCheckpoint(
-        eager=False
-    )
+    doc_sh = _reuse(_hashed_shingles(df, id_col, text_col, n))
     bench_sh = (
         _hashed_shingles(benchmark, id_col, text_col, n)
         .select("sh")

@@ -106,11 +106,18 @@ def neardup_pairs_cosine(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine_sim"),
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "__cos_raw"
+            ),
         )
-        .filter(F.col("cosine_sim") >= threshold)
+        # threshold on the UNROUNDED cosine — the registered oracles
+        # filter on the raw expression, so rounding first would keep a
+        # pair with true cosine in [threshold-5e-7, threshold) that
+        # the oracle excludes. Round only the OUTPUT column.
+        .filter(F.col("__cos_raw") >= threshold)
+        .select(
+            "id_a", "id_b", F.round(F.col("__cos_raw"), 6).alias("cosine_sim")
+        )
     )
 
 
@@ -183,11 +190,16 @@ def neardup_pairs_cosine_lsh(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine_sim"),
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "__cos_raw"
+            ),
         )
-        .filter(F.col("cosine_sim") >= threshold)
+        # unrounded threshold, rounded output — identical predicate to
+        # the oracle (see neardup_pairs_cosine)
+        .filter(F.col("__cos_raw") >= threshold)
+        .select(
+            "id_a", "id_b", F.round(F.col("__cos_raw"), 6).alias("cosine_sim")
+        )
     )
 
 

@@ -25,9 +25,12 @@ race under concurrent writers needs a transactional table format
 
 from __future__ import annotations
 
+import functools
 import os
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class EmptyBatchError(ValueError):
@@ -79,11 +82,7 @@ def upsert_append(
 
     # checkpoint truncates lineage: the append must not lazily
     # re-read the very path it is writing into (read-before-write)
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-        fresh = fresh.checkpoint(eager=True)
-    else:
-        fresh = fresh.localCheckpoint(eager=True)
+    fresh = _lineage_barrier(spark, fresh, checkpoint_dir)
     n = fresh.count()
     if n:
         writer = fresh.write.mode("append")
@@ -93,12 +92,43 @@ def upsert_append(
     return n
 
 
+def _lineage_barrier(
+    spark: SparkSession, df: DataFrame, checkpoint_dir: str | None
+) -> DataFrame:
+    """Materialize ``df`` so later actions can't lazily re-read a path
+    the caller is about to rewrite. ``checkpoint_dir`` selects a
+    RELIABLE checkpoint (survives executor loss at cluster scale);
+    default is the single-node zero-IO ``localCheckpoint``."""
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _swap_partition_dirs(staging: str, path: str, depth: int) -> None:
+    """Swap each leaf partition directory of ``staging`` (nested
+    ``col=value`` dirs, ``depth`` levels) into the same relative spot
+    under ``path``, leaving partitions absent from staging untouched
+    (their files stay byte-identical)."""
+    from .compact import swap_directory
+
+    if depth == 0:
+        os.makedirs(os.path.dirname(path.rstrip("/")) or "/", exist_ok=True)
+        swap_directory(staging, path)
+        return
+    for entry in sorted(os.listdir(staging)):
+        sub = os.path.join(staging, entry)
+        if os.path.isdir(sub) and "=" in entry:
+            _swap_partition_dirs(sub, os.path.join(path, entry), depth - 1)
+
+
 def merge_replace_keys(
     spark: SparkSession,
     batch: DataFrame,
     path: str,
     keys: list[str],
     partition_by: list[str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[int, int]:
     """The UPDATE half of MERGE: rows whose key matches the batch are
     REPLACED by the batch's version; new keys are inserted — the
@@ -107,39 +137,82 @@ def merge_replace_keys(
     Plan: keep the current table's non-matching rows (left-anti join
     against the deduped batch's keys), union the batch, write to a
     staging path, crash-safe swap into place. Returns
-    (n_replaced, n_inserted).
+    (n_replaced, n_inserted); ``n_replaced`` counts DISTINCT existing
+    keys matched by the batch (correct even if the existing table
+    carries duplicate keys written outside :func:`upsert_append`).
 
-    Scale posture: this rewrites the table — the right default for
-    rollup-sized tables; for a 100 TB fact table, date partitioning
-    plus a key-range prune restricts the rewrite to the partitions
-    the batch touches, and a transactional format (Delta/Iceberg
-    MERGE INTO) replaces the swap with a metadata commit. Single
-    writer, like the reference.
+    Scale posture — partition-pruned rewrite: when ``partition_by``
+    is set, only the partitions the batch touches are rewritten and
+    swapped; untouched partitions' files are never read for the merge
+    output nor replaced (byte-identical after the merge). At 100 TB
+    that turns a full-table rewrite into one proportional to the
+    batch's partition span. PRECONDITION for the pruned path: the
+    partition columns are a function of the merge keys (a key's row
+    always lives in the partition its batch version maps to) — true
+    for the reference layout (day-partitioned by the keyed
+    ``extracted_at``). A transactional format (Delta/Iceberg MERGE
+    INTO) would replace the swap with a metadata commit. Single
+    writer, like the reference. ``checkpoint_dir`` selects reliable
+    checkpoints as in :func:`upsert_append`.
     """
-    from .compact import swap_directory
+    from .compact import recover_directory, swap_directory
+
+    # a prior merge that crashed mid-swap leaves the table at
+    # path.__old only; restore it BEFORE the existence check, or this
+    # merge would silently rebuild the table from the batch alone
+    recover_directory(path)
 
     if batch.isEmpty():
         return (0, 0)
-    fresh = batch.dropDuplicates(keys).localCheckpoint(eager=True)
-
-    if table_exists(spark, path):
-        existing = spark.read.parquet(path)
-        kept = existing.join(fresh.select(*keys), on=keys, how="left_anti")
-        n_existing = existing.count()
-        n_kept = kept.count()
-        n_replaced = n_existing - n_kept
-        merged = kept.unionByName(fresh)
-    else:
-        n_replaced = 0
-        merged = fresh
-    n_inserted = fresh.count() - n_replaced
+    fresh = _lineage_barrier(spark, batch.dropDuplicates(keys), checkpoint_dir)
+    n_fresh = fresh.count()
 
     staging = path.rstrip("/") + ".__merge_tmp"
+
+    if not table_exists(spark, path):
+        writer = fresh.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        swap_directory(staging, path)
+        return (0, n_fresh)
+
+    existing = spark.read.parquet(path)
+
+    pruned = bool(partition_by)
+    if pruned:
+        # partitions the batch touches: a tiny control-plane set
+        # (distinct partition-tuple values of the deduped batch)
+        touched = fresh.select(*partition_by).distinct().collect()
+        clause = lambda row: functools.reduce(  # noqa: E731
+            lambda a, b: a & b,
+            [F.col(c).eqNullSafe(F.lit(row[c])) for c in partition_by],
+        )
+        pred = functools.reduce(lambda a, b: a | b, [clause(r) for r in touched])
+        # static partition pruning: the predicate is on the partition
+        # columns only, so the scan plans just the touched directories
+        existing = existing.filter(pred)
+
+    n_replaced = (
+        existing.select(*keys)
+        .distinct()
+        .join(fresh.select(*keys), on=keys, how="semi")
+        .count()
+    )
+    kept = existing.join(fresh.select(*keys), on=keys, how="left_anti")
+    merged = kept.unionByName(fresh)
+    n_inserted = n_fresh - n_replaced
+
     writer = merged.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    swap_directory(staging, path)
+    if pruned:
+        _swap_partition_dirs(staging, path, len(partition_by))
+        # staging now holds only non-partition leftovers (_SUCCESS)
+        shutil.rmtree(staging, ignore_errors=True)
+    else:
+        swap_directory(staging, path)
     return (n_replaced, n_inserted)
 
 

@@ -73,65 +73,14 @@ def _load_all() -> None:
 
 # Certification priority: the external driver verifies queries in the
 # order this registry emits them and may cap how many it runs per
-# round, so queries that still need a driver-green CORRECTNESS row
-# come first — (a) the 33 not covered in round 1, then (b) queries
-# whose implementation or oracle changed this round. Already-green,
-# unchanged queries sort last (their rows stand from round 1).
+# round (50 in rounds 1-2), so queries that still need a driver-green
+# CORRECTNESS row come first — (a) the 11 registered late in round 2
+# that the round-2 cap never reached, then (b) queries whose
+# implementation or oracle changed this round, then (c) queries new
+# this round. Already-green, unchanged queries sort last (their rows
+# stand from earlier rounds).
 _PRIORITY = [
-    # (a) registered 51st..83rd in round 1 — never driver-checked
-    "agg_having",
-    "agg_stddev_percentiles",
-    "agg_approx_distinct",
-    "window_rank_parts",
-    "window_ntile_customers",
-    "window_running_total",
-    "topk_orders",
-    "setops_nations",
-    "unpivot_part_measures",
-    "scalar_string_pack",
-    "scalar_date_pack",
-    "scalar_math_pack",
-    "scalar_conditional_pack",
-    "scalar_array_pack",
-    "scalar_map_pack",
-    "asof_last_error_before_click",
-    "asof_with_tolerance",
-    "streaming_tumbling_counts",
-    "streaming_sliding_avg",
-    "session_windows_per_user",
-    "streaming_stateful_user_stats",
-    "streaming_ingest_idempotent",
-    "interval_join_click_errors",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_customers",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "join_salted_skew",
-    # (b) changed in round 2 (new oracles / integer-exact forms /
-    # capped-shingle plans) — need fresh certification
-    "multimodal_binary_stats",
-    "multimodal_features",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    # (c) new in round 2 — no driver row exists yet
-    "dedup_decontaminate",
-    "sample_stratified_by_lang",
-    "dedup_keep_best",
-    "text_chunk_windows",
-    "text_repetition_stats",
-    "q2_cheapest_supplier",
-    "q9_profit_by_nation_year",
-    "q11_important_parts",
-    "q12_priority_by_returnflag",
+    # (a) the round-2 certification tail — never driver-checked
     "q13_customer_distribution",
     "q16_supplier_cnt_by_part",
     "q17_small_quantity_revenue",
@@ -143,7 +92,26 @@ _PRIORITY = [
     "quality_psi_value_drift",
     "join_right_segment_orders",
     "embedding_neardup_pairs_lsh",
+    # (b) predicate/implementation changed in round 3 — need fresh
+    # certification (cosine threshold now compared unrounded in BOTH
+    # engines; dedup reuse points now lineage-preserving persist)
+    "embedding_neardup_pairs",
+    "similarity_topk_bruteforce",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_decontaminate",
+    "multimodal_features",
+    # (c) new in round 3 — no driver row exists yet (appended by
+    # _PRIORITY_R3 below as modules register them)
 ]
+
+# Names appended here (by the round-3 plan modules) certify after the
+# tail above but before the standing-green backlog.
+_PRIORITY_R3: list[str] = [
+    "multimodal_wav_features",
+    "multimodal_ppm_features",
+]
+_PRIORITY.extend(_PRIORITY_R3)
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -88,3 +88,29 @@ def test_swap_directory_no_preexisting_target(tmp_path):
     staging.mkdir(); (staging / "f").write_text("x")
     swap_directory(str(staging), str(tmp_path / "t"))
     assert (tmp_path / "t" / "f").read_text() == "x"
+
+
+def test_swap_directory_restores_interrupted_swap(tmp_path):
+    """Crash window: a prior swap renamed the live dir aside and died.
+    The next swap must treat path.__old as the surviving copy — not
+    rmtree it."""
+    from crypto_etl_airflow_spark.operators.compact import swap_directory
+
+    old = tmp_path / "t.__old"
+    old.mkdir(); (old / "f").write_text("survivor")
+    staging = tmp_path / "t.__tmp"
+    staging.mkdir(); (staging / "f").write_text("new")
+    swap_directory(str(staging), str(tmp_path / "t"))
+    assert (tmp_path / "t" / "f").read_text() == "new"
+    assert not old.exists() and not staging.exists()
+
+
+def test_recover_directory_restores_and_reports(tmp_path):
+    from crypto_etl_airflow_spark.operators.compact import recover_directory
+
+    old = tmp_path / "t.__old"
+    old.mkdir(); (old / "f").write_text("survivor")
+    assert recover_directory(str(tmp_path / "t")) is True
+    assert (tmp_path / "t" / "f").read_text() == "survivor"
+    # idempotent no-op once healthy
+    assert recover_directory(str(tmp_path / "t")) is False

@@ -115,3 +115,21 @@ def test_minhash_portable_mode_recall_vs_exact(spark):
     assert lsh <= exact
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"portable recall {recall:.2f} < 0.9"
+
+
+def test_shingle_reuse_point_keeps_lineage(spark):
+    """The multi-consumer shingle set is persisted (MEMORY_AND_DISK),
+    NOT localCheckpoint'd: cached blocks keep their lineage, so an
+    executor lost mid-query recomputes instead of failing the job at
+    cluster scale (VERDICT r2 #2). Plan shows an InMemoryTableScan
+    (persist) and no checkpoint-RDD scan."""
+    from crypto_etl_airflow_spark.operators.dedup import ngram_jaccard_pairs
+    from crypto_etl_airflow_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert "ExistingRDD" not in plan  # the old localCheckpoint shape

@@ -157,3 +157,94 @@ def test_merge_replace_keys_updates_and_inserts(spark, tmp_path):
     # idempotent re-merge: replaces itself, inserts nothing, same data
     assert merge_replace_keys(spark, second, path, keys=["id", "day"]) == (2, 0)
     assert {r.id: r.v for r in spark.read.parquet(path).collect()} == got
+
+
+def test_merge_recovers_from_crashed_swap(spark, tmp_path):
+    """A merge rerun after a mid-swap crash must see the renamed-aside
+    table, not rebuild from the batch alone (ADVICE r2)."""
+    import os
+
+    from crypto_etl_airflow_spark.operators.upsert import merge_replace_keys
+
+    path = str(tmp_path / "t")
+    first = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "id long, day string, v double"
+    )
+    merge_replace_keys(spark, first, path, keys=["id", "day"])
+    # simulate the crash window: live dir renamed aside, new never landed
+    os.rename(path, path + ".__old")
+    second = spark.createDataFrame([(3, "a", 3.0)], "id long, day string, v double")
+    assert merge_replace_keys(spark, second, path, keys=["id", "day"]) == (0, 1)
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}  # old rows survived the crash
+
+
+def test_merge_n_replaced_counts_distinct_keys_with_duplicates(spark, tmp_path):
+    """If the existing table carries duplicate keys (written outside
+    upsert_append), n_replaced counts MATCHED KEYS, and n_inserted
+    stays non-negative (ADVICE r2)."""
+    from crypto_etl_airflow_spark.operators.upsert import merge_replace_keys
+
+    path = str(tmp_path / "t")
+    # duplicate key (1, a) written directly, bypassing the upsert path
+    spark.createDataFrame(
+        [(1, "a", 1.0), (1, "a", 1.5), (2, "a", 2.0)],
+        "id long, day string, v double",
+    ).write.parquet(path)
+    batch = spark.createDataFrame([(1, "a", 99.0)], "id long, day string, v double")
+    n_replaced, n_inserted = merge_replace_keys(spark, batch, path, keys=["id", "day"])
+    assert (n_replaced, n_inserted) == (1, 0)  # one KEY replaced, not two rows
+    got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, 99.0), (2, 2.0)]  # both duplicate rows collapsed
+
+
+def test_merge_partition_pruned_leaves_untouched_partitions_byte_identical(
+    spark, tmp_path
+):
+    """Partition-pruned merge: only partitions the batch touches are
+    rewritten; other partitions' files are bit-for-bit untouched."""
+    import os
+
+    from crypto_etl_airflow_spark.operators.upsert import merge_replace_keys
+
+    path = str(tmp_path / "t")
+    first = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)],
+        "id long, day string, v double",
+    )
+    merge_replace_keys(spark, first, path, keys=["id", "day"], partition_by=["day"])
+
+    def _files(part):
+        d = os.path.join(path, f"day={part}")
+        return {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+
+    before_b = _files("b")
+    batch = spark.createDataFrame(
+        [(1, "a", 99.0), (5, "a", 5.0)], "id long, day string, v double"
+    )
+    assert merge_replace_keys(
+        spark, batch, path, keys=["id", "day"], partition_by=["day"]
+    ) == (1, 1)
+    assert _files("b") == before_b  # untouched partition: same files, same bytes
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 99.0, 2: 2.0, 3: 3.0, 4: 4.0, 5: 5.0}
+
+
+def test_merge_with_reliable_checkpoint_dir(spark, tmp_path):
+    from crypto_etl_airflow_spark.operators.upsert import merge_replace_keys
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    first = spark.createDataFrame([(1, "a", 1.0)], "id long, day string, v double")
+    assert merge_replace_keys(
+        spark, first, path, keys=["id", "day"], checkpoint_dir=ckpt
+    ) == (0, 1)
+    second = spark.createDataFrame([(1, "a", 2.0)], "id long, day string, v double")
+    assert merge_replace_keys(
+        spark, second, path, keys=["id", "day"], checkpoint_dir=ckpt
+    ) == (1, 0)
+    assert [r.v for r in spark.read.parquet(path).collect()] == [2.0]
