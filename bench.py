@@ -6,8 +6,10 @@
 
 Each query is timed to full materialization (count of a cached-free
 plan — the driver collects separately, so we measure execution, not
-driver transfer). Warm-up: one untimed pass of the flagship query to
-absorb JVM/codegen startup.
+driver transfer). Warm-up: one untimed pass per query to absorb
+JVM/codegen startup; then each query is timed BEST-OF-3 (min), with
+the max-min spread reported alongside, so sub-100 ms machine noise
+doesn't read as a regression round-over-round.
 """
 
 from __future__ import annotations
@@ -54,11 +56,17 @@ def main() -> None:
     for spec in specs.values():
         spec.builder(spark, sf_dir).count()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, spec in specs.items():
-        t0 = time.perf_counter()
-        spec.builder(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
+        spreads[name] = round(max(runs) - min(runs), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -68,6 +76,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "runs_per_query": n_runs,
                 "sf": sf,
             }
         )

@@ -67,22 +67,33 @@ def documents_as_media(df: DataFrame) -> DataFrame:
 def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes, str], list[float]] | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Decode / feature-extract stage over binary payloads.
 
     Arrow-batched ``mapInPandas``: each batch of (payload, type) rows
     is decoded inside one Python worker call; only features leave the
-    stage. ``decoder(payload, media_type) -> list[float]`` plugs in a
-    real codec; the default is the deterministic fake (the container
-    has no image/audio libs — see module docstring).
+    stage. The DEFAULT decoder does real byte parsing for the formats
+    stdlib can handle — RIFF/WAV payloads yield
+    ``[sample_rate, n_channels, bit_depth, n_samples, peak_abs,
+    sum_abs, duration_us, data_bytes]`` and binary PPM (P6) payloads
+    yield ``[width, height, maxval, n_pixels, sum_r, sum_g, sum_b,
+    sum_all]`` (all exact integers, hash-stable as doubles); anything
+    else falls back to the deterministic sha256 feature stub (this
+    container ships no image/audio libs for JPEG/MP3/...). With
+    ``strict=True`` a payload whose magic matches WAV/PPM but fails to
+    parse raises instead of falling back — use for pipelines that own
+    their payload formats. ``decoder(payload, media_type) ->
+    list[float]`` overrides everything for real deployments.
     """
 
     # NOTE: this closure ships to Python workers via cloudpickle. It
-    # must be fully self-contained — referencing module-level helpers
-    # would pickle them BY REFERENCE to this package, which executors
-    # outside the repo root cannot import. Locals (ints, the user's
-    # decoder callable) pickle by value.
+    # must be fully self-contained — module-level helpers would pickle
+    # BY REFERENCE to this package, which executors outside the repo
+    # root cannot import. The codec functions are factory-made
+    # ``<locals>`` closures, which cloudpickle serializes by value.
     feature_dim = FEATURE_DIM
+    _, wav_dec, _, ppm_dec = _make_codecs()
 
     def run(batches: Iterator[Any]) -> Iterator[Any]:
         import hashlib as _hashlib
@@ -94,6 +105,39 @@ def extract_features(
                 for i in range(feature_dim)
             ]
 
+        def default_decode(payload: bytes) -> list[float]:
+            is_wav = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+            is_ppm = payload[:2] == b"P6" and payload[2:3].isspace()
+            try:
+                if is_wav:
+                    s = wav_dec(payload)
+                    return [
+                        float(s["sample_rate"]),
+                        float(s["n_channels"]),
+                        float(s["bit_depth"]),
+                        float(s["n_samples"]),
+                        float(s["peak_abs"]),
+                        float(s["sum_abs"]),
+                        float(s["duration_us"]),
+                        float(s["data_bytes"]),
+                    ]
+                if is_ppm:
+                    s = ppm_dec(payload)
+                    return [
+                        float(s["width"]),
+                        float(s["height"]),
+                        float(s["maxval"]),
+                        float(s["n_pixels"]),
+                        float(s["sum_r"]),
+                        float(s["sum_g"]),
+                        float(s["sum_b"]),
+                        float(s["sum_all"]),
+                    ]
+            except ValueError:
+                if strict:
+                    raise
+            return fake_features(payload)
+
         for pdf in batches:
             feats = []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
@@ -101,13 +145,203 @@ def extract_features(
                 if decoder is not None:
                     feats.append(decoder(raw, mtype))
                 else:
-                    feats.append(fake_features(raw))
+                    feats.append(default_decode(raw))
             out = pdf[["media_id", "media_type"]].copy()
             out["payload_bytes"] = [len(bytes(p)) for p in pdf["payload"]]
             out["features"] = feats
             yield out
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def _make_codecs():
+    """Stdlib-only codecs for the two formats simple enough to parse
+    byte-for-byte without external libraries: WAV (RIFF container +
+    16-bit PCM) and binary PPM (P6). Real byte parsing — chunk
+    walking, word alignment, header tokenization — not a stub.
+
+    Built inside a factory so the returned functions are ``<locals>``
+    closures: cloudpickle serializes those BY VALUE into mapInPandas
+    stages (a module-level ``def`` pickles by reference, which Python
+    workers without this repo on PYTHONPATH cannot import).
+    """
+    import struct
+
+    def wav_encode(
+        samples: list[int], sample_rate: int, junk: bytes = b""
+    ) -> bytes:
+        """Mono 16-bit PCM WAV. ``junk`` adds a LIST chunk before
+        ``data`` so decoders must genuinely walk chunks."""
+        frames = struct.pack(f"<{len(samples)}h", *samples)
+        chunks = [
+            b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        ]
+        if junk:
+            chunks.append(
+                b"LIST"
+                + struct.pack("<I", len(junk))
+                + junk
+                + (b"\x00" if len(junk) % 2 else b"")
+            )
+        chunks.append(b"data" + struct.pack("<I", len(frames)) + frames)
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def wav_decode(payload: bytes) -> dict:
+        """Parse RIFF/WAVE: validate magic, walk word-aligned chunks,
+        read fmt_, unpack PCM int16 frames. Raises ValueError on
+        malformed input."""
+        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        (riff_size,) = struct.unpack_from("<I", payload, 4)
+        if riff_size + 8 != len(payload):
+            raise ValueError("RIFF size mismatch")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + size]
+            if len(body) != size:
+                raise ValueError(f"truncated chunk {cid!r}")
+            if cid == b"fmt ":
+                audio_fmt, ch, rate, _, _, bits = struct.unpack_from(
+                    "<HHIIHH", body, 0
+                )
+                if audio_fmt != 1 or bits != 16:
+                    raise ValueError("only PCM-16 supported")
+                fmt = (ch, rate, bits)
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("missing fmt /data chunk")
+        ch, rate, bits = fmt
+        samples = struct.unpack(f"<{len(data) // 2}h", data)
+        n = len(samples) // ch
+        return {
+            "sample_rate": rate,
+            "n_channels": ch,
+            "bit_depth": bits,
+            "n_samples": n,
+            "peak_abs": max((abs(s) for s in samples), default=0),
+            "sum_abs": sum(abs(s) for s in samples),
+            "duration_us": n * 1_000_000 // rate,
+            "data_bytes": len(data),
+        }
+
+    def ppm_encode(width: int, height: int, pixels: bytes) -> bytes:
+        """Binary PPM (P6) with a comment line in the header, so
+        decoders must tokenize, not just split."""
+        if len(pixels) != 3 * width * height:
+            raise ValueError("pixel buffer size mismatch")
+        return (
+            b"P6\n# synthetic fixture\n"
+            + f"{width} {height}\n255\n".encode("ascii")
+            + pixels
+        )
+
+    def ppm_decode(payload: bytes) -> dict:
+        """Parse P6: tokenize the header (whitespace + '#' comments),
+        then read exactly 3*w*h raw bytes. Raises ValueError on
+        malformed input."""
+        if payload[:2] != b"P6":
+            raise ValueError("not a P6 payload")
+
+        pos = 2
+        tokens: list[int] = []
+        while len(tokens) < 3:
+            if pos >= len(payload):
+                raise ValueError("truncated PPM header")
+            c = payload[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isdigit():
+                start = pos
+                while payload[pos : pos + 1].isdigit():
+                    pos += 1
+                tokens.append(int(payload[start:pos]))
+            else:
+                raise ValueError(f"bad header byte {c!r}")
+        width, height, maxval = tokens
+        if maxval != 255:
+            raise ValueError("only 8-bit PPM supported")
+        pos += 1  # single whitespace after maxval
+        pixels = payload[pos : pos + 3 * width * height]
+        if len(pixels) != 3 * width * height or pos + len(pixels) != len(payload):
+            raise ValueError("pixel data size mismatch")
+        return {
+            "width": width,
+            "height": height,
+            "maxval": maxval,
+            "n_pixels": width * height,
+            "sum_r": sum(pixels[0::3]),
+            "sum_g": sum(pixels[1::3]),
+            "sum_b": sum(pixels[2::3]),
+            "sum_all": sum(pixels),
+        }
+
+    return wav_encode, wav_decode, ppm_encode, ppm_decode
+
+
+wav_encode, wav_decode, ppm_encode, ppm_decode = _make_codecs()
+
+
+def synthesize_codec_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format media fixture: even doc_ids become
+    mono PCM-16 WAV payloads, odd doc_ids become binary PPM images —
+    every byte derived from (doc_id, n_chars) in closed form, so a SQL
+    oracle can predict the decoded stats without parsing bytes:
+
+    - WAV: rate = 8000 + (doc_id%8)*1000, n = n_chars%240 + 16,
+      sample_i = (doc_id*31 + i*17) % 65536 - 32768
+    - PPM: w = doc_id%16 + 4, h = doc_id%12 + 3,
+      byte_k = (doc_id*13 + k*7) % 256
+
+    Arrow-batched mapInPandas; payload generation happens executor-side
+    (the driver never holds blobs).
+    """
+    wav_enc, _, ppm_enc, _ = _make_codecs()
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        payloads, types, widths, heights, nframes = [], [], [], [], []
+
+        def synth(doc_id: int, n_chars: int):
+            if doc_id % 2 == 0:
+                rate = 8000 + (doc_id % 8) * 1000
+                n = n_chars % 240 + 16
+                samples = [
+                    (doc_id * 31 + i * 17) % 65536 - 32768 for i in range(n)
+                ]
+                junk = bytes([doc_id % 256] * (doc_id % 5 + 1))
+                return wav_enc(samples, rate, junk=junk), "audio", 0, 0, n
+            w, h = doc_id % 16 + 4, doc_id % 12 + 3
+            px = bytes((doc_id * 13 + k * 7) % 256 for k in range(3 * w * h))
+            return ppm_enc(w, h, px), "image", w, h, 1
+
+        for pdf in batches:
+            out = pdf[["doc_id"]].rename(columns={"doc_id": "media_id"})
+            payloads, types, widths, heights, nframes = [], [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                p, t, w, h, nf = synth(int(doc_id), int(n_chars))
+                payloads.append(p)
+                types.append(t)
+                widths.append(w)
+                heights.append(h)
+                nframes.append(nf)
+            out["payload"] = payloads
+            out["media_type"] = types
+            out["width"] = widths
+            out["height"] = heights
+            out["n_frames"] = nframes
+            yield out
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:

@@ -292,6 +292,9 @@ def _minhash_oracle(
     "dedup_minhash_lsh",
     oracle=_minhash_oracle(),
     tags=("dedup", "extension", "approx"),
+    # benched alongside the exact baseline: this is the path a 100 TB
+    # user actually runs (candidates ∝ collisions, never n²)
+    bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) near-dup pairs, candidates verified
@@ -514,6 +517,8 @@ def _lsh_oracle(k: int = 5, num_planes: int = 4, num_tables: int = 8) -> str:
              * sqrt(list_dot_product(vb.e, vb.e))) >= 0.45
     """,
     tags=("similarity", "dedup", "extension", "approx"),
+    # benched alongside the brute-force baseline (scale path)
+    bench=True,
 )
 def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via LSH bucketing — the scale path
@@ -653,6 +658,111 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.audio_windows(
         multimodal.documents_as_media(docs), window_ms=1000, hop_ms=500
+    )
+
+
+@register(
+    "multimodal_wav_features",
+    # Payload bytes are synthesized in closed form from (doc_id,
+    # n_chars) — operators/multimodal.py::synthesize_codec_media — so
+    # the oracle predicts the DECODED stats analytically while the
+    # Spark side genuinely builds and then chunk-walks RIFF bytes
+    # (struct-unpacked PCM frames, word-aligned LIST junk chunk
+    # included). All outputs are exact integers: hash-stable.
+    oracle="""
+    WITH wav AS (
+        SELECT doc_id,
+               8000 + (doc_id % 8) * 1000 AS sample_rate,
+               n_chars % 240 + 16 AS n_samples
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    samples AS (
+        SELECT w.doc_id,
+               abs((w.doc_id * 31 + t.i * 17) % 65536 - 32768) AS a
+        FROM wav w, unnest(generate_series(0, w.n_samples - 1)) AS t(i)
+    )
+    SELECT w.doc_id AS media_id,
+           CAST(w.sample_rate AS BIGINT) AS sample_rate,
+           CAST(w.n_samples AS BIGINT) AS n_samples,
+           CAST(max(s.a) AS BIGINT) AS peak_abs,
+           CAST(sum(s.a) AS BIGINT) AS sum_abs,
+           CAST(w.n_samples * 1000000 // w.sample_rate AS BIGINT)
+               AS duration_us
+    FROM wav w JOIN samples s ON s.doc_id = w.doc_id
+    GROUP BY w.doc_id, w.sample_rate, w.n_samples
+    """,
+    tags=("multimodal", "extension", "codec"),
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the mapInPandas stage: synthesize PCM-16
+    RIFF/WAV payloads from document metadata, then parse them back —
+    magic validation, word-aligned chunk walk past a junk LIST chunk,
+    struct-unpacked frames — and emit sample-accurate stats
+    (SURVEY.md §7.5 multimodal; stdlib-only, no codec libraries)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    media = multimodal.synthesize_codec_media(docs)
+    feats = multimodal.extract_features(media, strict=True)
+    f = feats["features"]
+    return feats.select(
+        "media_id",
+        F.element_at(f, 1).cast("long").alias("sample_rate"),
+        F.element_at(f, 4).cast("long").alias("n_samples"),
+        F.element_at(f, 5).cast("long").alias("peak_abs"),
+        F.element_at(f, 6).cast("long").alias("sum_abs"),
+        F.element_at(f, 7).cast("long").alias("duration_us"),
+    )
+
+
+@register(
+    "multimodal_ppm_features",
+    oracle="""
+    WITH ppm AS (
+        SELECT doc_id,
+               doc_id % 16 + 4 AS width,
+               doc_id % 12 + 3 AS height
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    px AS (
+        SELECT p.doc_id, t.k, (p.doc_id * 13 + t.k * 7) % 256 AS b
+        FROM ppm p,
+             unnest(generate_series(0, 3 * p.width * p.height - 1)) AS t(k)
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(p.width AS BIGINT) AS width,
+           CAST(p.height AS BIGINT) AS height,
+           CAST(p.width * p.height AS BIGINT) AS n_pixels,
+           CAST(sum(CASE WHEN px.k % 3 = 0 THEN px.b ELSE 0 END) AS BIGINT)
+               AS sum_r,
+           CAST(sum(CASE WHEN px.k % 3 = 1 THEN px.b ELSE 0 END) AS BIGINT)
+               AS sum_g,
+           CAST(sum(CASE WHEN px.k % 3 = 2 THEN px.b ELSE 0 END) AS BIGINT)
+               AS sum_b
+    FROM ppm p JOIN px ON px.doc_id = p.doc_id
+    GROUP BY p.doc_id, p.width, p.height
+    """,
+    tags=("multimodal", "extension", "codec"),
+)
+def multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the mapInPandas stage: synthesize binary
+    PPM (P6) payloads — header with a comment line + raw RGB bytes —
+    then tokenize the header and sum per-channel pixel values
+    (SURVEY.md §7.5 multimodal; stdlib-only)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    media = multimodal.synthesize_codec_media(docs)
+    feats = multimodal.extract_features(media, strict=True)
+    f = feats["features"]
+    return feats.select(
+        "media_id",
+        F.element_at(f, 1).cast("long").alias("width"),
+        F.element_at(f, 2).cast("long").alias("height"),
+        F.element_at(f, 4).cast("long").alias("n_pixels"),
+        F.element_at(f, 5).cast("long").alias("sum_r"),
+        F.element_at(f, 6).cast("long").alias("sum_g"),
+        F.element_at(f, 7).cast("long").alias("sum_b"),
     )
 
 

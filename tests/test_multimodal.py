@@ -97,3 +97,102 @@ def test_resize_accepts_real_resizer(spark):
     media = documents_as_media(load_table(spark, SF_SMOKE, "documents")).limit(30)
     out = resize_images(media, 4, 4, resizer=lambda p, w, h: p[: w * h])
     assert all(len(r.payload) <= 16 for r in out.collect())
+
+
+# --- stdlib WAV / PPM codecs (real byte parsing, no libraries) -------
+
+def test_wav_roundtrip_exact():
+    from crypto_etl_airflow_spark.operators.multimodal import wav_decode, wav_encode
+
+    samples = [((7 * 31 + i * 17) % 65536) - 32768 for i in range(100)]
+    payload = wav_encode(samples, 9000, junk=b"xyz")  # odd-length junk → pad byte
+    stats = wav_decode(payload)
+    assert stats["sample_rate"] == 9000
+    assert stats["n_channels"] == 1
+    assert stats["bit_depth"] == 16
+    assert stats["n_samples"] == 100
+    assert stats["peak_abs"] == max(abs(s) for s in samples)
+    assert stats["sum_abs"] == sum(abs(s) for s in samples)
+    assert stats["duration_us"] == 100 * 1_000_000 // 9000
+    assert stats["data_bytes"] == 200
+
+
+def test_wav_decode_rejects_malformed():
+    import pytest as _pytest
+
+    from crypto_etl_airflow_spark.operators.multimodal import wav_decode, wav_encode
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"not a wav at all")
+    good = wav_encode([0, 1, -1], 8000)
+    with _pytest.raises(ValueError, match="size mismatch|truncated"):
+        wav_decode(good[:-3])
+
+
+def test_ppm_roundtrip_exact():
+    from crypto_etl_airflow_spark.operators.multimodal import ppm_decode, ppm_encode
+
+    w, h = 5, 4
+    px = bytes((11 * 13 + k * 7) % 256 for k in range(3 * w * h))
+    stats = ppm_decode(ppm_encode(w, h, px))
+    assert (stats["width"], stats["height"], stats["maxval"]) == (5, 4, 255)
+    assert stats["n_pixels"] == 20
+    assert stats["sum_r"] == sum(px[0::3])
+    assert stats["sum_g"] == sum(px[1::3])
+    assert stats["sum_b"] == sum(px[2::3])
+    assert stats["sum_all"] == sum(px)
+
+
+def test_ppm_decode_rejects_malformed():
+    import pytest as _pytest
+
+    from crypto_etl_airflow_spark.operators.multimodal import ppm_decode, ppm_encode
+
+    with _pytest.raises(ValueError, match="P6"):
+        ppm_decode(b"P5\n1 1\n255\n\x00")
+    good = ppm_encode(2, 2, bytes(range(12)))
+    with _pytest.raises(ValueError, match="size mismatch"):
+        ppm_decode(good + b"\x00")  # trailing garbage
+
+
+def test_synthesized_media_decodes_in_spark(spark):
+    """End-to-end through the Arrow stage: synthesize real WAV/PPM
+    bytes executor-side, decode them back, check sample-accurate stats
+    for one known doc_id of each parity."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.operators.multimodal import (
+        extract_features,
+        synthesize_codec_media,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id").isin([2, 3])
+    )
+    fixture = {int(r.doc_id): int(r.n_chars) for r in docs.collect()}
+    assert set(fixture) == {2, 3}
+    out = {
+        int(r.media_id): r.features
+        for r in extract_features(synthesize_codec_media(docs), strict=True).collect()
+    }
+    # doc 2 → WAV: rate 8000 + (2%8)*1000, n = n_chars%240+16
+    n = fixture[2] % 240 + 16
+    samples = [((2 * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+    assert out[2][0] == 8000 + 2 * 1000
+    assert out[2][3] == n
+    assert out[2][4] == max(abs(s) for s in samples)
+    assert out[2][5] == sum(abs(s) for s in samples)
+    # doc 3 → PPM: w = 3%16+4 = 7, h = 3%12+3 = 6
+    px = bytes((3 * 13 + k * 7) % 256 for k in range(3 * 7 * 6))
+    assert out[3][0] == 7 and out[3][1] == 6
+    assert out[3][4] == sum(px[0::3])
+    assert out[3][6] == sum(px[2::3])
+
+
+def test_default_decoder_falls_back_on_non_media_payloads(spark):
+    """Text payloads (documents_as_media) carry no RIFF/P6 magic —
+    the default decoder must keep yielding the sha256 stub features
+    (all in [0,1]), preserving multimodal_features' certified values."""
+    media = _media(spark).limit(20)
+    out = multimodal.extract_features(media).collect()
+    assert all(0.0 <= x <= 1.0 for r in out for x in r.features)

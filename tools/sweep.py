@@ -39,6 +39,13 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    if len(sys.argv) > 1:  # sweep only the named queries (fast iteration)
+        only = set(sys.argv[1:])
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 1
+        qs = {n: f for n, f in qs.items() if n in only}
     con = duckdb.connect()
     from crypto_etl_airflow_spark.sources.tables import TABLES
 
