@@ -766,9 +766,10 @@ def multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle="""
+# shared by dedup_clusters (min-label propagation) and
+# dedup_clusters_star (large-star/small-star contraction): two
+# algorithms, one fixed point, one oracle
+_CLUSTERS_ORACLE = """
     WITH RECURSIVE toks AS (
         SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
     ),
@@ -798,7 +799,12 @@ def multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
     )
     SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
-    """,
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
     tags=("dedup", "graph", "extension"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,6 +819,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
     return connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    ).select(F.col("id").alias("doc_id"), "component")
+
+
+@register(
+    "dedup_clusters_star",
+    oracle=_CLUSTERS_ORACLE,
+    tags=("dedup", "graph", "extension"),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate clusters as ``dedup_clusters``, computed by
+    large-star/small-star contraction
+    (operators/graph.py::connected_components_star) instead of
+    min-label propagation — O(log diameter) rounds, so chain-shaped
+    similarity graphs don't stretch the iteration count at 100 TB.
+    Oracle identical: both algorithms share one fixed point."""
+    from ..operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    return connected_components_star(
         pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
     ).select(F.col("id").alias("doc_id"), "component")
 

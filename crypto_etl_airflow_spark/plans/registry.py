@@ -110,6 +110,7 @@ _PRIORITY = [
 _PRIORITY_R3: list[str] = [
     "multimodal_wav_features",
     "multimodal_ppm_features",
+    "dedup_clusters_star",
 ]
 _PRIORITY.extend(_PRIORITY_R3)
 
