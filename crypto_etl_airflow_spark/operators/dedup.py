@@ -257,11 +257,16 @@ def minhash_signatures(
     else:
         h = (F.xxhash64("shingle") % MERSENNE_P + MERSENNE_P) % MERSENNE_P
 
+    # project the base hash ONCE per shingle row, then aggregate the
+    # k cheap affine forms of it — embedding `h` inside each min()
+    # would re-evaluate the md5/xxhash k times per row (subexpression
+    # elimination is not guaranteed across aggregate expressions)
+    hashed = sh.select(F.col(id_col), h.alias("__h"))
     mins = [
-        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_constants(num_hashes))
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def minhash_lsh_candidates(
@@ -362,7 +367,12 @@ def minhash_lsh_pairs(
     near-dup pair is missed only if it collides in no band).
     ``portable=True`` makes every stage md5-reproducible in a DuckDB
     oracle (see :func:`minhash_signatures`)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, portable)
+    # the banding stage reads the signature table once PER BAND (the
+    # band rows are a union of projections of it); persisting the
+    # tiny (docs × num_hashes) table stops the shingle scan + hash +
+    # 32-way min aggregation from running `bands` times over — with
+    # lineage kept for executor-loss recompute (see _reuse)
+    sigs = _reuse(minhash_signatures(df, id_col, text_col, n, num_hashes, portable))
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands, portable)
     return verify_pairs_exact_jaccard(
         df, cands, id_col, text_col, n, threshold

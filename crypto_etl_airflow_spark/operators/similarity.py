@@ -141,6 +141,47 @@ def _hyperplane(table_idx: int, plane_idx: int, dim: int) -> F.Column:
     )
 
 
+def rhp_bucket_rows(
+    v: DataFrame,
+    vec_col: str = "vec",
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """All tables' LSH buckets per vector — every input column plus
+    (t, bucket), one output row per (input row, table), from ONE scan.
+
+    The hyperplanes travel as a broadcast DATA table (one row per
+    hash table, holding its planes as ``array<array<double>>``) —
+    inlining tables×planes×dim literals into the expression tree
+    (the per-table ``rhp_bucket`` form) makes analysis/codegen the
+    dominant cost long before the data is large. Values are identical:
+    the same exact dyadic-rational components, the same sequential
+    dot-product fold, ``bucket = Σ (1<<i)·[v·plane_i ≥ 0]``. No
+    shuffle: broadcast nested-loop join + per-row array fold.
+    """
+    spark = v.sparkSession
+    rows = [
+        (t, [hyperplane_components(t, i, dim) for i in range(num_planes)])
+        for t in range(num_tables)
+    ]
+    planes = spark.createDataFrame(rows, "t INT, pws ARRAY<ARRAY<DOUBLE>>")
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(num_planes)])
+    sign_bits = F.zip_with(
+        F.col("pws"),
+        weights,
+        lambda pw, w: F.when(_dot(F.col(vec_col), pw) >= 0, w)
+        .otherwise(F.lit(0).cast("long")),
+    )
+    return v.crossJoin(F.broadcast(planes)).select(
+        *[F.col(c) for c in v.columns],
+        F.col("t"),
+        F.aggregate(sign_bits, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "bucket"
+        ),
+    )
+
+
 def neardup_pairs_cosine_lsh(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -161,32 +202,39 @@ def neardup_pairs_cosine_lsh(
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
-    cand = None
-    for t in range(num_tables):
-        b = v.select(
-            "vid", rhp_bucket(F.col("vec"), num_planes, dim, t).alias("bucket")
-        )
-        pairs = (
-            b.select(F.col("vid").alias("id_a"), "bucket")
-            .join(b.select(F.col("vid").alias("id_b"), "bucket"), "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        cand = pairs if cand is None else cand.unionAll(pairs)
-    a = v.select(
-        F.col("vid").alias("id_a"),
-        F.col("vec").alias("va"),
+    # every table's bucket from ONE scan (broadcast planes table, see
+    # rhp_bucket_rows), then ONE self-join on the composite (t,
+    # bucket) key replaces num_tables separate bucket joins; the two
+    # join inputs are plan-identical, so the shuffle exchange is
+    # reused, not recomputed.
+    #
+    # Vectors ride THROUGH the bucket join and pairs are deduped
+    # AFTER the threshold filter: a same-bucket-in-k-tables pair is
+    # scored k times (the dot is cheap, JVM-side), but the distinct
+    # then runs on the few surviving near-dups instead of the full
+    # candidate multiset, and no join-back to fetch vectors is needed
+    # — two fewer shuffles of the candidate set. (The shuffle carries
+    # each vector num_tables×; for very wide vectors at extreme scale,
+    # trade back to candidate-distinct + join-back.) Scores of
+    # duplicate candidates are bit-identical, so the post-filter
+    # distinct collapses them exactly.
+    b = rhp_bucket_rows(
+        v, vec_col="vec",
+        num_planes=num_planes, num_tables=num_tables, dim=dim,
+    )
+    lhs = b.select(
+        "t", "bucket",
+        F.col("vid").alias("id_a"), F.col("vec").alias("va"),
         F.col("nrm").alias("na"),
     )
-    b2 = v.select(
-        F.col("vid").alias("id_b"),
-        F.col("vec").alias("vb"),
+    rhs = b.select(
+        "t", "bucket",
+        F.col("vid").alias("id_b"), F.col("vec").alias("vb"),
         F.col("nrm").alias("nb"),
     )
     return (
-        cand.distinct()
-        .join(a, "id_a")
-        .join(b2, "id_b")
+        lhs.join(rhs, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
@@ -200,6 +248,7 @@ def neardup_pairs_cosine_lsh(
         .select(
             "id_a", "id_b", F.round(F.col("__cos_raw"), 6).alias("cosine_sim")
         )
+        .distinct()
     )
 
 
@@ -250,17 +299,17 @@ def cosine_topk_lsh(
         _norm(F.col(vec_col)).alias("c_norm"),
     )
 
-    cand = None
-    for t in range(num_tables):
-        pb = p_ids.select(
-            "probe_id", rhp_bucket(F.col("p_vec"), num_planes, dim, t).alias("bucket")
-        )
-        cb = c_ids.select(
-            "neighbor_id",
-            rhp_bucket(F.col("c_vec"), num_planes, dim, t).alias("bucket"),
-        )
-        pairs = pb.join(cb, "bucket").select("probe_id", "neighbor_id")
-        cand = pairs if cand is None else cand.unionAll(pairs)
+    # one scan per side computes every table's bucket (broadcast
+    # planes table — see rhp_bucket_rows), one join on (t, bucket)
+    pb = rhp_bucket_rows(
+        p_ids.select("probe_id", F.col("p_vec").alias("vec")),
+        num_planes=num_planes, num_tables=num_tables, dim=dim,
+    ).select("probe_id", "t", "bucket")
+    cb = rhp_bucket_rows(
+        c_ids.select("neighbor_id", F.col("c_vec").alias("vec")),
+        num_planes=num_planes, num_tables=num_tables, dim=dim,
+    ).select("neighbor_id", "t", "bucket")
+    cand = pb.join(cb, ["t", "bucket"]).select("probe_id", "neighbor_id")
 
     scored = (
         cand.distinct()
