@@ -38,6 +38,13 @@ from pyspark.sql import functions as F
 from .parallel import widen_small_input as _widen
 
 
+# Persisted intermediates handed out by _reuse, so long-lived
+# sessions (bench loops, notebooks) can evict them: Spark's cache
+# manager holds cached plans until an explicit unpersist — GC of the
+# Python DataFrame does NOT release the blocks.
+_REUSE_HANDLES: list[DataFrame] = []
+
+
 def _reuse(df: DataFrame) -> DataFrame:
     """Mark a multi-consumer intermediate (the shingle set feeds the
     doc-freq cap, per-doc sizes, and both self-join sides) for reuse.
@@ -48,8 +55,31 @@ def _reuse(df: DataFrame) -> DataFrame:
     job at 1000-executor scale (nothing left to recompute from).
     Persisted blocks keep their lineage — a lost block is recomputed
     from the parquet scan, the job survives. Single-node cost is
-    identical (same blocks, same memory)."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    identical (same blocks, same memory).
+
+    The handle is tracked in ``_REUSE_HANDLES``; callers that run
+    many dedup queries in one session should call
+    :func:`release_reuse_caches` after each consuming action, or the
+    cached blocks accumulate for the session's lifetime."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _REUSE_HANDLES.append(df)
+    return df
+
+
+def release_reuse_caches() -> int:
+    """Unpersist every intermediate cached by :func:`_reuse` since the
+    last call. Safe to call any time AFTER the consuming action (the
+    returned DataFrames stay valid — they recompute from lineage).
+    Returns the number of handles released."""
+    n = 0
+    while _REUSE_HANDLES:
+        df = _REUSE_HANDLES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing left to release
+    return n
 
 # 31-bit Mersenne prime: (a*h + b) with a,h,b < 2^31 stays well inside
 # int64, so the modular hash needs no 128-bit arithmetic (Spark 4 runs

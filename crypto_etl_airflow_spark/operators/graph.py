@@ -22,6 +22,8 @@ graphs) can replace the inner step without changing the contract.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -135,8 +137,12 @@ def connected_components_star(
     Each phase is one shuffle on the vertex id (groupBy min + join —
     never a collected neighbor list, so hot vertices don't blow
     memory), and the edge set only shrinks toward a forest of stars.
-    Pass ``stats={}`` to receive {"rounds": n} back — used by tests to
-    assert the O(log d) behavior. ``checkpoint_dir`` selects reliable
+    Pass ``stats={}`` to receive {"rounds": n, "converged": bool}
+    back — used by tests to assert the O(log d) behavior; a
+    ``RuntimeWarning`` is issued when ``max_iter`` is exhausted before
+    the fixed point (truncated star iteration can over-SPLIT
+    components, unlike min-label truncation which merely
+    under-propagates labels). ``checkpoint_dir`` selects reliable
     checkpoints exactly as in :func:`connected_components`.
     """
     ckpt = _ckpt_fn(edges.sparkSession, checkpoint_dir)
@@ -153,6 +159,7 @@ def connected_components_star(
     )
 
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -192,9 +199,22 @@ def connected_components_star(
         )
         e = small
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # unlike min-label truncation (valid but under-propagated
+        # labels), a non-converged star edge set can SPLIT one true
+        # component into several — callers must be able to tell
+        # fixed-point output from truncated iteration
+        warnings.warn(
+            f"connected_components_star: max_iter={max_iter} exhausted "
+            "before the fixed point; components may be over-split",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
 
     # at the fixed point e is a forest of stars (child → root); roots
     # have no outgoing edge and label themselves

