@@ -14,6 +14,17 @@ Scale posture: brute force is O(n·m) pairs (n probes × m corpus) —
 fine when one side is small (it broadcasts); the LSH variant buckets
 both sides so each probe only scores its bucket's candidates,
 shuffling on the bucket key instead of building the cross-product.
+
+LSH parameterization is THE scale dial, not a tuning nicety: a random
+(dissimilar) pair collides in one table with p = 2^-num_planes, so the
+expected candidate fraction of all n² pairs is
+``1 - (1 - 2^-planes)^tables`` — planes=4/tables=8 keeps ~40% of all
+pairs (a constant-factor reduction only, fine as a high-recall
+demonstrator on small corpora), while planes=12/tables=16 keeps ~0.4%
+and planes=16 ~0.002%. At 100 TB corpus sizes only the high-plane
+configurations keep candidate volume tracking true near-dup volume;
+``num_tables`` then buys recall back (overall collision for a
+similar pair at angle θ is 1-(1-(1-θ/π)^planes)^tables).
 """
 
 from __future__ import annotations
@@ -135,12 +146,6 @@ def hyperplane_components(table_idx: int, plane_idx: int, dim: int) -> list[floa
     return comps
 
 
-def _hyperplane(table_idx: int, plane_idx: int, dim: int) -> F.Column:
-    return F.array(
-        *[F.lit(v) for v in hyperplane_components(table_idx, plane_idx, dim)]
-    )
-
-
 def rhp_bucket_rows(
     v: DataFrame,
     vec_col: str = "vec",
@@ -154,8 +159,9 @@ def rhp_bucket_rows(
     The hyperplanes travel as a broadcast DATA table (one row per
     hash table, holding its planes as ``array<array<double>>``) —
     inlining tables×planes×dim literals into the expression tree
-    (the per-table ``rhp_bucket`` form) makes analysis/codegen the
-    dominant cost long before the data is large. Values are identical:
+    (a since-removed per-table variant did this) makes analysis/
+    codegen the dominant cost long before the data is large. The
+    DuckDB oracles re-derive the same planes in SQL. Values are identical:
     the same exact dyadic-rational components, the same sequential
     dot-product fold, ``bucket = Σ (1<<i)·[v·plane_i ≥ 0]``. No
     shuffle: broadcast nested-loop join + per-row array fold.
@@ -193,9 +199,17 @@ def neardup_pairs_cosine_lsh(
 ) -> DataFrame:
     """Bucketed embedding near-dup pairs — the scale path for
     :func:`neardup_pairs_cosine`: only pairs sharing an LSH bucket in
-    at least one table are scored, so candidate volume tracks true
-    near-dup volume instead of n². Same output schema (id_a, id_b,
-    cosine_sim ≥ threshold), up to LSH recall."""
+    at least one table are scored. Same output schema (id_a, id_b,
+    cosine_sim ≥ threshold), up to LSH recall.
+
+    Candidate volume is governed by ``num_planes`` (see module
+    docstring): a random pair is a candidate with probability
+    ~``1-(1-2^-planes)^tables``. The planes=4/tables=8 default keeps
+    ~40% of all n² pairs — a recall-heavy demonstrator configuration,
+    NOT the 100 TB operating point. For scale use planes 12-16 with
+    tables sized for the recall target (the registered
+    ``embedding_neardup_pairs_lsh_scaled`` query certifies
+    planes=12/tables=16, ~0.4% expected candidate fraction)."""
     vectors = _widen(vectors)
     v = vectors.select(
         F.col(id_col).alias("vid"),
@@ -252,19 +266,6 @@ def neardup_pairs_cosine_lsh(
     )
 
 
-def rhp_bucket(vec_col, num_planes: int, dim: int, table_idx: int = 0) -> F.Column:
-    """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i).
-    Cosine-similar vectors agree on most signs, so they land in the
-    same bucket with high probability."""
-    bucket = F.lit(0).cast("long")
-    for i in range(num_planes):
-        sign_bit = F.when(
-            _dot(vec_col, _hyperplane(table_idx, i, dim)) >= 0, 1
-        ).otherwise(0)
-        bucket = bucket + (sign_bit.cast("long") * (1 << i))
-    return bucket
-
-
 def cosine_topk_lsh(
     probes: DataFrame,
     corpus: DataFrame,
@@ -281,10 +282,12 @@ def cosine_topk_lsh(
     recall/cost dial: per-table collision probability for angle θ is
     (1-θ/π)^planes, overall 1-(1-p)^tables).
 
-    Each table's join shuffles on its bucket key (~m/2^planes
-    candidates per probe per table); candidates are deduped before
-    scoring so each pair's cosine is computed once. Same output
-    schema as the brute-force variant."""
+    The join shuffles on the (table, bucket) key — ~m/2^planes
+    candidates per probe per table, so ``num_planes`` sets candidate
+    volume (see module docstring: planes=4 keeps ~40% of the corpus
+    per probe across 8 tables; planes=12/tables=16 ~0.4%); candidates
+    are deduped before scoring so each pair's cosine is computed once.
+    Same output schema as the brute-force variant."""
     # widen both sides: the per-row bucket hash (tables × planes
     # 64-dim dots) is the expensive expression stage here
     probes, corpus = _widen(probes), _widen(corpus)

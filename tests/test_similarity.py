@@ -61,21 +61,88 @@ def test_lsh_recall_vs_bruteforce(spark):
 
 
 def test_lsh_bucket_is_deterministic(spark):
-    emb = _emb(spark).limit(20)
-    b1 = {
-        r.vec_id: r.b
-        for r in emb.select(
-            "vec_id", similarity.rhp_bucket(F.col("embedding"), 4, 64).alias("b")
-        ).collect()
-    }
-    b2 = {
-        r.vec_id: r.b
-        for r in emb.select(
-            "vec_id", similarity.rhp_bucket(F.col("embedding"), 4, 64).alias("b")
-        ).collect()
-    }
+    emb = _emb(spark).limit(20).select(
+        "vec_id", F.col("embedding").alias("vec")
+    )
+    def buckets():
+        return {
+            (r.vec_id, r.t): r.bucket
+            for r in similarity.rhp_bucket_rows(
+                emb, num_planes=4, num_tables=8, dim=64
+            ).collect()
+        }
+    b1, b2 = buckets(), buckets()
     assert b1 == b2
     assert all(0 <= v < 16 for v in b1.values())
+    # one row per (vector, table)
+    assert len(b1) == 20 * 8
+
+
+def test_scaled_lsh_collapses_candidate_volume(spark):
+    """planes=12/tables=16 is the scale configuration: a random pair
+    collides with p ≈ 1-(1-2^-12)^16 ≈ 0.4%, vs ~40% for the
+    planes=4/tables=8 demonstrator. Assert both ends on real data."""
+    emb = _emb(spark).select("vec_id", F.col("embedding").alias("vec"))
+    n = emb.count()
+    total_pairs = n * (n - 1) // 2
+
+    def cand_fraction(num_planes: int, num_tables: int) -> float:
+        b = similarity.rhp_bucket_rows(
+            emb, num_planes=num_planes, num_tables=num_tables, dim=64
+        ).select("t", "bucket", "vec_id")
+        pairs = (
+            b.alias("a")
+            .join(b.alias("b"), ["t", "bucket"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select("a.vec_id", "b.vec_id")
+            .distinct()
+            .count()
+        )
+        return pairs / total_pairs
+
+    demo = cand_fraction(4, 8)
+    scaled = cand_fraction(12, 16)
+    assert demo > 0.2, f"planes=4 demonstrator keeps ~40% of pairs, got {demo:.3f}"
+    assert scaled < 0.05, f"scaled config must collapse candidates, got {scaled:.3f}"
+    assert scaled < demo / 10
+
+
+def test_scaled_lsh_recall_on_planted_neardups(spark):
+    """At the true near-dup operating point (cosine ≥ ~0.9, the 100 TB
+    dedup regime) the scaled planes=12/tables=16 config must keep
+    recall high: per-plane agreement for angle θ≈0.45 rad is ~0.86,
+    per-table p≈0.86^12≈0.16, over 16 tables recall ≈ 1-(1-p)^16 ≈
+    0.94. Plant perturbed copies and check."""
+    import math
+    import random
+
+    rng = random.Random(20260813)
+    dim = 64
+    rows = []
+    true_pairs = set()
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i * 2, [float(x) for x in base]))
+        # small perturbation => cosine ~0.97
+        pert = [x + rng.gauss(0, 0.18) for x in base]
+        rows.append((i * 2 + 1, [float(x) for x in pert]))
+        a = sum(x * y for x, y in zip(base, pert))
+        na = math.sqrt(sum(x * x for x in base))
+        nb = math.sqrt(sum(x * x for x in pert))
+        if a / (na * nb) >= 0.9:
+            true_pairs.add((i * 2, i * 2 + 1))
+    vecs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    found = {
+        (r.id_a, r.id_b)
+        for r in similarity.neardup_pairs_cosine_lsh(
+            vecs, threshold=0.9, num_planes=12, num_tables=16, dim=dim
+        ).collect()
+    }
+    assert true_pairs, "fixture generation produced no true near-dups"
+    recall = len(found & true_pairs) / len(true_pairs)
+    assert recall >= 0.85, f"scaled-LSH recall {recall:.2f} below floor"
 
 
 def test_ivf_recall_vs_bruteforce(spark):
