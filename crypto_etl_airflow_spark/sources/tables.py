@@ -16,8 +16,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -35,23 +33,15 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns stored as INT64 TIMESTAMP(NANOS) in the fixtures. Spark's
-# vectorized reader has no ns timestamp type; with
-# spark.sql.legacy.parquet.nanosAsLong they surface as raw ns longs,
-# which we floor-divide to µs — the same truncation DuckDB applies
-# when it reads TIMESTAMP_NS parquet as its µs TIMESTAMP, so both
-# engines see identical values.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one warehouse table from ``{sf_dir}/{name}.parquet``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
-    return df
+    """Load one warehouse table from ``{sf_dir}/{name}.parquet``.
+
+    Timestamp columns in the fixtures are parquet ``timestamp[us]``
+    with no UTC adjustment, which Spark surfaces as ``TimestampNTZ``
+    — the same naive-µs value DuckDB reads as its ``TIMESTAMP``, so
+    both engines see identical values with no normalization step.
+    """
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(

@@ -12,18 +12,7 @@ mirrors SURVEY.md §2.1 S3 "keep schema explicit").
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-
-def _normalize_ns_ts(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
-    """ns-long → µs timestamp, identical to the batch loader
-    (sources/tables.py): parquet TIMESTAMP(NANOS) surfaces as a raw
-    long under ``spark.sql.legacy.parquet.nanosAsLong``."""
-    for col in cols:
-        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
-    return df
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,25 +20,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet files named ``events*.parquet``.
 
     The schema comes from one driver-side footer read of the existing
-    file — no data scan, and the stream gets the exact at-rest types.
+    file — no data scan, and the stream gets the exact at-rest types
+    (``ts`` is parquet ``timestamp[us]`` with no UTC adjustment →
+    ``TimestampNTZ``, identical to the batch loader in
+    sources/tables.py — the batch/stream parity test asserts this).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = (
         spark.read.option("pathGlobFilter", "events*.parquet").parquet(sf_dir).schema
     )
-    sdf = (
+    return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
-    return _normalize_ns_ts(sdf)
 
 
 def stream_parquet_dir(
     spark: SparkSession, path: str, schema: T.StructType, glob: str = "*.parquet"
 ) -> DataFrame:
     """Generic file-watch source over a directory of parquet files."""
-    sdf = (
+    return (
         spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(path)
     )
-    return _normalize_ns_ts(sdf)

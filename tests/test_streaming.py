@@ -197,19 +197,21 @@ def test_ingest_stream_idempotent_and_resumable(spark, tmp_path):
 
 
 def test_stream_events_fixture_source_schema(spark):
-    """The fixture file-watch source yields the batch schema with a
-    µs timestamp (ns-long normalized identically to the batch path)."""
+    """Batch/stream parity: the file-watch source yields EXACTLY the
+    batch loader's schema (fixture ``ts`` is parquet timestamp[us]
+    with no UTC adjustment → TimestampNTZ in both paths)."""
+    from crypto_etl_airflow_spark.sources.tables import load_table
     from crypto_etl_airflow_spark.streaming.sources import stream_events
 
+    batch = load_table(spark, SF_SMOKE, "events")
     sdf = stream_events(spark, SF_SMOKE)
     assert sdf.isStreaming
-    assert isinstance(sdf.schema["ts"].dataType, T.TimestampType)
+    assert isinstance(sdf.schema["ts"].dataType, T.TimestampNTZType)
+    assert sdf.schema == batch.schema
     got = run_complete_to_memory(
         sdf.groupBy().agg(F.count("*").alias("n"))
     )
-    from crypto_etl_airflow_spark.sources.tables import load_table
-
-    assert got.collect()[0].n == load_table(spark, SF_SMOKE, "events").count()
+    assert got.collect()[0].n == batch.count()
 
 
 def test_dedup_within_watermark_bounded_state(spark, watch_dir, tmp_path):
