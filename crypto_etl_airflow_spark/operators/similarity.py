@@ -21,7 +21,7 @@ expected candidate fraction of all n² pairs is
 ``1 - (1 - 2^-planes)^tables`` — planes=4/tables=8 keeps ~40% of all
 pairs (a constant-factor reduction only, fine as a high-recall
 demonstrator on small corpora), while planes=12/tables=16 keeps ~0.4%
-and planes=16 ~0.002%. At 100 TB corpus sizes only the high-plane
+and planes=16/tables=16 ~0.024%. At 100 TB corpus sizes only the high-plane
 configurations keep candidate volume tracking true near-dup volume;
 ``num_tables`` then buys recall back (overall collision for a
 similar pair at angle θ is 1-(1-(1-θ/π)^planes)^tables).

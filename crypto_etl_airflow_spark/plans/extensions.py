@@ -310,6 +310,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_lsh_xxhash",
+    # no oracle: xxhash64 is JVM-only (DuckDB cannot recompute it).
+    # Value correctness is anchored by the portable-md5 twin above
+    # (identical pipeline, swapped hash family) plus the exact-Jaccard
+    # verify step both variants share; this entry exists so the BENCH
+    # record carries the PRODUCTION hash path's number, not just the
+    # portable demonstrator's.
+    tags=("dedup", "extension", "approx"),
+    bench=True,
+)
+def dedup_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) near-dup pairs on the PRODUCTION
+    xxhash64 fast path (portable=False) — same pipeline as
+    `dedup_minhash_lsh`, same exact-Jaccard verification of
+    candidates, different (faster, JVM-codegen'd) base hash family.
+    Rows-only driver check; tests/test_dedup.py asserts the verified
+    pair set matches the portable variant's on the fixture corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, num_hashes=32, bands=8,
+        portable=False,
+    )
+
+
 def _simhash_oracle(max_hamming: int = 3) -> str:
     """DuckDB mirror of the portable 32-bit SimHash pipeline
     (operators/dedup.py::simhash_neardup_pairs(bits=32)): md5-32
@@ -480,17 +505,36 @@ def _lsh_oracle(k: int = 5, num_planes: int = 4, num_tables: int = 8) -> str:
     """
 
 
-@register(
-    "embedding_neardup_pairs_lsh",
-    oracle="""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+def _neardup_lsh_oracle(
+    num_planes: int, num_tables: int,
+    threshold: float = 0.45, planted: bool = False,
+) -> str:
+    """DuckDB mirror of neardup_pairs_cosine_lsh, parameterized on the
+    LSH configuration: re-derives the identical md5 dyadic-rational
+    hyperplanes, bucketing, candidate generation and scoring (see
+    _lsh_oracle for the top-k twin). ``planted=True`` augments the
+    corpus with deterministic near-dup copies (vec_id+100000,
+    every component +0.05 → cosine ≈0.93) of the first 25 vectors —
+    exact double arithmetic mirrored by the Spark builder, so the
+    approximate pipeline certifies on NONZERO output."""
+    v_cte = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
+    if planted:
+        v_cte = f"""
+        WITH base AS ({v_cte})
+        SELECT * FROM base
+        UNION ALL
+        SELECT vec_id + 100000, list_transform(e, x -> x + 0.05)
+        FROM base WHERE vec_id < 25
+        """
+    return f"""
+    WITH v AS ({v_cte}),
     planes AS (
         SELECT t, i,
                list((CAST(CONCAT('0x', substr(md5('rhp-' || t || '-' || i
                                                || '-' || j), 1, 12)) AS BIGINT)
                      % 2049 - 1024) / 1024.0 ORDER BY j) AS pw
-        FROM generate_series(0, 7) tt(t),
-             generate_series(0, 3) ii(i),
+        FROM generate_series(0, {num_tables - 1}) tt(t),
+             generate_series(0, {num_planes - 1}) ii(i),
              generate_series(0, 63) jj(j)
         GROUP BY t, i
     ),
@@ -514,21 +558,88 @@ def _lsh_oracle(k: int = 5, num_planes: int = 4, num_tables: int = 8) -> str:
     JOIN v vb ON vb.vec_id = id_b
     WHERE list_dot_product(va.e, vb.e)
           / (sqrt(list_dot_product(va.e, va.e))
-             * sqrt(list_dot_product(vb.e, vb.e))) >= 0.45
-    """,
+             * sqrt(list_dot_product(vb.e, vb.e))) >= {threshold}
+    """
+
+
+@register(
+    "embedding_neardup_pairs_lsh",
+    oracle=_neardup_lsh_oracle(num_planes=4, num_tables=8),
     tags=("similarity", "dedup", "extension", "approx"),
-    # benched alongside the brute-force baseline (scale path)
+    # benched alongside the scaled configuration so the candidate-volume
+    # gap between the two operating points stays measured
     bench=True,
 )
 def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via LSH bucketing — the scale path
-    for `embedding_neardup_pairs`: candidates ∝ bucket collisions,
-    never n² pairs. Same md5-derived literal hyperplanes as the top-k
-    LSH query; the oracle recomputes bucketing, candidates and
-    scoring value-for-value."""
+    """Embedding near-dup pairs via LSH bucketing — RECALL DEMONSTRATOR
+    configuration (planes=4/tables=8 keeps ~40% of all n² pairs as
+    candidates: near-exhaustive recall, a constant-factor cost
+    reduction only). The 100 TB operating point is
+    `embedding_neardup_pairs_lsh_scaled`. Same md5-derived literal
+    hyperplanes as the top-k LSH query; the oracle recomputes
+    bucketing, candidates and scoring value-for-value."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.neardup_pairs_cosine_lsh(
         emb, threshold=0.45, num_planes=4, num_tables=8, dim=64
+    )
+
+
+@register(
+    "embedding_neardup_pairs_lsh_scaled",
+    oracle=_neardup_lsh_oracle(num_planes=12, num_tables=16),
+    tags=("similarity", "dedup", "extension", "approx"),
+    bench=True,
+)
+def embedding_neardup_pairs_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at the SCALE operating point:
+    planes=12/tables=16 keeps only ~0.4% of random pairs as
+    candidates — candidate volume tracks true near-dup volume instead
+    of n², which is what survives a 100× corpus. The trade is recall
+    at moderate similarity: a cosine-0.45 pair (θ≈63°) collides in
+    some table with only ~9% probability, while true near-dups
+    (cosine ≥0.9) are found with ~93% probability
+    (tests/test_similarity.py measures both). The oracle recomputes
+    the IDENTICAL pipeline — planes, buckets, candidates, scores — so
+    certification is value-for-value on the approximation itself, not
+    on the exact pair set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs_cosine_lsh(
+        emb, threshold=0.45, num_planes=12, num_tables=16, dim=64
+    )
+
+
+@register(
+    "embedding_neardup_pairs_lsh_scaled_planted",
+    oracle=_neardup_lsh_oracle(
+        num_planes=12, num_tables=16, threshold=0.9, planted=True
+    ),
+    tags=("similarity", "dedup", "extension", "approx"),
+)
+def embedding_neardup_pairs_lsh_scaled_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The scale LSH configuration certified on NONZERO output: the
+    corpus is augmented with deterministic near-dup copies of its
+    first 25 vectors (vec_id+100000, each component +0.05 → cosine
+    ≈0.93 to the original), and planes=12/tables=16 at threshold 0.9
+    must recover them. The fixture corpus itself tops out at cosine
+    ~0.51, so `embedding_neardup_pairs_lsh_scaled` legitimately
+    returns zero pairs — this query proves the same configuration
+    FINDS true near-dups when they exist (the ~93% per-pair collision
+    probability is deterministic for a fixed corpus; the oracle
+    recomputes the identical pipeline over the identical augmented
+    corpus, planted copies derived by exact double arithmetic in both
+    engines)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.05)).alias("embedding"),
+    )
+    return similarity.neardup_pairs_cosine_lsh(
+        emb.unionByName(planted),
+        threshold=0.9, num_planes=12, num_tables=16, dim=64,
     )
 
 

@@ -72,47 +72,78 @@ def _load_all() -> None:
 
 
 # Certification priority: the external driver verifies queries in the
-# order this registry emits them and may cap how many it runs per
-# round (50 in rounds 1-2), so queries that still need a driver-green
-# CORRECTNESS row come first — (a) the 11 registered late in round 2
-# that the round-2 cap never reached, then (b) queries whose
-# implementation or oracle changed this round, then (c) queries new
-# this round. Already-green, unchanged queries sort last (their rows
-# stand from earlier rounds).
+# order this registry emits them and caps how many it runs per round
+# (50 in every round so far), so ordering IS the rotation policy.
+# Round-6 rotation (VERDICT r5 item 3): (a) queries new this round —
+# no driver row exists at all; then (b) the 56 queries whose last
+# driver-green row is r1/r2 (rounds 4-5 re-certified the identical
+# 50-query set, so these went stale in the driver record even though
+# the local sweep covers them). The 50-slot cap reaches (a) plus the
+# first 47 of (b); the ~9 that miss rotate to the front next round.
+# Queries certified in r4/r5 sort last — their rows are fresh.
 _PRIORITY = [
-    # (a) the round-2 certification tail — never driver-checked
-    "q13_customer_distribution",
-    "q16_supplier_cnt_by_part",
-    "q17_small_quantity_revenue",
-    "q20_majority_suppliers",
-    "q21_sole_late_supplier",
-    "q22_dormant_rich_customers",
-    "agg_approx_percentiles",
-    "streaming_enrich_segment",
-    "quality_psi_value_drift",
-    "join_right_segment_orders",
-    "embedding_neardup_pairs_lsh",
-    # (b) predicate/implementation changed in round 3 — need fresh
-    # certification (cosine threshold now compared unrounded in BOTH
-    # engines; dedup reuse points now lineage-preserving persist)
-    "embedding_neardup_pairs",
-    "similarity_topk_bruteforce",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_decontaminate",
-    "multimodal_features",
-    # (c) new in round 3 — no driver row exists yet (appended by
-    # _PRIORITY_R3 below as modules register them)
+    # (a) new in round 6 — no driver row exists yet
+    "embedding_neardup_pairs_lsh_scaled",
+    "embedding_neardup_pairs_lsh_scaled_planted",
+    "dedup_minhash_lsh_xxhash",
+    # (b) last driver-certified in r1/r2 — stale rotation backlog
+    "language_confusion_matrix",
+    "crypto_prices_projection",
+    "quality_metrics",
+    "dedup_exact_rows",
+    "json_quarantine_stats",
+    "profile_orders_table",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_revenue_by_nation",
+    "join_left_order_counts",
+    "join_semi_active_customers",
+    "join_anti_customers_without_orders",
+    "join_full_nation_presence",
+    "join_cross_region_nation",
+    "join_range_size_buckets",
+    "agg_distinct_counts",
+    "agg_rollup_orders",
+    "agg_cube_lineitem",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_stddev_percentiles",
+    "agg_approx_distinct",
+    "window_rank_parts",
+    "window_ntile_customers",
+    "window_running_total",
+    "topk_orders",
+    "setops_nations",
+    "unpivot_part_measures",
+    "scalar_string_pack",
+    "scalar_date_pack",
+    "scalar_math_pack",
+    "scalar_conditional_pack",
+    "scalar_array_pack",
+    "scalar_map_pack",
+    "asof_last_error_before_click",
+    "asof_with_tolerance",
+    "streaming_tumbling_counts",
+    "streaming_sliding_avg",
+    "session_windows_per_user",
+    "streaming_stateful_user_stats",
+    "streaming_ingest_idempotent",
+    "interval_join_click_errors",
+    "join_salted_skew",
+    "q2_cheapest_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_customers",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
 ]
-
-# Names appended here (by the round-3 plan modules) certify after the
-# tail above but before the standing-green backlog.
-_PRIORITY_R3: list[str] = [
-    "multimodal_wav_features",
-    "multimodal_ppm_features",
-    "dedup_clusters_star",
-]
-_PRIORITY.extend(_PRIORITY_R3)
 
 
 def all_specs() -> dict[str, QuerySpec]:
