@@ -30,8 +30,9 @@ runs and clusters, no RNG state.
 from __future__ import annotations
 
 import hashlib
+import threading
 
-from pyspark import StorageLevel
+from pyspark import SparkContext, StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,8 +42,30 @@ from .parallel import widen_small_input as _widen
 # Persisted intermediates handed out by _reuse, so long-lived
 # sessions (bench loops, notebooks) can evict them: Spark's cache
 # manager holds cached plans until an explicit unpersist — GC of the
-# Python DataFrame does NOT release the blocks.
+# Python DataFrame does NOT release the blocks. Guarded by
+# _REUSE_LOCK (operators may be built from multiple driver threads —
+# e.g. concurrent job groups) and bounded at _REUSE_MAX entries: when
+# a session never calls release_reuse_caches(), the oldest handle is
+# evicted (unpersisted) instead of the list growing for the session's
+# lifetime. Eviction is safe at any time — unpersisted DataFrames
+# recompute from lineage.
+_REUSE_LOCK = threading.Lock()
 _REUSE_HANDLES: list[DataFrame] = []
+_REUSE_MAX = 32
+
+
+def _safe_unpersist(df: DataFrame) -> bool:
+    """Unpersist, swallowing ONLY the session-already-stopped case
+    (the one legitimate failure: the JVM and its cache are gone, so
+    there is nothing left to release). Any unpersist error on a LIVE
+    session is a real bug and propagates."""
+    try:
+        df.unpersist()
+        return True
+    except Exception:
+        if SparkContext._active_spark_context is not None:
+            raise
+        return False
 
 
 def _reuse(df: DataFrame) -> DataFrame:
@@ -57,12 +80,18 @@ def _reuse(df: DataFrame) -> DataFrame:
     from the parquet scan, the job survives. Single-node cost is
     identical (same blocks, same memory).
 
-    The handle is tracked in ``_REUSE_HANDLES``; callers that run
-    many dedup queries in one session should call
-    :func:`release_reuse_caches` after each consuming action, or the
-    cached blocks accumulate for the session's lifetime."""
+    The handle is tracked in ``_REUSE_HANDLES`` (locked, bounded —
+    see above); callers that run many dedup queries in one session
+    should still call :func:`release_reuse_caches` after each
+    consuming action so blocks are freed promptly rather than at
+    eviction."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _REUSE_HANDLES.append(df)
+    with _REUSE_LOCK:
+        _REUSE_HANDLES.append(df)
+        evicted = _REUSE_HANDLES[:-_REUSE_MAX]
+        del _REUSE_HANDLES[: len(evicted)]
+    for old in evicted:
+        _safe_unpersist(old)
     return df
 
 
@@ -71,15 +100,10 @@ def release_reuse_caches() -> int:
     last call. Safe to call any time AFTER the consuming action (the
     returned DataFrames stay valid — they recompute from lineage).
     Returns the number of handles released."""
-    n = 0
-    while _REUSE_HANDLES:
-        df = _REUSE_HANDLES.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing left to release
-    return n
+    with _REUSE_LOCK:
+        handles = _REUSE_HANDLES[:]
+        _REUSE_HANDLES.clear()
+    return sum(1 for df in handles if _safe_unpersist(df))
 
 # 31-bit Mersenne prime: (a*h + b) with a,h,b < 2^31 stays well inside
 # int64, so the modular hash needs no 128-bit arithmetic (Spark 4 runs

@@ -117,6 +117,50 @@ def test_minhash_portable_mode_recall_vs_exact(spark):
     assert recall >= 0.9, f"portable recall {recall:.2f} < 0.9"
 
 
+def test_minhash_xxhash_and_portable_agree_on_fixture(spark):
+    """The production (xxhash64) and portable (md5) hash families run
+    the identical banding + exact-Jaccard-verify pipeline; on the
+    fixture corpus both recover the same verified pair set (candidate
+    generation can differ per family, but the verify step makes any
+    difference a pure recall difference — and at 32 hashes / 8 bands
+    both clear every true pair here). This is the value anchor for the
+    rows-only `dedup_minhash_lsh_xxhash` bench query."""
+    docs = _docs(spark)
+    prod = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", 3, 0.8, portable=False
+        ).collect()
+    }
+    portable = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", 3, 0.8, portable=True
+        ).collect()
+    }
+    assert prod == portable
+
+
+def test_reuse_handles_bounded_and_released(spark):
+    """_REUSE_HANDLES is bounded at _REUSE_MAX (oldest evicted, its
+    blocks unpersisted, the DataFrame still computable from lineage)
+    and release_reuse_caches() drains it completely — a session that
+    never releases cannot accumulate cache blocks without bound
+    (ADVICE r4)."""
+    dedup.release_reuse_caches()  # start clean
+    dfs = [dedup._reuse(spark.range(i + 1)) for i in range(dedup._REUSE_MAX + 4)]
+    assert len(dedup._REUSE_HANDLES) == dedup._REUSE_MAX
+    # the 4 oldest were evicted: unpersisted but still computable
+    for old in dfs[:4]:
+        assert not old.storageLevel.useMemory
+        assert old.count() >= 1
+    assert dfs[-1].storageLevel.useMemory  # newest still cached
+    released = dedup.release_reuse_caches()
+    assert released == dedup._REUSE_MAX
+    assert not dedup._REUSE_HANDLES
+    assert dedup.release_reuse_caches() == 0  # idempotent
+
+
 def test_shingle_reuse_point_keeps_lineage(spark):
     """The multi-consumer shingle set is persisted (MEMORY_AND_DISK),
     NOT localCheckpoint'd: cached blocks keep their lineage, so an

@@ -56,6 +56,16 @@ def main() -> int:
 
     from crypto_etl_airflow_spark.operators.dedup import release_reuse_caches
 
+    # Queries INTENTIONALLY registered without an oracle (semantics a
+    # DuckDB query cannot recompute). Anything else missing an oracle
+    # is a regression — an oracle silently lost to a refactor would
+    # otherwise downgrade to the weak rows-only check unnoticed.
+    rows_only_ok = {
+        # xxhash64 is JVM-only; value anchor = the portable-md5 twin
+        # (identical pipeline) + tests/test_dedup.py set-equality test
+        "dedup_minhash_lsh_xxhash",
+    }
+
     fails: list[str] = []
     for name, fn in qs.items():
         try:
@@ -65,7 +75,15 @@ def main() -> int:
                 tuple(str(r[c]) for c in cols) for r in sdf.collect()
             )
             if name not in osql:  # rows-only query (driver's weak check)
-                print(name, "ROWS-ONLY", len(srows), flush=True)
+                expected = name in rows_only_ok
+                print(
+                    name,
+                    "ROWS-ONLY" if expected else "ROWS-ONLY-UNEXPECTED",
+                    len(srows),
+                    flush=True,
+                )
+                if not expected:
+                    fails.append(name)
                 release_reuse_caches()
                 continue
             cur = con.execute(osql[name])
