@@ -50,6 +50,36 @@ def recover_directory(path: str) -> bool:
     return False
 
 
+def recover_tree(path: str) -> int:
+    """Heal every crash window of a (possibly partition-pruned) swap:
+    :func:`recover_directory` for the table dir itself, then a walk
+    for ``*.__old`` partition directories at ANY depth. Each one is
+    either the only copy of its partition (live twin missing — a
+    crash between the leaf swap's two renames: rename it back) or a
+    completed-swap leftover (live twin present — delete it). Returns
+    the number of directories healed or cleaned.
+
+    Without the walk, a crashed LEAF swap leaves ``.../day=a.__old``
+    which Spark's partition discovery reads as a bogus partition
+    value (``day = 'a.__old'``) — silently corrupting every read and
+    making the next pruned merge clobber the partition's real rows.
+    Every swap-managed reader (merge, compact) runs this first."""
+    healed = int(recover_directory(path))
+    if not os.path.isdir(path):
+        return healed
+    for root, dirs, _files in os.walk(path):
+        for d in [x for x in dirs if x.endswith(".__old")]:
+            dirs.remove(d)  # never walk into an aside copy
+            full = os.path.join(root, d)
+            live = full[: -len(".__old")]
+            if os.path.exists(live):
+                shutil.rmtree(full)
+            else:
+                os.rename(full, live)
+            healed += 1
+    return healed
+
+
 def swap_directory(staging: str, path: str) -> None:
     """Replace directory ``path`` with ``staging``, crash-safely
     ordered: the live dir is first renamed ASIDE (``path.__old``),
@@ -84,7 +114,7 @@ def compact(
     ``ceil(size / target_file_bytes)`` files. Returns the new file
     count. Preserves rows exactly (no ordering guarantee — parquet
     tables are unordered sets)."""
-    recover_directory(path)
+    recover_tree(path)
     n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
     staging = path.rstrip("/") + ".__compact_tmp"
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(

@@ -155,12 +155,15 @@ def merge_replace_keys(
     writer, like the reference. ``checkpoint_dir`` selects reliable
     checkpoints as in :func:`upsert_append`.
     """
-    from .compact import recover_directory, swap_directory
+    from .compact import recover_tree, swap_directory
 
     # a prior merge that crashed mid-swap leaves the table at
-    # path.__old only; restore it BEFORE the existence check, or this
-    # merge would silently rebuild the table from the batch alone
-    recover_directory(path)
+    # path.__old only — or, for a partition-pruned merge, a LEAF at
+    # day=x.__old (which partition discovery would read as a bogus
+    # partition value). Heal the whole tree BEFORE the existence
+    # check and the existing-table read, or this merge would rebuild
+    # from the batch alone / clobber the crashed partition's rows.
+    recover_tree(path)
 
     if batch.isEmpty():
         return (0, 0)
