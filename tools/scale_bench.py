@@ -1,0 +1,199 @@
+"""Measured scale curve (VERDICT r5 item 6): synthesize a K× copy of
+the extension tables (events / documents / embeddings), run the bench
+queries at 1× and K×, and report the runtime ratio per query.
+
+Construction (deterministic, no RNG — copy index k = 0..K-1):
+
+- ``events``: event_id + k·10¹², ts + k seconds, value + k·0.001 —
+  same entities, so per-entity series grow K× (the window-scaling
+  case, not the more-keys case).
+- ``documents``: doc_id + k·10⁹; every TOKEN gets a copy suffix
+  (``token`` → ``token<k>``), so each copy's shingle-frequency
+  distribution is IDENTICAL to the original's while no shingle is
+  shared across copies — the K× corpus behaves statistically like K×
+  independent documents (true near-dup pairs replicate per copy:
+  exactly linear output growth; doc-freq caps keep their semantics).
+- ``embeddings``: vec_id + k·10⁷; components circularly shifted by k
+  — rotation preserves every within-copy cosine exactly
+  (cos(shift_k(u), shift_k(v)) = cos(u, v)) while cross-copy
+  directions decorrelate, so near-dup volume grows linearly and LSH
+  buckets don't collapse into copy-clusters.
+- TPC-H tables are copied UNSCALED: their queries (q1/q3/q5) run on
+  identical data at both "scales" and act as a ratio≈1.0 control for
+  environment drift between the two timing runs.
+
+Timing: one throwaway query absorbs JVM/codegen startup, then ONE
+timed run per query per scale (the heavy queries at K× are minutes —
+best-of-3 would triple a number whose signal is its order of
+magnitude, and the control queries bound the noise).
+
+Usage:  python tools/scale_bench.py [K] [query ...]   (default K=10,
+all bench queries). Naming queries limits the run (chunked timing —
+the K× directory is reused across invocations once built).
+Prints one JSON line; paste the table into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+SCALED_TABLES = ("events", "documents", "embeddings")
+CONTROL_QUERIES = ("q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation")
+
+
+def build_scaled_dir(spark, src: str, out: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for name in (
+        "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
+    ):
+        src_path = f"{src}/{name}.parquet"
+        if os.path.isdir(src_path):
+            shutil.copytree(src_path, f"{out}/{name}.parquet")
+        else:
+            shutil.copy(src_path, f"{out}/{name}.parquet")
+
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    ev_copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * 10**12)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+            *[c for c in ev.columns if c not in ("event_id", "ts", "value")],
+            (F.col("value") + F.lit(k * 0.001)).alias("value"),
+        ).select(*ev.columns)
+        for k in range(factor)
+    ]
+    _union_all(ev_copies).write.parquet(f"{out}/events.parquet")
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    doc_copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(k * 10**9)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.lit(str(k))),
+                ),
+                " ",
+            ).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        ).select(*docs.columns)
+        for k in range(factor)
+    ]
+    _union_all(doc_copies).write.parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    dim = 64
+    emb_copies = [
+        emb.select(
+            (F.col("vec_id") + F.lit(k * 10**7)).alias("vec_id"),
+            (
+                F.col("embedding")
+                if k == 0
+                else F.concat(
+                    F.slice("embedding", k + 1, dim - k),
+                    F.slice("embedding", 1, k),
+                )
+            ).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        ).select(*emb.columns)
+        for k in range(factor)
+    ]
+    _union_all(emb_copies).write.parquet(f"{out}/embeddings.parquet")
+
+
+def _union_all(dfs):
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = os.environ.get("SPARK_GRAFT_SCALE_DIR", f"/tmp/scale_bench_x{factor}")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("crypto-etl-spark-scale-bench")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if os.path.exists(f"{out}/embeddings.parquet/_SUCCESS"):
+        build_s = 0.0  # already built by a prior (chunked) invocation
+    else:
+        t0 = time.perf_counter()
+        build_scaled_dir(spark, src, out, factor)
+        build_s = time.perf_counter() - t0
+
+    from crypto_etl_airflow_spark.operators.dedup import release_reuse_caches
+    from crypto_etl_airflow_spark.plans.registry import all_specs
+
+    specs = {n: s for n, s in all_specs().items() if s.bench}
+    if only:
+        specs = {n: s for n, s in specs.items() if n in only}
+
+    # absorb JVM + codegen startup once, outside any timed window
+    spark.read.parquet(f"{src}/events.parquet").count()
+
+    results: dict[str, dict[str, float]] = {}
+    for name, spec in specs.items():
+        row: dict[str, float] = {}
+        # 1× twice, keep the min: the first run absorbs this plan's
+        # codegen + page-cache warm-up, so the denominator is the
+        # steady-state cost and the ratio is CONSERVATIVE (the single
+        # K× run still carries any first-run overhead).
+        t1_runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.builder(spark, src).count()
+            t1_runs.append(time.perf_counter() - t0)
+            release_reuse_caches()
+        row["t1"] = round(min(t1_runs), 3)
+        t0 = time.perf_counter()
+        spec.builder(spark, out).count()
+        row["tK"] = round(time.perf_counter() - t0, 3)
+        release_reuse_caches()
+        row["ratio"] = round(row["tK"] / row["t1"], 2)
+        row["control"] = name in CONTROL_QUERIES
+        results[name] = row
+        print(f"# {name}: 1x={row['t1']}s {factor}x={row['tK']}s "
+              f"ratio={row['ratio']}{' (control)' if row['control'] else ''}",
+              file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "metric": "scale_curve",
+        "factor": factor,
+        "build_sec": round(build_s, 1),
+        "src": src,
+        "queries": results,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
