@@ -1497,3 +1497,75 @@ def language_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+_WINNOW_FPS_SQL = """
+    WITH t AS (SELECT doc_id,
+                      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+               FROM documents),
+    g AS (
+        SELECT doc_id, i,
+               CAST(CONCAT('0x', substr(md5(substr(s, i, 8)), 1, 8)) AS BIGINT) AS h,
+               length(s) - 8 + 1 AS n_g
+        FROM t, unnest(generate_series(1, length(s) - 8 + 1)) AS gs(i)
+        WHERE length(s) - 8 + 1 >= 4
+    ),
+    wins AS (
+        SELECT doc_id, i, n_g,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM g
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE i <= n_g - 4 + 1)
+"""
+
+
+@register(
+    "text_winnow_profile",
+    oracle=_WINNOW_FPS_SQL
+    + """
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+           min(fp) AS min_fp, max(fp) AS max_fp,
+           CAST(sum(fp) AS BIGINT) AS sum_fp
+    FROM fps GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "extension"),
+)
+def text_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling k-gram hash + window
+    minimum, Schleimer et al. SIGMOD 2003 — operators/fingerprint.py),
+    k=8, w=4: per-document profile (count/min/max/sum of the selected
+    hashes). The oracle re-derives every gram hash and window minimum
+    value-for-value."""
+    from ..operators.fingerprint import winnow_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_profile(docs, k=8, w=4)
+
+
+@register(
+    "text_winnow_shared_pairs",
+    oracle=_WINNOW_FPS_SQL
+    + """
+    , kept AS (
+        SELECT doc_id, fp FROM fps
+        WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 50)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 30
+    """,
+    tags=("text", "dedup", "extension"),
+)
+def text_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-passage detection: document pairs sharing ≥30 winnowed
+    fingerprints after dropping boilerplate fingerprints present in
+    >50 documents. Two documents sharing ANY ≥11-char run share a
+    fingerprint (the winnowing guarantee at k=8/w=4); a sustained
+    copied passage shares many — this is the cross-document signal
+    n-gram Jaccard misses when the rest of the documents differ."""
+    from ..operators.fingerprint import winnow_shared_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_shared_pairs(docs, k=8, w=4, min_shared=30, max_doc_freq=50)

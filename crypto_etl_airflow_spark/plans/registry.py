@@ -86,6 +86,8 @@ _PRIORITY = [
     "embedding_neardup_pairs_lsh_scaled",
     "embedding_neardup_pairs_lsh_scaled_planted",
     "dedup_minhash_lsh_xxhash",
+    "text_winnow_profile",
+    "text_winnow_shared_pairs",
     # (b) last driver-certified in r1/r2 — stale rotation backlog
     "language_confusion_matrix",
     "crypto_prices_projection",

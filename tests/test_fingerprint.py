@@ -1,0 +1,72 @@
+"""Winnowing fingerprints: the SIGMOD-2003 substring-match guarantee,
+degenerate inputs, and copied-passage pair detection."""
+
+from pyspark.sql import functions as F
+
+from crypto_etl_airflow_spark.operators.fingerprint import (
+    winnow_fingerprints,
+    winnow_profile,
+    winnow_shared_pairs,
+)
+
+K, W = 8, 4
+GUARANTEE = W + K - 1  # any shared run of this many chars → shared fp
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_identical_docs_share_all_fingerprints(spark):
+    df = _df(spark, [(1, "the quick brown fox jumps over the lazy dog"),
+                     (2, "The  quick  brown fox jumps over the lazy dog")])
+    fps = {(r.doc_id, r.fp) for r in winnow_fingerprints(df).collect()}
+    a = {fp for d, fp in fps if d == 1}
+    b = {fp for d, fp in fps if d == 2}
+    assert a and a == b  # normalization makes them identical
+
+
+def test_copied_passage_guarantees_shared_fingerprint(spark):
+    """The winnowing guarantee: a shared character run of length
+    ≥ w+k−1 yields at least one shared fingerprint, however
+    different the surrounding text."""
+    passage = "zygomorphic quartz veins"  # 24 chars ≥ GUARANTEE
+    assert len(passage) >= GUARANTEE
+    df = _df(spark, [
+        (1, f"completely unrelated preamble {passage} and some tail"),
+        (2, f"different document body where {passage} appears verbatim"),
+        (3, "nothing in common with either of the documents above"),
+    ])
+    fps = {}
+    for r in winnow_fingerprints(df).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "copied passage must share a fingerprint"
+
+
+def test_short_doc_yields_no_fingerprints(spark):
+    df = _df(spark, [(1, "tiny"), (2, "x" * (GUARANTEE - 1)), (3, "x" * 64)])
+    got = {r.doc_id for r in winnow_fingerprints(df).collect()}
+    assert got == {3}
+
+
+def test_profile_counts_distinct_fps(spark):
+    df = _df(spark, [(1, "abcdefgh" * 8)])  # repeated text → few distinct fps
+    prof = winnow_profile(df).collect()
+    assert len(prof) == 1
+    p = prof[0]
+    assert p.n_fps >= 1
+    assert p.min_fp <= p.max_fp
+    n_wins = len("abcdefgh" * 8) - K + 1 - W + 1
+    assert p.n_fps < n_wins  # distinct-collapse actually collapsed
+
+
+def test_shared_pairs_finds_copied_passage_only(spark):
+    passage = "an unmistakably copied paragraph of considerable length here"
+    df = _df(spark, [
+        (1, f"first document original material {passage}"),
+        (2, f"{passage} second document with other original material"),
+        (3, "a third document with entirely distinct content and words"),
+    ])
+    pairs = {(r.id_a, r.id_b) for r in
+             winnow_shared_pairs(df, min_shared=5).collect()}
+    assert pairs == {(1, 2)}
