@@ -79,3 +79,21 @@ def test_decontaminate_broadcasts_benchmark_shingles(spark):
     df = all_specs()["dedup_decontaminate"].builder(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+
+
+def test_winnow_pairs_broadcasts_hot_fingerprints(spark):
+    """The boilerplate-fingerprint cap must broadcast into a LEFT ANTI
+    join (the hot set is tiny by construction); a shuffled anti-join
+    of the full fingerprint table would defeat the cap at scale."""
+    df = all_specs()["text_winnow_shared_pairs"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+
+
+def test_scaled_lsh_broadcasts_planes_table(spark):
+    """The hyperplane table must arrive via broadcast (one scan
+    computes every hash table's bucket); a shuffle there would key on
+    nothing useful and serialize the bucketing stage."""
+    df = all_specs()["embedding_neardup_pairs_lsh_scaled"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
