@@ -1569,3 +1569,40 @@ def text_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_shared_pairs(docs, k=8, w=4, min_shared=30, max_doc_freq=50)
+
+
+@register(
+    "embedding_quantize_error_by_label",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    p AS (SELECT vec_id, label, e, list_min(e) AS mn,
+                 CASE WHEN list_max(e) > list_min(e)
+                      THEN (list_max(e) - list_min(e)) / 255.0
+                      ELSE 1.0 END AS scale
+          FROM v),
+    comp AS (
+        SELECT label, scale,
+               abs(x - (mn + LEAST(255, GREATEST(0,
+                            floor((x - mn) / scale + 0.5))) * scale)) AS err
+        FROM p, unnest(e) AS u(x)
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_components,
+           round(avg(err), 6) AS avg_abs_err,
+           round(max(err), 6) AS max_abs_err,
+           round(avg(scale), 6) AS avg_scale
+    FROM comp GROUP BY label
+    """,
+    tags=("similarity", "extension"),
+)
+def embedding_quantize_error_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization reconstruction profile per label
+    (operators/quantize.py): the storage/shuffle-width scale lever
+    for 100 TB embedding tables (~4x narrower vectors through every
+    ANN join). Codes use floor(x+0.5) instead of round() so both
+    engines quantize with identical IEEE arithmetic; the oracle
+    recomputes codes and errors value-for-value."""
+    from ..operators.quantize import quantization_error_by_label
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization_error_by_label(emb)

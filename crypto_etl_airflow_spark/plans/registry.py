@@ -88,6 +88,7 @@ _PRIORITY = [
     "dedup_minhash_lsh_xxhash",
     "text_winnow_profile",
     "text_winnow_shared_pairs",
+    "embedding_quantize_error_by_label",
     # (b) last driver-certified in r1/r2 — stale rotation backlog
     "language_confusion_matrix",
     "crypto_prices_projection",

@@ -1,0 +1,64 @@
+"""Int8 embedding quantization: round-trip error bound, degenerate
+inputs, and code-range invariants."""
+
+from pyspark.sql import functions as F
+
+from crypto_etl_airflow_spark.operators.quantize import (
+    dequantize,
+    quantize_embeddings_int8,
+)
+from crypto_etl_airflow_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_roundtrip_error_bounded_by_half_step(spark):
+    """Scalar quantization's defining bound: every reconstructed
+    component is within scale/2 of the original."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = quantize_embeddings_int8(emb)
+    joined = q.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        F.arrays_zip(
+            F.col("embedding").cast("array<double>"),
+            dequantize(F.col("q_codes"), F.col("q_min"), F.col("q_scale")),
+        ).alias("z"),
+        "q_scale",
+    )
+    bad = joined.select(
+        F.exists(
+            "z",
+            lambda s: F.abs(s["0"] - s["1"]) > F.col("q_scale") / 2 + F.lit(1e-12),
+        ).alias("viol")
+    ).filter("viol")
+    assert bad.count() == 0
+
+
+def test_codes_in_range_and_extremes_hit(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = quantize_embeddings_int8(emb)
+    stats = q.select(
+        F.array_min("q_codes").alias("lo"), F.array_max("q_codes").alias("hi")
+    ).agg(
+        F.min("lo").alias("mn"), F.max("hi").alias("mx"),
+        F.sum(F.when(F.col("lo") == 0, 1).otherwise(0)).alias("n_lo"),
+        F.sum(F.when(F.col("hi") == 255, 1).otherwise(0)).alias("n_hi"),
+    ).collect()[0]
+    assert stats.mn >= 0 and stats.mx <= 255
+    # per-vector min maps to code 0 and max to code 255 by construction
+    assert stats.n_lo > 0 and stats.n_hi > 0
+
+
+def test_constant_vector_is_all_zero_codes_zero_error(spark):
+    df = spark.createDataFrame(
+        [(1, [2.5, 2.5, 2.5])], "vec_id long, embedding array<double>"
+    )
+    q = quantize_embeddings_int8(df).collect()[0]
+    assert list(q.q_codes) == [0, 0, 0]
+    assert q.q_scale == 1.0
+    rec = (
+        quantize_embeddings_int8(df)
+        .select(dequantize("q_codes", "q_min", "q_scale").alias("r"))
+        .collect()[0]
+        .r
+    )
+    assert list(rec) == [2.5, 2.5, 2.5]
