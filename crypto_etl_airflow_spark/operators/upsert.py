@@ -74,6 +74,14 @@ def upsert_append(
 
     fresh = batch.dropDuplicates(keys)
 
+    # heal any crashed swap (table-level or leaf-partition aside dirs)
+    # BEFORE the anti-join read: a day=x.__old leftover would read as
+    # a bogus partition value, the anti-join would miss those keys,
+    # and this append would insert duplicates
+    from .compact import recover_tree
+
+    recover_tree(path)
+
     if table_exists(spark, path):
         existing_keys = spark.read.parquet(path).select(*keys)
         if prune_filter is not None:

@@ -350,3 +350,30 @@ def test_merge_partitioned_swap_kill_at_every_fs_op(spark, tmp_path):
         )
         assert read_state(path) == post, f"kill@{kill_at}: rerun diverged"
     assert killed_any  # the fault injector actually exercised kill points
+
+
+def test_upsert_append_heals_crashed_partition_swap(spark, tmp_path):
+    """upsert_append must heal a crashed leaf-partition swap before
+    its anti-join read: a day=x.__old leftover reads as a bogus
+    partition value, the existing keys go unseen, and the append
+    would insert duplicate keys."""
+    import os
+
+    path = str(tmp_path / "t")
+    first = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, day string, v double"
+    )
+    assert upsert_append(
+        spark, first, path, keys=["id", "day"], partition_by=["day"]
+    ) == 2
+    # simulate the leaf crash window: partition dir renamed aside
+    os.rename(f"{path}/day=a", f"{path}/day=a.__old")
+    again = spark.createDataFrame(
+        [(1, "a", 99.0), (3, "a", 3.0)], "id long, day string, v double"
+    )
+    # key (1, a) exists (behind the aside dir) -> only (3, a) inserts
+    assert upsert_append(
+        spark, again, path, keys=["id", "day"], partition_by=["day"]
+    ) == 1
+    got = sorted((r.id, r.day, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
