@@ -62,3 +62,35 @@ def test_constant_vector_is_all_zero_codes_zero_error(spark):
         .r
     )
     assert list(rec) == [2.5, 2.5, 2.5]
+
+
+def test_topk_on_dequantized_vectors_matches_exact(spark):
+    """The point of int8 storage: ANN over dequantized vectors must
+    agree with ANN over the originals. Top-5 cosine neighbor sets
+    overlap >=80% on the fixture corpus (int8 range quantization
+    perturbs 64-dim cosines far below typical neighbor gaps)."""
+    from crypto_etl_airflow_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    deq = quantize_embeddings_int8(emb).select(
+        "vec_id",
+        dequantize("q_codes", "q_min", "q_scale").alias("embedding"),
+    )
+    k = 5
+    probes = emb.filter(F.col("vec_id") < 20)
+    probes_q = deq.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(probes, emb, k=k).collect()
+    }
+    quant = {
+        (r.probe_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(probes_q, deq, k=k).collect()
+    }
+    assert exact and len(exact) == len(quant)
+    overlap = len(exact & quant) / len(exact)
+    assert overlap >= 0.8, f"dequantized top-{k} overlap {overlap:.2f}"
