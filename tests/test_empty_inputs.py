@@ -1,0 +1,62 @@
+"""Empty-input robustness: at 100 TB, empty tables and empty
+partitions are routine (a fresh warehouse, an hour with no events, a
+filter that eliminates a source). Every operator must degrade to an
+empty (or guard-valued) result, never throw.
+
+A full probe of all 112 registered queries against empty tables
+passed in round 6; this permanent test pins the riskiest shape per
+operator family (seeded IVF, iterative CC, window/lag, incremental
+rollup, ratio-producing quality metrics, …) so regressions surface
+without doubling the suite's runtime.
+"""
+
+import pytest
+
+from crypto_etl_airflow_spark.plans.registry import all_specs
+from crypto_etl_airflow_spark.sources.tables import TABLES
+
+# one representative per family, biased toward operators with seeds,
+# iteration, division, or window frames — the shapes that typically
+# break on zero rows
+RISKY = [
+    "hourly_variation",        # window lag + pct-change division
+    "pivot_entities",          # pivot with discovered columns
+    "rollup_incremental_hourly",  # multi-batch incremental fold
+    "quality_metrics",         # aggregate scalars + ratio checks
+    "quality_psi_value_drift", # distribution compare, log of ratios
+    "dedup_minhash_lsh",       # grouped signature agg + banding
+    "dedup_clusters",          # iterative connected components
+    "dedup_keep_best",         # min_by over empty groups
+    "similarity_topk_ivf",     # SEEDED centroids (limit on empty)
+    "similarity_topk_lsh",     # broadcast planes over empty corpus
+    "embedding_quantize_error_by_label",  # array min/max on no rows
+    "text_winnow_shared_pairs",  # window min + self-join
+    "text_tfidf_top_terms",    # idf division, vocab on empty corpus
+    "multimodal_features",     # Arrow mapInPandas over zero batches
+    "customer_rfm_segments",   # ntile over empty partitions
+    "funnel_view_click_purchase",  # sequential conversion ratios
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(0)
+            .write.mode("overwrite")
+            .parquet(f"{out}/{t}.parquet")
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_query_survives_empty_tables(spark, empty_sf, name):
+    from crypto_etl_airflow_spark.operators.dedup import release_reuse_caches
+
+    spec = all_specs()[name]
+    try:
+        spec.builder(spark, empty_sf).count()  # must not raise
+    finally:
+        release_reuse_caches()
