@@ -145,15 +145,24 @@ def extract_features(
             return fake_features(payload)
 
         for pdf in batches:
-            feats = []
+            feats, sizes = [], []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                # null payloads are routine in a real corpus (failed
+                # fetch, absent modality): preserve the row with null
+                # features instead of crashing the Arrow worker on
+                # bytes(None)
+                if payload is None:
+                    feats.append(None)
+                    sizes.append(0)
+                    continue
                 raw = bytes(payload)
+                sizes.append(len(raw))
                 if decoder is not None:
                     feats.append(decoder(raw, mtype))
                 else:
                     feats.append(default_decode(raw))
             out = pdf[["media_id", "media_type"]].copy()
-            out["payload_bytes"] = [len(bytes(p)) for p in pdf["payload"]]
+            out["payload_bytes"] = sizes
             out["features"] = feats
             yield out
 

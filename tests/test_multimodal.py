@@ -196,3 +196,20 @@ def test_default_decoder_falls_back_on_non_media_payloads(spark):
     media = _media(spark).limit(20)
     out = multimodal.extract_features(media).collect()
     assert all(0.0 <= x <= 1.0 for r in out for x in r.features)
+
+
+def test_extract_features_null_payload_yields_null_features(spark):
+    """Null payloads (failed fetch, absent modality) must flow
+    through the Arrow stage as null-feature rows, not crash the
+    worker on bytes(None)."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, b"payload-bytes", "image"), (2, None, "image")],
+        "media_id long, payload binary, media_type string",
+    )
+    got = {r.media_id: r for r in extract_features(media).collect()}
+    assert got[1].features is not None and got[1].payload_bytes == 13
+    assert got[2].features is None and got[2].payload_bytes == 0

@@ -1,0 +1,58 @@
+"""Null-value robustness: real corpora carry null text, null
+embeddings, and null measures. Operators must pass them through or
+drop them deterministically — never throw. (Round-6 probe of every
+text/dedup/similarity/multimodal query with injected nulls found one
+crash — multimodal bytes(None) — fixed and pinned here with the
+riskiest shapes per family.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_etl_airflow_spark.plans.registry import all_specs
+from crypto_etl_airflow_spark.sources.tables import TABLES
+
+RISKY = [
+    "text_token_stats",
+    "text_language_id",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "text_winnow_profile",
+    "embedding_neardup_pairs",
+    "similarity_topk_bruteforce",
+    "embedding_quantize_error_by_label",
+    "multimodal_features",
+]
+
+
+@pytest.fixture(scope="module")
+def nulls_sf(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("nulls_sf")
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        if t == "documents":
+            extra = df.limit(3).select(
+                (F.col("doc_id") + 900000).alias("doc_id"),
+                F.lit(None).cast("string").alias("text"),
+                *[c for c in df.columns if c not in ("doc_id", "text")],
+            ).select(*df.columns)
+            df = df.unionByName(extra)
+        if t == "embeddings":
+            extra = df.limit(3).select(
+                (F.col("vec_id") + 900000).alias("vec_id"),
+                F.lit(None).cast("array<float>").alias("embedding"),
+                *[c for c in df.columns if c not in ("vec_id", "embedding")],
+            ).select(*df.columns)
+            df = df.unionByName(extra)
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_query_survives_null_rows(spark, nulls_sf, name):
+    from crypto_etl_airflow_spark.operators.dedup import release_reuse_caches
+
+    spec = all_specs()[name]
+    try:
+        spec.builder(spark, nulls_sf).count()  # must not raise
+    finally:
+        release_reuse_caches()
