@@ -70,3 +70,28 @@ def test_shared_pairs_finds_copied_passage_only(spark):
     pairs = {(r.id_a, r.id_b) for r in
              winnow_shared_pairs(df, min_shared=5).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_unicode_text_fingerprints_are_cross_engine_stable(spark):
+    """Character-indexed substr + md5 must agree with DuckDB on
+    multibyte text (umlauts, CJK, emoji, Cyrillic) — both engines
+    index characters and hash UTF-8 bytes. Verified exact in round 6;
+    pinned here against Spark-side regressions via known-good
+    profile values."""
+    rows = [
+        (1, "die straße führt über die brücke zum großen schloß"),
+        (2, "深度学习模型需要大量高质量的训练数据来学习语言规律"),
+        (3, "mixed ascii with émojis 🚀🔥 and çédillas everywhere indeed"),
+        (4, "русский текст с кириллицей для проверки юникода здесь"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.n_fps, r.min_fp, r.max_fp, r.sum_fp)
+        for r in winnow_profile(df).collect()
+    )
+    assert got == [
+        (1, 16, 1614270, 2395163516, 15902243314),
+        (2, 6, 512252815, 1856111280, 6629962473),
+        (3, 19, 44432194, 1773709975, 16173793017),
+        (4, 20, 236099970, 3084544697, 31897161090),
+    ]
