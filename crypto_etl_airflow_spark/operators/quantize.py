@@ -37,17 +37,22 @@ def quantize_embeddings_int8(
 ) -> DataFrame:
     """Per-vector int8 codes + range metadata: every input column is
     kept except ``vec_col``, which is replaced by ``q_codes``
-    (array<int>, values 0..255), ``q_min`` and ``q_scale``.
-    Reconstruction is ``q_min + code·q_scale`` (:func:`dequantize`)."""
+    (array<tinyint> — TRUE single-byte codes, level − 128 so the full
+    0..255 range fits the signed byte), ``q_min`` and ``q_scale``.
+    Reconstruction is ``q_min + (code + 128)·q_scale``
+    (:func:`dequantize`)."""
     e = F.col(vec_col).cast("array<double>")
     mn, mx = F.array_min(e), F.array_max(e)
     scale = _range_scale(mn, mx)
     codes = F.transform(
         e,
-        lambda x: F.least(
-            F.lit(LEVELS),
-            F.greatest(F.lit(0), F.floor((x - mn) / scale + F.lit(0.5))),
-        ).cast("int"),
+        lambda x: (
+            F.least(
+                F.lit(LEVELS),
+                F.greatest(F.lit(0), F.floor((x - mn) / scale + F.lit(0.5))),
+            )
+            - F.lit(128)
+        ).cast("tinyint"),
     )
     keep = [c for c in df.columns if c != vec_col]
     return df.select(
@@ -61,10 +66,12 @@ def quantize_embeddings_int8(
 def dequantize(
     codes: Column | str, q_min: Column | str, q_scale: Column | str
 ) -> Column:
-    """array<double> reconstruction of int8 codes."""
+    """array<double> reconstruction of signed-byte codes."""
     mn = F.col(q_min) if isinstance(q_min, str) else q_min
     sc = F.col(q_scale) if isinstance(q_scale, str) else q_scale
-    return F.transform(codes, lambda c: mn + c.cast("double") * sc)
+    return F.transform(
+        codes, lambda c: mn + (c.cast("double") + F.lit(128.0)) * sc
+    )
 
 
 def quantization_error_by_label(

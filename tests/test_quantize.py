@@ -40,12 +40,15 @@ def test_codes_in_range_and_extremes_hit(spark):
         F.array_min("q_codes").alias("lo"), F.array_max("q_codes").alias("hi")
     ).agg(
         F.min("lo").alias("mn"), F.max("hi").alias("mx"),
-        F.sum(F.when(F.col("lo") == 0, 1).otherwise(0)).alias("n_lo"),
-        F.sum(F.when(F.col("hi") == 255, 1).otherwise(0)).alias("n_hi"),
+        F.sum(F.when(F.col("lo") == -128, 1).otherwise(0)).alias("n_lo"),
+        F.sum(F.when(F.col("hi") == 127, 1).otherwise(0)).alias("n_hi"),
     ).collect()[0]
-    assert stats.mn >= 0 and stats.mx <= 255
-    # per-vector min maps to code 0 and max to code 255 by construction
+    assert stats.mn >= -128 and stats.mx <= 127
+    # per-vector min maps to code -128 and max to code 127 (levels
+    # 0 and 255 shifted into the signed byte) by construction
     assert stats.n_lo > 0 and stats.n_hi > 0
+    # storage honesty: the codes column is a true single-byte type
+    assert dict(q.dtypes)["q_codes"] == "array<tinyint>"
 
 
 def test_constant_vector_is_all_zero_codes_zero_error(spark):
@@ -53,7 +56,7 @@ def test_constant_vector_is_all_zero_codes_zero_error(spark):
         [(1, [2.5, 2.5, 2.5])], "vec_id long, embedding array<double>"
     )
     q = quantize_embeddings_int8(df).collect()[0]
-    assert list(q.q_codes) == [0, 0, 0]
+    assert list(q.q_codes) == [-128, -128, -128]  # level 0, byte-shifted
     assert q.q_scale == 1.0
     rec = (
         quantize_embeddings_int8(df)
