@@ -96,6 +96,12 @@ def build_scaled_dir(spark, src: str, out: str, factor: int) -> None:
 
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     dim = 64
+    if factor > dim:
+        raise ValueError(
+            f"factor {factor} > dim {dim}: circular shifts would repeat, "
+            "creating cosine-1 cross-copy duplicates that break the "
+            "linear-near-dup-growth construction"
+        )
     emb_copies = [
         emb.select(
             (F.col("vec_id") + F.lit(k * 10**7)).alias("vec_id"),
