@@ -109,16 +109,29 @@ def compact(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    range_cols: list[str] | None = None,
 ) -> int:
     """Rewrite the parquet table at ``path`` into
     ``ceil(size / target_file_bytes)`` files. Returns the new file
     count. Preserves rows exactly (no ordering guarantee — parquet
-    tables are unordered sets)."""
+    tables are unordered sets).
+
+    ``range_cols`` additionally CLUSTERS the rewrite on those columns
+    (range shuffle + in-file sort, same layout as
+    ``operators/layout.py::write_range_partitioned``): compaction is
+    the natural moment to impose sort order, because the full rewrite
+    is already being paid — afterwards, predicates on ``range_cols``
+    skip whole row groups via parquet min/max stats."""
     recover_tree(path)
     n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
     staging = path.rstrip("/") + ".__compact_tmp"
-    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
-        staging
-    )
+    df = spark.read.parquet(path)
+    if range_cols:
+        df = df.repartitionByRange(n_files, *range_cols).sortWithinPartitions(
+            *range_cols
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(staging)
     swap_directory(staging, path)
     return parquet_file_count(path)

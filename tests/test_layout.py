@@ -74,3 +74,21 @@ def test_range_layout_preserves_rows_exactly(spark, tmp_path):
     want = sorted(r.event_id for r in events.filter(pred).collect())
     got = sorted(r.event_id for r in back.filter(pred).collect())
     assert got == want and want
+
+
+def test_compact_with_range_cols_clusters_files(spark, tmp_path):
+    """compact(range_cols=...) both merges small files AND imposes
+    the sorted range layout — per-file ts ranges come out disjoint."""
+    from crypto_etl_airflow_spark.operators.compact import compact
+
+    events = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "ev")
+    events.repartition(16).write.parquet(path)  # 16 small unsorted files
+    n_before = events.count()
+    # tiny target → a few output files, clustered on ts
+    n_files = compact(spark, path, target_file_bytes=8 * 1024, range_cols=["ts"])
+    assert n_files >= 2
+    ranges = _file_ranges(path, "ts")
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, ranges
+    assert spark.read.parquet(path).count() == n_before
