@@ -135,3 +135,64 @@ def winnow_shared_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def fuzzy_pairs_levenshtein(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 5,
+    k: int = 8,
+    w: int = 4,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Typo-level near-identical pairs: ``(id_a, id_b,
+    edit_distance)`` for all pairs with Levenshtein distance ≤
+    ``max_dist`` on normalized text — the dedup modality for
+    character-level edits (OCR noise, version typos) that set-based
+    similarity (Jaccard/MinHash) under-weights and embedding cosine
+    can't localize.
+
+    Scale posture — candidate-driven, never n²: blocking requires a
+    SHARED WINNOWED FINGERPRINT (two docs within edit distance d and
+    length ≥ (d+1)(w+k−1) must share an unedited run of w+k−1 chars,
+    hence a fingerprint — pigeonhole over the ≤ d edit points) plus
+    ``|len(a) − len(b)| ≤ max_dist`` (necessary for distance ≤ d).
+    Only surviving candidates pay the O(len·len) Levenshtein verify,
+    computed on ≤ blocked pairs. ``max_doc_freq`` drops boilerplate
+    fingerprints before the self-join exactly as in
+    :func:`winnow_shared_pairs`."""
+    s = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(F.col(id_col), s.alias("s"))
+    fps = _reuse(winnow_fingerprints(df, id_col, text_col, k, w))
+    if max_doc_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    cands = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("s").alias("sa"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.abs(F.length("sa") - F.length("sb")) <= F.lit(max_dist)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("sa", "sb").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+    )

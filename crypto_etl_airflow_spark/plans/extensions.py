@@ -1606,3 +1606,41 @@ def embedding_quantize_error_by_label(spark: SparkSession, sf_dir: str) -> DataF
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantization_error_by_label(emb)
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle=_WINNOW_FPS_SQL
+    + """
+    , kept AS (
+        SELECT doc_id, fp FROM fps
+        WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 50)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    n AS (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+          FROM documents)
+    SELECT id_a, id_b, CAST(levenshtein(na.s, nb.s) AS INT) AS edit_distance
+    FROM cand
+    JOIN n na ON na.doc_id = id_a
+    JOIN n nb ON nb.doc_id = id_b
+    WHERE abs(length(na.s) - length(nb.s)) <= 5
+      AND levenshtein(na.s, nb.s) <= 5
+    """,
+    tags=("text", "dedup", "extension"),
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-identical pairs (Levenshtein ≤ 5 on
+    normalized text) — typo/OCR-level dedup, candidate-blocked by
+    shared winnowed fingerprints + length difference
+    (operators/fingerprint.py::fuzzy_pairs_levenshtein). The fixture
+    generator plants pairs at distance exactly 4; both engines run
+    the identical blocking and the identical unit-cost Levenshtein,
+    so the oracle matches value-for-value."""
+    from ..operators.fingerprint import fuzzy_pairs_levenshtein
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_pairs_levenshtein(docs, max_dist=5, max_doc_freq=50)

@@ -89,6 +89,7 @@ _PRIORITY = [
     "text_winnow_profile",
     "text_winnow_shared_pairs",
     "embedding_quantize_error_by_label",
+    "dedup_fuzzy_levenshtein",
     # (b) last driver-certified in r1/r2 — stale rotation backlog
     "language_confusion_matrix",
     "crypto_prices_projection",

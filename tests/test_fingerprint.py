@@ -95,3 +95,20 @@ def test_unicode_text_fingerprints_are_cross_engine_stable(spark):
         (3, 19, 44432194, 1773709975, 16173793017),
         (4, 20, 236099970, 3084544697, 31897161090),
     ]
+
+
+def test_fuzzy_levenshtein_finds_typo_pair_only(spark):
+    from crypto_etl_airflow_spark.operators.fingerprint import (
+        fuzzy_pairs_levenshtein,
+    )
+
+    base = "the common carrier pigeon navigates by magnetoreception over long distances"
+    df = _df(spark, [
+        (1, base),
+        (2, base.replace("navigates", "navigatez")),   # 1 substitution
+        (3, "an entirely different document about oceanic thermal circulation patterns"),
+        (4, base + " " + "x" * 20),                     # big length gap
+    ])
+    got = {(r.id_a, r.id_b): r.edit_distance
+           for r in fuzzy_pairs_levenshtein(df, max_dist=5, max_doc_freq=None).collect()}
+    assert got == {(1, 2): 1}  # typo pair found; unrelated + length-gap excluded
