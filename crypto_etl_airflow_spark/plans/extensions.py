@@ -1644,3 +1644,57 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return fuzzy_pairs_levenshtein(docs, max_dist=5, max_doc_freq=50)
+
+
+@register(
+    "dedup_clusters_fuzzy",
+    # the winnow CTE chain needs RECURSIVE hoisted to its WITH for the
+    # reach CTE appended below
+    oracle=_WINNOW_FPS_SQL.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + """
+    , kept AS (
+        SELECT doc_id, fp FROM fps
+        WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 50)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    n AS (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+          FROM documents),
+    edges AS (
+        SELECT id_a, id_b FROM cand
+        JOIN n na ON na.doc_id = id_a
+        JOIN n nb ON nb.doc_id = id_b
+        WHERE abs(length(na.s) - length(nb.s)) <= 5
+          AND levenshtein(na.s, nb.s) <= 5
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """,
+    tags=("text", "dedup", "graph", "extension"),
+)
+def dedup_clusters_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over EDIT-DISTANCE edges: the fuzzy
+    Levenshtein pairs feed the same min-label connected-components
+    operator the Jaccard clusters use — composition evidence that
+    every pair-producing dedup modality plugs into the
+    cluster → keep-best pipeline unchanged. Oracle recomputes
+    blocking, verification and components (recursive CTE)."""
+    from ..operators.fingerprint import fuzzy_pairs_levenshtein
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = fuzzy_pairs_levenshtein(docs, max_dist=5, max_doc_freq=50)
+    return connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    ).select(F.col("id").alias("doc_id"), "component")

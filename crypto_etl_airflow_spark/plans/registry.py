@@ -90,6 +90,7 @@ _PRIORITY = [
     "text_winnow_shared_pairs",
     "embedding_quantize_error_by_label",
     "dedup_fuzzy_levenshtein",
+    "dedup_clusters_fuzzy",
     # (b) last driver-certified in r1/r2 — stale rotation backlog
     "language_confusion_matrix",
     "crypto_prices_projection",
