@@ -36,14 +36,34 @@ def parquet_file_count(path: str) -> int:
     return n
 
 
+#: Crashed-swap aside dirs are SIBLINGS with this leaf-name prefix
+#: (``table/day=a`` → ``table/.__aside.day=a``). The prefix — not a
+#: suffix — is what makes the marker collision-proof: a Spark
+#: partition leaf is always ``col=value`` and Spark never emits a
+#: leaf starting with ``.``, so no user data value can produce an
+#: aside-shaped name (a VALUE ending in ``.__old`` could, which was
+#: a silent-data-loss vector: recover_tree would delete or rename
+#: that user partition). Defense in depth: Spark's hidden-file
+#: filter ignores ``.``-prefixed dirs on read, so even an UNHEALED
+#: aside is invisible to partition discovery — a crashed swap can
+#: corrupt nothing, only await healing.
+_ASIDE_PREFIX = ".__aside."
+
+
+def _aside_path(path: str) -> str:
+    head, leaf = os.path.split(path.rstrip("/"))
+    return os.path.join(head, _ASIDE_PREFIX + leaf)
+
+
 def recover_directory(path: str) -> bool:
     """Heal the crash window of :func:`swap_directory`: if a prior
     swap died after renaming the live dir aside but before renaming
-    staging into place, the table's only copy sits at ``path.__old``.
-    Rename it back. Returns True if a recovery happened. Callers that
-    READ a swap-managed table (merge, compact) run this first so a
-    crashed swap never makes the table silently appear empty."""
-    old = path.rstrip("/") + ".__old"
+    staging into place, the table's only copy sits at the
+    ``.__aside.``-prefixed sibling. Rename it back. Returns True if a
+    recovery happened. Callers that READ a swap-managed table (merge,
+    compact) run this first so a crashed swap never makes the table
+    silently appear empty."""
+    old = _aside_path(path)
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
         return True
@@ -53,25 +73,25 @@ def recover_directory(path: str) -> bool:
 def recover_tree(path: str) -> int:
     """Heal every crash window of a (possibly partition-pruned) swap:
     :func:`recover_directory` for the table dir itself, then a walk
-    for ``*.__old`` partition directories at ANY depth. Each one is
+    for ``.__aside.*`` partition directories at ANY depth. Each one is
     either the only copy of its partition (live twin missing — a
     crash between the leaf swap's two renames: rename it back) or a
     completed-swap leftover (live twin present — delete it). Returns
     the number of directories healed or cleaned.
 
-    Without the walk, a crashed LEAF swap leaves ``.../day=a.__old``
-    which Spark's partition discovery reads as a bogus partition
-    value (``day = 'a.__old'``) — silently corrupting every read and
-    making the next pruned merge clobber the partition's real rows.
-    Every swap-managed reader (merge, compact) runs this first."""
+    Only dirs carrying the reserved ``.__aside.`` leaf prefix are
+    touched — a name no partition value can produce (see
+    ``_ASIDE_PREFIX``), so user data can never be mistaken for an
+    aside. Every swap-managed reader (merge, compact, upsert's
+    anti-join) runs this first."""
     healed = int(recover_directory(path))
     if not os.path.isdir(path):
         return healed
     for root, dirs, _files in os.walk(path):
-        for d in [x for x in dirs if x.endswith(".__old")]:
+        for d in [x for x in dirs if x.startswith(_ASIDE_PREFIX)]:
             dirs.remove(d)  # never walk into an aside copy
             full = os.path.join(root, d)
-            live = full[: -len(".__old")]
+            live = os.path.join(root, d[len(_ASIDE_PREFIX) :])
             if os.path.exists(live):
                 shutil.rmtree(full)
             else:
@@ -82,15 +102,15 @@ def recover_tree(path: str) -> int:
 
 def swap_directory(staging: str, path: str) -> None:
     """Replace directory ``path`` with ``staging``, crash-safely
-    ordered: the live dir is first renamed ASIDE (``path.__old``),
-    then staging renamed into place, then the old dir deleted — so
-    at every instant the data exists under ``path`` or ``path.__old``
-    and a crash never loses the table (rmtree-before-rename has a
-    window where the data is gone). A reader racing the two renames
-    can still hit ENOENT — same single-writer assumption as the
-    upsert writer; on object storage this becomes a transactional
-    format's metadata commit."""
-    old = path.rstrip("/") + ".__old"
+    ordered: the live dir is first renamed ASIDE (the ``.__aside.``
+    sibling), then staging renamed into place, then the old dir
+    deleted — so at every instant the data exists under ``path`` or
+    its aside and a crash never loses the table
+    (rmtree-before-rename has a window where the data is gone). A
+    reader racing the two renames can still hit ENOENT — same
+    single-writer assumption as the upsert writer; on object storage
+    this becomes a transactional format's metadata commit."""
+    old = _aside_path(path)
     # Crash window of a PRIOR swap: ``old`` may hold the table's only
     # surviving copy — restore it instead of deleting it. Only when
     # the live dir exists too is the aside copy a completed-swap

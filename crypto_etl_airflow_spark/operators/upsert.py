@@ -75,9 +75,10 @@ def upsert_append(
     fresh = batch.dropDuplicates(keys)
 
     # heal any crashed swap (table-level or leaf-partition aside dirs)
-    # BEFORE the anti-join read: a day=x.__old leftover would read as
-    # a bogus partition value, the anti-join would miss those keys,
-    # and this append would insert duplicates
+    # BEFORE the anti-join read: a crashed leaf swap may have left the
+    # partition's only copy under its .__aside. sibling (hidden from
+    # the scan), the anti-join would miss those keys, and this append
+    # would insert duplicates
     from .compact import recover_tree
 
     recover_tree(path)
@@ -165,12 +166,12 @@ def merge_replace_keys(
     """
     from .compact import recover_tree, swap_directory
 
-    # a prior merge that crashed mid-swap leaves the table at
-    # path.__old only — or, for a partition-pruned merge, a LEAF at
-    # day=x.__old (which partition discovery would read as a bogus
-    # partition value). Heal the whole tree BEFORE the existence
-    # check and the existing-table read, or this merge would rebuild
-    # from the batch alone / clobber the crashed partition's rows.
+    # a prior merge that crashed mid-swap leaves the table (or, for a
+    # partition-pruned merge, one LEAF partition) only under its
+    # .__aside. sibling — hidden from partition discovery. Heal the
+    # whole tree BEFORE the existence check and the existing-table
+    # read, or this merge would rebuild from the batch alone /
+    # clobber the crashed partition's rows.
     recover_tree(path)
 
     if batch.isEmpty():

@@ -78,7 +78,7 @@ def test_swap_directory_replaces_and_cleans_up(tmp_path):
     swap_directory(str(staging), str(live))
     assert (live / "new.txt").read_text() == "new"
     assert not staging.exists()
-    assert not (tmp_path / "table.__old").exists()
+    assert not (tmp_path / ".__aside.table").exists()
 
 
 def test_swap_directory_no_preexisting_target(tmp_path):
@@ -92,11 +92,11 @@ def test_swap_directory_no_preexisting_target(tmp_path):
 
 def test_swap_directory_restores_interrupted_swap(tmp_path):
     """Crash window: a prior swap renamed the live dir aside and died.
-    The next swap must treat path.__old as the surviving copy — not
-    rmtree it."""
+    The next swap must treat the .__aside. sibling as the surviving
+    copy — not rmtree it."""
     from crypto_etl_airflow_spark.operators.compact import swap_directory
 
-    old = tmp_path / "t.__old"
+    old = tmp_path / ".__aside.t"
     old.mkdir(); (old / "f").write_text("survivor")
     staging = tmp_path / "t.__tmp"
     staging.mkdir(); (staging / "f").write_text("new")
@@ -108,9 +108,51 @@ def test_swap_directory_restores_interrupted_swap(tmp_path):
 def test_recover_directory_restores_and_reports(tmp_path):
     from crypto_etl_airflow_spark.operators.compact import recover_directory
 
-    old = tmp_path / "t.__old"
+    old = tmp_path / ".__aside.t"
     old.mkdir(); (old / "f").write_text("survivor")
     assert recover_directory(str(tmp_path / "t")) is True
     assert (tmp_path / "t" / "f").read_text() == "survivor"
     # idempotent no-op once healthy
     assert recover_directory(str(tmp_path / "t")) is False
+
+
+def test_recover_tree_never_touches_old_suffixed_partition_values(tmp_path):
+    """ADVICE r6 (medium): a string partition VALUE literally ending
+    in '.__old' (day=foo.__old — Spark does not escape dots) must
+    never be mistaken for a crashed-swap aside. With the suffix
+    marker, recover_tree deleted it (twin present) or renamed it
+    (twin missing) — silent data loss driven by user data. The
+    .__aside. leaf PREFIX cannot be produced by any col=value leaf."""
+    from crypto_etl_airflow_spark.operators.compact import recover_tree
+
+    t = tmp_path / "t"
+    (t / "day=foo").mkdir(parents=True)
+    (t / "day=foo" / "p.parquet").write_text("live")
+    (t / "day=foo.__old").mkdir()
+    (t / "day=foo.__old" / "p.parquet").write_text("user data, not an aside")
+    (t / "day=bar.__old").mkdir()  # no 'day=bar' twin either way
+    (t / "day=bar.__old" / "p.parquet").write_text("also user data")
+
+    assert recover_tree(str(t)) == 0
+    assert (t / "day=foo.__old" / "p.parquet").read_text() == (
+        "user data, not an aside"
+    )
+    assert (t / "day=bar.__old" / "p.parquet").read_text() == "also user data"
+    assert not (t / "day=bar").exists()
+
+
+def test_merge_preserves_old_suffixed_partition_value(spark, tmp_path):
+    """End-to-end ADVICE r6 regression: partitioned merges over a
+    value ending '.__old' keep that partition's rows intact."""
+    from crypto_etl_airflow_spark.operators.upsert import merge_replace_keys
+
+    path = str(tmp_path / "t")
+    schema = "id long, day string, v double"
+    first = spark.createDataFrame(
+        [(1, "foo.__old", 1.0), (2, "foo", 2.0)], schema
+    )
+    merge_replace_keys(spark, first, path, keys=["id", "day"], partition_by=["day"])
+    second = spark.createDataFrame([(3, "foo", 3.0)], schema)
+    merge_replace_keys(spark, second, path, keys=["id", "day"], partition_by=["day"])
+    got = sorted((r.id, r.day, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "foo.__old", 1.0), (2, "foo", 2.0), (3, "foo", 3.0)]

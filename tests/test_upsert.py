@@ -172,7 +172,7 @@ def test_merge_recovers_from_crashed_swap(spark, tmp_path):
     )
     merge_replace_keys(spark, first, path, keys=["id", "day"])
     # simulate the crash window: live dir renamed aside, new never landed
-    os.rename(path, path + ".__old")
+    os.rename(path, os.path.join(os.path.dirname(path), ".__aside.t"))
     second = spark.createDataFrame([(3, "a", 3.0)], "id long, day string, v double")
     assert merge_replace_keys(spark, second, path, keys=["id", "day"]) == (0, 1)
     got = {r.id: r.v for r in spark.read.parquet(path).collect()}
@@ -354,9 +354,9 @@ def test_merge_partitioned_swap_kill_at_every_fs_op(spark, tmp_path):
 
 def test_upsert_append_heals_crashed_partition_swap(spark, tmp_path):
     """upsert_append must heal a crashed leaf-partition swap before
-    its anti-join read: a day=x.__old leftover reads as a bogus
-    partition value, the existing keys go unseen, and the append
-    would insert duplicate keys."""
+    its anti-join read: the partition's only copy sits hidden under
+    its .__aside. sibling, the existing keys go unseen, and the
+    append would insert duplicate keys."""
     import os
 
     path = str(tmp_path / "t")
@@ -367,7 +367,7 @@ def test_upsert_append_heals_crashed_partition_swap(spark, tmp_path):
         spark, first, path, keys=["id", "day"], partition_by=["day"]
     ) == 2
     # simulate the leaf crash window: partition dir renamed aside
-    os.rename(f"{path}/day=a", f"{path}/day=a.__old")
+    os.rename(f"{path}/day=a", f"{path}/.__aside.day=a")
     again = spark.createDataFrame(
         [(1, "a", 99.0), (3, "a", 3.0)], "id long, day string, v double"
     )
