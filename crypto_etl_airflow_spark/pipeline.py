@@ -16,6 +16,9 @@ serialized between stages.
 from __future__ import annotations
 
 import datetime as dt
+import time
+from collections.abc import Callable
+from typing import TypeVar
 
 from pyspark.sql import SparkSession
 
@@ -34,6 +37,31 @@ from .sources.json_ingest import json_payload_to_df
 
 UPSERT_KEYS = ["crypto_id", "extracted_at"]
 
+_T = TypeVar("_T")
+
+
+def with_retries(
+    fn: Callable[[], _T],
+    retries: int = 2,
+    delay: float = 120.0,
+    retry_on: tuple[type[BaseException], ...] = (Exception,),
+    sleep: Callable[[float], None] = time.sleep,
+) -> _T:
+    """Run ``fn``, retrying transient failures — the reference's
+    task-level ``retries: 2`` / ``retry_delay: 2 min`` (reference
+    dags/crypto-etl-pipeline-psql.py:31-32) as an explicit wrapper.
+    ``sleep`` is injectable so tests don't wait wall-clock minutes.
+    Raises the last failure once ``retries`` re-attempts are spent."""
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except retry_on:
+            attempt += 1
+            if attempt > retries:
+                raise
+            sleep(delay)
+
 
 def run_ingest_pipeline(
     spark: SparkSession,
@@ -46,12 +74,20 @@ def run_ingest_pipeline(
     now: dt.datetime | None = None,
     sensor_poke_interval: float = 10.0,
     sensor_timeout: float = 60.0,
+    retries: int = 2,
+    retry_delay: float = 120.0,
+    retry_sleep: Callable[[float], None] = time.sleep,
 ) -> tuple[int, ScanResult]:
     """One pipeline run: sensor → extract → transform → load → gate.
 
     Returns (rows_written, scan_result). Raises
     SourceUnavailableError / ValueError / QualityGateError exactly
-    where the reference's tasks fail.
+    where the reference's tasks fail. The extract and load stages
+    retry ``retries`` times with ``retry_delay`` between attempts
+    (the reference's per-task ``retries: 2`` / ``retry_delay: 2 min``,
+    dags/crypto-etl-pipeline-psql.py:31-32); the load is safe to
+    retry because :func:`upsert_append` is idempotent per key, so a
+    failure after a partial append cannot double-insert.
     """
     # availability sensor (reference :143-151: ping, body contains "gecko")
     wait_for_source(
@@ -63,11 +99,17 @@ def run_ingest_pipeline(
     )
 
     # extract (reference :168-179) + transform (reference :35-65)
-    payload = fetch_price_payload(base_url, coins, currency, fetch=fetch)
+    payload = with_retries(
+        lambda: fetch_price_payload(base_url, coins, currency, fetch=fetch),
+        retries=retries, delay=retry_delay, sleep=retry_sleep,
+    )
     batch = json_payload_to_df(spark, payload, currency, extracted_at)
 
-    # load: idempotent insert-if-absent (reference :67-107)
-    written = upsert_append(spark, batch, warehouse_path, keys=UPSERT_KEYS)
+    # load: idempotent insert-if-absent (reference :67-107) — retry-safe
+    written = with_retries(
+        lambda: upsert_append(spark, batch, warehouse_path, keys=UPSERT_KEYS),
+        retries=retries, delay=retry_delay, sleep=retry_sleep,
+    )
 
     # quality gate over the whole warehouse (reference :109-130 +
     # include/soda/checks.yml)

@@ -312,12 +312,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh_xxhash",
-    # no oracle: xxhash64 is JVM-only (DuckDB cannot recompute it).
-    # Value correctness is anchored by the portable-md5 twin above
-    # (identical pipeline, swapped hash family) plus the exact-Jaccard
-    # verify step both variants share; this entry exists so the BENCH
-    # record carries the PRODUCTION hash path's number, not just the
-    # portable demonstrator's.
+    # DuckDB cannot recompute xxhash64 (JVM-only), but it doesn't need
+    # to: the query's OUTPUT is the exact-Jaccard-verified pair set,
+    # which is hash-family-independent wherever the two families'
+    # LSH recall coincides — and tests/test_dedup.py proves pair-set
+    # equality with the portable twin on the fixture corpus (and the
+    # cross-scale sweep proves it at sf0.001 and sf0.01). So the
+    # production path is certified value-for-value against the SAME
+    # portable-md5 oracle as its twin (VERDICT r6 item 4): a recall
+    # divergence between the hash families on the certification
+    # corpus would surface as a driver row/hash mismatch.
+    oracle=_minhash_oracle(),
     tags=("dedup", "extension", "approx"),
     bench=True,
 )
@@ -326,8 +331,10 @@ def dedup_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 fast path (portable=False) — same pipeline as
     `dedup_minhash_lsh`, same exact-Jaccard verification of
     candidates, different (faster, JVM-codegen'd) base hash family.
-    Rows-only driver check; tests/test_dedup.py asserts the verified
-    pair set matches the portable variant's on the fixture corpus."""
+    Certified against the portable twin's DuckDB oracle: the verified
+    pair set is hash-family-independent on the fixture (asserted by
+    tests/test_dedup.py), so the exact-Jaccard output must match
+    value-for-value."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8, num_hashes=32, bands=8,
@@ -566,9 +573,11 @@ def _neardup_lsh_oracle(
     "embedding_neardup_pairs_lsh",
     oracle=_neardup_lsh_oracle(num_planes=4, num_tables=8),
     tags=("similarity", "dedup", "extension", "approx"),
-    # benched alongside the scaled configuration so the candidate-volume
-    # gap between the two operating points stays measured
-    bench=True,
+    # NOT benched (VERDICT r6 item 3): this is the recall demonstrator
+    # whose candidate volume is intentionally near-quadratic; the
+    # headline bench row for near-dup LSH is the scaled configuration
+    # below. The candidate-volume gap between the two operating points
+    # stays measured by tools/scale_bench.py instead.
 )
 def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via LSH bucketing — RECALL DEMONSTRATOR
@@ -769,6 +778,46 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.audio_windows(
         multimodal.documents_as_media(docs), window_ms=1000, hop_ms=500
+    )
+
+
+@register(
+    "multimodal_resize_images",
+    # The stub resizer (operators/multimodal.py::resize_images) emits
+    # sha256(payload) repeated and truncated to exactly w*h bytes —
+    # reproducible in DuckDB in the HEX domain (its md5/substr are
+    # VARCHAR-only): repeat the lowercase sha256 hex and truncate to
+    # 2*w*h chars. Comparing the full hex certifies the resized
+    # payload BYTE-FOR-BYTE, including the non-multiple-of-32
+    # truncation tail (20*17=340 = 10 full digests + 20 bytes).
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id, media_type,
+           CAST(20 AS INT) AS width,
+           CAST(17 AS INT) AS height,
+           CAST(340 AS BIGINT) AS out_bytes,
+           substr(repeat(sha256(decode(payload)), 11), 1, 680) AS payload_hex
+    FROM media WHERE media_type = 'image'
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→resize→re-encode plumbing for image payloads: the
+    Arrow-batched mapInPandas stage rewrites each image to a 20×17
+    pseudo-bitmap (deterministic sha256-derived stub; a real codec
+    plugs into ``resizer=``), metadata updated to the target shape.
+    Emits the resized payload as hex so the driver value-checks every
+    output byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    resized = multimodal.resize_images(media, target_w=20, target_h=17)
+    return resized.select(
+        "media_id",
+        "media_type",
+        "width",
+        "height",
+        F.octet_length("payload").cast("long").alias("out_bytes"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
     )
 
 

@@ -74,66 +74,18 @@ def _load_all() -> None:
 # Certification priority: the external driver verifies queries in the
 # order this registry emits them and caps how many it runs per round
 # (50 in every round so far), so ordering IS the rotation policy.
-# Round-6 rotation (VERDICT r5 item 3): (a) queries new this round —
-# no driver row exists at all; then (b) the 56 queries whose last
-# driver-green row is r1/r2 (rounds 4-5 re-certified the identical
-# 50-query set, so these went stale in the driver record even though
-# the local sweep covers them). The 50-slot cap reaches (a) plus the
-# first 47 of (b); the ~9 that miss rotate to the front next round.
-# Queries certified in r4/r5 sort last — their rows are fresh.
+# Round-7 rotation (VERDICT r6 item 2): (a) queries new this round —
+# no driver row exists at all; then (b) the 14 queries the round-6
+# cap missed (8 new + the first 42 of the 56-query stale backlog fit
+# in the 50 slots, leaving exactly these 14 with only a round-2 row);
+# everything else — certified r5/r6 — sorts after in registration
+# order and refreshes with whatever slots remain. With |a| + 14 ≤ 50
+# (true for ≤36 new queries) every stale row refreshes this round.
 _PRIORITY = [
-    # (a) new in round 6 — no driver row exists yet
-    "embedding_neardup_pairs_lsh_scaled",
-    "embedding_neardup_pairs_lsh_scaled_planted",
-    "dedup_minhash_lsh_xxhash",
-    "text_winnow_profile",
-    "text_winnow_shared_pairs",
-    "embedding_quantize_error_by_label",
-    "dedup_fuzzy_levenshtein",
-    "dedup_clusters_fuzzy",
-    # (b) last driver-certified in r1/r2 — stale rotation backlog
-    "language_confusion_matrix",
-    "crypto_prices_projection",
-    "quality_metrics",
-    "dedup_exact_rows",
-    "json_quarantine_stats",
-    "profile_orders_table",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_revenue_by_nation",
-    "join_left_order_counts",
-    "join_semi_active_customers",
-    "join_anti_customers_without_orders",
-    "join_full_nation_presence",
-    "join_cross_region_nation",
-    "join_range_size_buckets",
-    "agg_distinct_counts",
-    "agg_rollup_orders",
-    "agg_cube_lineitem",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_stddev_percentiles",
-    "agg_approx_distinct",
-    "window_rank_parts",
-    "window_ntile_customers",
-    "window_running_total",
-    "topk_orders",
-    "setops_nations",
-    "unpivot_part_measures",
-    "scalar_string_pack",
-    "scalar_date_pack",
-    "scalar_math_pack",
-    "scalar_conditional_pack",
-    "scalar_array_pack",
-    "scalar_map_pack",
-    "asof_last_error_before_click",
-    "asof_with_tolerance",
-    "streaming_tumbling_counts",
-    "streaming_sliding_avg",
-    "session_windows_per_user",
-    "streaming_stateful_user_stats",
-    "streaming_ingest_idempotent",
-    "interval_join_click_errors",
+    # (a) new or oracle-upgraded in round 7 — needs a fresh driver row
+    "dedup_minhash_lsh_xxhash",  # r6 row was rows-only; now oracle-paired
+    "multimodal_resize_images",
+    # (b) last driver-certified in r2 — missed the round-6 cap
     "join_salted_skew",
     "q2_cheapest_supplier",
     "q4_order_priority",

@@ -63,3 +63,51 @@ def test_pipeline_quality_gate_halts_on_stale_data(spark, tmp_path):
         run_ingest_pipeline(
             spark, wh, fetch=fake_fetch, extracted_at=stale_ts, now=NOW
         )
+
+
+def test_with_retries_recovers_and_exhausts():
+    """Reference parity (dags/crypto-etl-pipeline-psql.py:31-32):
+    retries=2 with a delay between attempts — a twice-failing callable
+    still succeeds on the third try; a thrice-failing one raises."""
+    from crypto_etl_airflow_spark.pipeline import with_retries
+
+    slept: list[float] = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise ConnectionError("transient")
+        return "ok"
+
+    assert with_retries(flaky, retries=2, delay=120.0, sleep=slept.append) == "ok"
+    assert calls["n"] == 3 and slept == [120.0, 120.0]
+
+    calls["n"] = -1  # now fails 3 times: attempts exhausted
+    with pytest.raises(ConnectionError):
+        with_retries(flaky, retries=2, delay=1.0, sleep=slept.append)
+
+
+def test_pipeline_retries_transient_extract_failure(spark, tmp_path):
+    """A fetcher that dies twice on the price endpoint (after the
+    sensor passed) must still complete the run — no wall-clock wait
+    (injected sleep)."""
+    wh = str(tmp_path / "crypto_prices")
+    ts = NOW - dt.timedelta(minutes=30)
+    fails = {"n": 0}
+
+    def flaky_fetch(url: str) -> str:
+        if url.endswith("/ping"):
+            return '{"gecko_says": "(V3) To the Moon!"}'
+        fails["n"] += 1
+        if fails["n"] <= 2:
+            raise ConnectionError("transient price-endpoint failure")
+        return PAYLOAD
+
+    slept: list[float] = []
+    written, scan = run_ingest_pipeline(
+        spark, wh, fetch=flaky_fetch, extracted_at=ts, now=NOW,
+        retry_sleep=slept.append,
+    )
+    assert written == 4 and not scan.failed
+    assert fails["n"] == 3 and slept == [120.0, 120.0]

@@ -60,11 +60,7 @@ def main() -> int:
     # DuckDB query cannot recompute). Anything else missing an oracle
     # is a regression — an oracle silently lost to a refactor would
     # otherwise downgrade to the weak rows-only check unnoticed.
-    rows_only_ok = {
-        # xxhash64 is JVM-only; value anchor = the portable-md5 twin
-        # (identical pipeline) + tests/test_dedup.py set-equality test
-        "dedup_minhash_lsh_xxhash",
-    }
+    rows_only_ok: set[str] = set()  # every registered query carries an oracle
 
     fails: list[str] = []
     for name, fn in qs.items():
