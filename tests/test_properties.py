@@ -90,3 +90,146 @@ def test_quantization_bound_on_arbitrary_vectors(spark, vecs):
         for pair in r.z:
             x, xhat = pair["embedding"], pair["1"]
             assert abs(x - xhat) <= bound, (r.vec_id, x, xhat, r.q_scale)
+
+
+# ---------------------------------------------------------------------------
+# Restored invariants (ADVICE r6): the round-6 rewrite dropped these
+# five randomized-input properties; example-based coverage elsewhere
+# lacks hypothesis's input diversity + shrinking.
+# ---------------------------------------------------------------------------
+
+import json
+
+from hypothesis import given
+
+from crypto_etl_airflow_spark.operators.dedup import ngram_jaccard_pairs
+from crypto_etl_airflow_spark.operators.upsert import upsert_append
+from crypto_etl_airflow_spark.quality.checks import min_value, run_scan
+from crypto_etl_airflow_spark.sources.json_ingest import json_payload_to_df
+
+_keys = st.integers(min_value=0, max_value=9)
+_batches = st.lists(
+    st.tuples(_keys, st.floats(0, 100, allow_nan=False)), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=8, **{k: v for k, v in _SETTINGS.items() if k != "max_examples"})
+@given(batch=_batches)
+def test_upsert_twice_equals_once(spark, tmp_path_factory, batch):
+    """∀ batch: upsert(batch); upsert(batch) leaves exactly one row
+    per distinct key — the ON CONFLICT DO NOTHING contract."""
+    path = str(tmp_path_factory.mktemp("prop_upsert") / "t")
+    df = spark.createDataFrame(batch, ["k", "v"])
+    upsert_append(spark, df, path, keys=["k"])
+    upsert_append(spark, df, path, keys=["k"])
+    table = spark.read.parquet(path)
+    assert table.count() == len({k for k, _ in batch})
+    assert table.select("k").distinct().count() == table.count()
+
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_docs = st.lists(
+    st.lists(_words, min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_jaccard_pairs(texts, n=2, threshold=0.5):
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    out = set()
+    ss = [shingles(t) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(ss[i] & ss[j])
+            union = len(ss[i] | ss[j])
+            if union and inter / union >= threshold:
+                out.add((i, j, round(inter / union, 6)))
+    return out
+
+
+@settings(max_examples=8, **{k: v for k, v in _SETTINGS.items() if k != "max_examples"})
+@given(texts=_docs)
+def test_ngram_jaccard_matches_python_model(spark, texts):
+    """The distributed shingle self-join computes exactly the pairwise
+    Jaccard a direct python set computation yields."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=0.5
+        ).collect()
+    }
+    assert got == _py_jaccard_pairs(texts, n=2, threshold=0.5)
+
+
+_payloads = st.dictionaries(
+    st.sampled_from(["bitcoin", "ethereum", "tether", "solana", "doge"]),
+    st.floats(0.0001, 1e6, allow_nan=False),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=8, **{k: v for k, v in _SETTINGS.items() if k != "max_examples"})
+@given(payload=_payloads)
+def test_json_ingest_roundtrip(spark, payload):
+    """∀ payload {coin: price}: the explode/parse pipeline reproduces
+    every (coin, price) pair exactly once."""
+    body = json.dumps({k: {"usd": v} for k, v in payload.items()})
+    df = json_payload_to_df(spark, body)
+    got = {(r.crypto_id, r.price_usd) for r in df.collect()}
+    assert got == set(payload.items())
+    assert df.count() == len(payload)
+
+
+_values = st.lists(st.floats(-10, 10, allow_nan=False), min_size=1, max_size=15)
+
+
+@settings(max_examples=8, **{k: v for k, v in _SETTINGS.items() if k != "max_examples"})
+@given(vals=_values)
+def test_min_value_gate_matches_python_min(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], ["price"])
+    result = run_scan(df, [min_value("price", fail_when_lt=0.0)])
+    assert result.failed == (min(vals) < 0.0)
+
+
+_split_keys = st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True)
+
+
+@settings(max_examples=8, **{k: v for k, v in _SETTINGS.items() if k != "max_examples"})
+@given(ids=_split_keys)
+def test_hash_split_deterministic_and_exhaustive(spark, ids):
+    """∀ key sets: split assignment is stable across calls, covers
+    every row when fractions sum to 1, and keys always agree."""
+    from crypto_etl_airflow_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], ["k"])
+    f = {"train": 0.8, "val": 0.2}
+    a = {r.k: r.split for r in hash_split(df, "k", f).collect()}
+    b = {r.k: r.split for r in hash_split(df, "k", f).collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "val"}
+    assert all(v is not None for v in a.values())
+
+
+def test_stratified_sample_deterministic_and_per_stratum(spark):
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)], ["k", "s"]
+    )
+    kept1 = stratified_sample(df, "k", "s", {"a": 0.2}, default=1.0)
+    kept2 = stratified_sample(df.repartition(13), "k", "s", {"a": 0.2}, default=1.0)
+    ids1 = sorted(r.k for r in kept1.collect())
+    assert ids1 == sorted(r.k for r in kept2.collect())  # partition-stable
+    by_s = {
+        r.s: r.n for r in kept1.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_s["b"] == 1000  # default=1.0 keeps all
+    assert 120 <= by_s["a"] <= 280  # ~20% of 1000
