@@ -1688,11 +1688,84 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/fingerprint.py::fuzzy_pairs_levenshtein). The fixture
     generator plants pairs at distance exactly 4; both engines run
     the identical blocking and the identical unit-cost Levenshtein,
-    so the oracle matches value-for-value."""
+    so the oracle matches value-for-value.
+
+    RECALL PRECONDITION (ADVICE r6): the winnowing block guarantees
+    pairs only when the shorter side has ≥ (max_dist+1)(w+k−1) = 66
+    normalized chars; shorter near-pairs need the exact Pass-Join
+    fallback — certified separately as `dedup_fuzzy_short_docs`, and
+    available fused via ``short_fallback=True``."""
     from ..operators.fingerprint import fuzzy_pairs_levenshtein
 
     docs = load_table(spark, sf_dir, "documents")
     return fuzzy_pairs_levenshtein(docs, max_dist=5, max_doc_freq=50)
+
+
+@register(
+    "dedup_fuzzy_short_docs",
+    # Brute-force oracle: ALL length-compatible pairs of the short
+    # corpus are Levenshtein-scored with no blocking at all, so this
+    # row certifies the Pass-Join segment blocking's RECALL
+    # empirically — a pair the blocking misses is a driver mismatch,
+    # not just a slower run. The corpus is deterministic: every 7th
+    # document truncated to 20..59 normalized chars (all BELOW the
+    # winnowing-block guarantee length of 66), plus a planted twin
+    # (8th char replaced by 'q') for each such doc under id 2000 —
+    # guaranteed nonzero output at distance ≤ 1.
+    oracle=r"""
+    WITH n0 AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    trunc AS (
+        SELECT doc_id, substr(s, 1, CAST(20 + doc_id % 40 AS INT)) AS t
+        FROM n0
+    ),
+    corp AS (
+        SELECT doc_id AS sid, t FROM trunc
+        UNION ALL
+        SELECT doc_id + 1000000,
+               concat(substr(t, 1, 7), 'q', substr(t, 9))
+        FROM trunc WHERE doc_id < 2000
+    ),
+    norm AS (
+        SELECT sid, trim(regexp_replace(lower(t), '\s+', ' ', 'g')) AS s
+        FROM corp
+    )
+    SELECT a.sid AS id_a, b.sid AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INT) AS edit_distance
+    FROM norm a JOIN norm b
+      ON a.sid < b.sid AND abs(length(a.s) - length(b.s)) <= 5
+    WHERE levenshtein(a.s, b.s) <= 5
+    """,
+    tags=("text", "dedup", "extension"),
+)
+def dedup_fuzzy_short_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance pairs over documents BELOW the winnowing-block
+    guarantee length (ADVICE r6): exact Pass-Join segment-pigeonhole
+    blocking (operators/fingerprint.py::passjoin_pairs) — the
+    short-doc fallback path of ``fuzzy_pairs_levenshtein(
+    short_fallback=True)`` — certified against a no-blocking
+    brute-force oracle, so blocking recall itself is driver-checked."""
+    from ..operators.fingerprint import passjoin_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    trunc = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.substr(s, F.lit(1), F.lit(20) + F.col("doc_id") % 40).alias("t"),
+    )
+    twins = trunc.filter(F.col("doc_id") < 2000).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("sid"),
+        F.concat(
+            F.substr(F.col("t"), F.lit(1), F.lit(7)),
+            F.lit("q"),
+            F.substr(F.col("t"), F.lit(9), F.length("t")),
+        ).alias("t"),
+    )
+    corp = trunc.select(F.col("doc_id").alias("sid"), "t").unionByName(twins)
+    return passjoin_pairs(corp, id_col="sid", text_col="t", max_dist=5)
 
 
 @register(

@@ -85,6 +85,7 @@ _PRIORITY = [
     # (a) new or oracle-upgraded in round 7 — needs a fresh driver row
     "dedup_minhash_lsh_xxhash",  # r6 row was rows-only; now oracle-paired
     "multimodal_resize_images",
+    "dedup_fuzzy_short_docs",
     # (b) last driver-certified in r2 — missed the round-6 cap
     "join_salted_skew",
     "q2_cheapest_supplier",

@@ -112,3 +112,90 @@ def test_fuzzy_levenshtein_finds_typo_pair_only(spark):
     got = {(r.id_a, r.id_b): r.edit_distance
            for r in fuzzy_pairs_levenshtein(df, max_dist=5, max_doc_freq=None).collect()}
     assert got == {(1, 2): 1}  # typo pair found; unrelated + length-gap excluded
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[-1]
+
+
+def test_passjoin_matches_bruteforce_on_adversarial_shorts(spark):
+    """Exact recall of the Pass-Join segment blocking vs a no-blocking
+    python model, over lengths that break the winnowing block: empty
+    strings, below-one-segment tinies, boundary lengths, mutated
+    twins."""
+    import itertools
+    import random
+    import re
+
+    from crypto_etl_airflow_spark.operators.fingerprint import passjoin_pairs
+
+    rng = random.Random(7)
+    docs = ["", "a", "abc", "ab c", "abcde", "abcdef"]
+    for _ in range(40):
+        n = rng.randint(0, 30)
+        docs.append("".join(rng.choice("ab c") for _ in range(n)))
+    for i in range(12):  # twins of earlier docs at distance 1..5
+        s = list(docs[i + 6])
+        for _ in range(rng.randint(1, 5)):
+            if not s:
+                break
+            op, p = rng.choice("sid"), rng.randrange(len(s))
+            if op == "s":
+                s[p] = rng.choice("ab c")
+            elif op == "i":
+                s.insert(p, rng.choice("ab c"))
+            else:
+                del s[p]
+        docs.append("".join(s))
+
+    df = _df(spark, list(enumerate(docs)))
+    got = {
+        (r.id_a, r.id_b, r.edit_distance)
+        for r in passjoin_pairs(df, max_dist=5).collect()
+    }
+    norm = [re.sub(r"\s+", " ", t.lower()).strip() for t in docs]
+    want = {
+        (i, j, _lev(norm[i], norm[j]))
+        for i, j in itertools.combinations(range(len(docs)), 2)
+        if _lev(norm[i], norm[j]) <= 5
+    }
+    assert got == want
+
+
+def test_fuzzy_short_fallback_closes_recall_gap(spark):
+    """A near-identical pair BELOW the winnowing guarantee (and below
+    w+k-1, so zero fingerprints): invisible to the default block,
+    found exactly with short_fallback=True."""
+    from crypto_etl_airflow_spark.operators.fingerprint import (
+        fuzzy_pairs_levenshtein,
+    )
+
+    long_a = (
+        "the common carrier pigeon navigates by magnetoreception over "
+        "long distances and returns home"
+    )
+    df = _df(spark, [
+        (1, "tiny doc"),            # 8 chars — no fingerprints at all
+        (2, "tiny dot"),            # distance 1 from doc 1
+        (3, long_a),
+        (4, long_a.replace("navigates", "navigatez")),
+    ])
+    base = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in fuzzy_pairs_levenshtein(df, max_dist=5, max_doc_freq=None).collect()
+    }
+    assert (1, 2) not in base and base[(3, 4)] == 1  # the documented gap
+    full = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in fuzzy_pairs_levenshtein(
+            df, max_dist=5, max_doc_freq=None, short_fallback=True
+        ).collect()
+    }
+    assert full == {(1, 2): 1, (3, 4): 1}

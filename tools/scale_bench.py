@@ -48,6 +48,17 @@ if _REPO_ROOT not in sys.path:
 
 SCALED_TABLES = ("events", "documents", "embeddings")
 CONTROL_QUERIES = ("q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation")
+# Scale-path operators measured here beyond the bench-flagged set
+# (VERDICT r6 item 7): their blocking/candidate-cap claims need a
+# measured curve like everything else's.
+EXTRA_SCALE_QUERIES = (
+    "dedup_fuzzy_levenshtein",
+    "text_winnow_shared_pairs",
+    "dedup_clusters_fuzzy",
+    "embedding_neardup_pairs_lsh",  # planes=4 recall demonstrator —
+    # no longer benched headline; its super-linear curve stays on
+    # record here as the measured contrast to the scaled config
+)
 
 
 def build_scaled_dir(spark, src: str, out: str, factor: int) -> None:
@@ -95,7 +106,21 @@ def build_scaled_dir(spark, src: str, out: str, factor: int) -> None:
     _union_all(doc_copies).write.parquet(f"{out}/documents.parquet")
 
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
-    dim = 64
+    # Shift modulus = the ACTUAL embedding dimension (ADVICE r6: a
+    # hardcoded 64 would silently truncate/garble vectors if the
+    # fixture dimension ever changed — F.slice past the end returns a
+    # short array without error). Require a uniform dimension, then
+    # use it everywhere below.
+    dims = emb.select(
+        F.min(F.size("embedding")).alias("lo"),
+        F.max(F.size("embedding")).alias("hi"),
+    ).first()
+    if dims.lo != dims.hi:
+        raise ValueError(
+            f"non-uniform embedding dimension {dims.lo}..{dims.hi}: the "
+            "circular-shift construction needs one shift modulus"
+        )
+    dim = dims.lo
     if factor > dim:
         raise ValueError(
             f"factor {factor} > dim {dim}: circular shifts would repeat, "
@@ -159,7 +184,12 @@ def main() -> None:
     from crypto_etl_airflow_spark.operators.dedup import release_reuse_caches
     from crypto_etl_airflow_spark.plans.registry import all_specs
 
-    specs = {n: s for n, s in all_specs().items() if s.bench}
+    specs = all_specs()
+    specs = {
+        n: s
+        for n, s in specs.items()
+        if s.bench or n in EXTRA_SCALE_QUERIES
+    }
     if only:
         specs = {n: s for n, s in specs.items() if n in only}
 
