@@ -323,6 +323,37 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*mins)
 
 
+def band_bucket_rows(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """One row per (document, band) with the band's bucket key:
+    ``(id_col, band, k_0[, k_1 ...])`` — the exploded join-key form of
+    a signature table, shared by the self-join candidates
+    (:func:`minhash_lsh_candidates`) and the incremental store join
+    (operators/dedup_store.py). ``portable=True`` keys on the raw
+    signature values (DuckDB-reproducible); default keys on their
+    xxhash64 (one 8-byte key)."""
+    r = num_hashes // bands
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * r + j}") for j in range(r)]
+        if portable:
+            keys = [c.alias(f"k_{j}") for j, c in enumerate(cols)]
+        else:
+            keys = [F.xxhash64(*cols).alias("k_0")]
+        band_rows.append(
+            signatures.select(F.col(id_col), F.lit(bi).alias("band"), *keys)
+        )
+    buckets = band_rows[0]
+    for extra in band_rows[1:]:
+        buckets = buckets.unionAll(extra)
+    return buckets
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str,
@@ -343,21 +374,7 @@ def minhash_lsh_candidates(
     instead of their xxhash64 (slightly wider shuffle key: r longs vs
     one) so the bucketing is reproducible by the DuckDB oracle.
     """
-    r = num_hashes // bands
-    band_rows = []
-    for bi in range(bands):
-        cols = [F.col(f"mh_{bi * r + j}") for j in range(r)]
-        if portable:
-            keys = [c.alias(f"k_{j}") for j, c in enumerate(cols)]
-        else:
-            keys = [F.xxhash64(*cols).alias("k_0")]
-        band_rows.append(
-            signatures.select(F.col(id_col), F.lit(bi).alias("band"), *keys)
-        )
-    buckets = band_rows[0]
-    for extra in band_rows[1:]:
-        buckets = buckets.unionAll(extra)
-
+    buckets = band_bucket_rows(signatures, id_col, num_hashes, bands, portable)
     key_names = [c for c in buckets.columns if c.startswith("k_")]
     left = buckets.withColumnRenamed(id_col, "id_a")
     right = buckets.withColumnRenamed(id_col, "id_b")

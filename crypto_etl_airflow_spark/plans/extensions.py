@@ -342,6 +342,98 @@ def dedup_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_minhash_oracle(
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    batch_mod: int = 4,
+) -> str:
+    """DuckDB mirror of the incremental store pipeline
+    (operators/dedup_store.py): portable signatures for every doc,
+    banded buckets, candidates restricted to pairs INVOLVING the
+    batch (doc_id % batch_mod = 0), scored by signature agreement —
+    exactly what the engine computes after the store roundtrip, so
+    the parquet store + idempotent append + incremental join are all
+    on the certified path."""
+    p = dedup.MERSENNE_P
+    r = num_hashes // bands
+    sig = ",\n               ".join(
+        f"min(({a} * h + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.minhash_constants(num_hashes))
+    )
+    band_rows = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + ", ".join(f"mh_{bi * r + j} AS k_{j}" for j in range(r))
+        + " FROM sig"
+        for bi in range(bands)
+    )
+    key_eq = " AND ".join(f"l.k_{j} = rr.k_{j}" for j in range(r))
+    agree = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    hashed AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', substr(md5(sh), 1, 12)) AS BIGINT) % {p} AS h
+        FROM shingles
+    ),
+    sig AS (
+        SELECT doc_id,
+               {sig}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT least(l.doc_id, rr.doc_id) AS id_a,
+                        greatest(l.doc_id, rr.doc_id) AS id_b
+        FROM bands l JOIN bands rr ON l.band = rr.band AND {key_eq}
+        WHERE l.doc_id <> rr.doc_id AND rr.doc_id % {batch_mod} = 0
+    )
+    SELECT c.id_a, c.id_b,
+           round(({agree}) / {num_hashes}.0, 6) AS score
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE ({agree}) / {num_hashes}.0 >= {threshold}
+    """
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_incremental_minhash_oracle(),
+    tags=("dedup", "extension", "approx"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted MinHash signature store
+    (operators/dedup_store.py) — the 100 TB steady-state shape: the
+    corpus (doc_id % 4 != 0) is signatured ONCE into a parquet store;
+    the ingest batch (doc_id % 4 = 0) signatures only itself, joins
+    its band keys against the store's, and scores candidates by
+    signature agreement (estimate path: the store retains no text).
+    The store write + idempotent append + readback are inside this
+    certified path. Threshold 0.5 = at least 16 of 32 permutations
+    agree."""
+    import os
+    import tempfile
+
+    from ..operators import dedup_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    store_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    path = os.path.join(tempfile.mkdtemp(prefix="mh_store_"), "sigs")
+    dedup_store.write_minhash_store(store_docs, path, portable=True)
+    store = dedup_store.read_minhash_store(spark, path)
+    return dedup_store.incremental_minhash_pairs(
+        batch, store, threshold=0.5, portable=True, verify="estimate"
+    )
+
+
 def _simhash_oracle(max_hamming: int = 3) -> str:
     """DuckDB mirror of the portable 32-bit SimHash pipeline
     (operators/dedup.py::simhash_neardup_pairs(bits=32)): md5-32

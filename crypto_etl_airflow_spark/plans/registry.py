@@ -86,6 +86,7 @@ _PRIORITY = [
     "dedup_minhash_lsh_xxhash",  # r6 row was rows-only; now oracle-paired
     "multimodal_resize_images",
     "dedup_fuzzy_short_docs",
+    "dedup_incremental_minhash",
     # (b) last driver-certified in r2 — missed the round-6 cap
     "join_salted_skew",
     "q2_cheapest_supplier",

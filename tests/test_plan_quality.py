@@ -97,3 +97,28 @@ def test_scaled_lsh_broadcasts_planes_table(spark):
     df = all_specs()["embedding_neardup_pairs_lsh_scaled"].builder(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+
+
+def test_incremental_store_join_broadcasts_batch_side(spark, tmp_path):
+    """The incremental dedup join must broadcast the (small) batch
+    bucket keys against the store scan — a sort-merge shuffle of the
+    full store's band rows per ingest batch is the 100 TB regression
+    the store exists to avoid. Also: no cartesian, no Python eval."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.operators import dedup_store
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "sigs")
+    dedup_store.write_minhash_store(
+        docs.filter(F.col("doc_id") % 4 != 0), path
+    )
+    store = dedup_store.read_minhash_store(spark, path)
+    out = dedup_store.incremental_minhash_pairs(
+        docs.filter(F.col("doc_id") % 4 == 0), store, threshold=0.5
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Cartesian" not in plan, plan[:2000]
+    assert not [m for m in _PYTHON_MARKERS if m in plan]
