@@ -1,0 +1,359 @@
+"""Training-corpus curation surface: PII scrubbing, cross-document
+line-level dedup, and a Gopher-style composite quality filter — the
+standard cleaning stages a pretraining pipeline runs between raw
+ingest and tokenization (RefinedWeb line dedup; Gopher quality rules).
+
+The fixture documents are single-line and PII-free, so each query
+synthesizes its structure IN-PLAN with deterministic column
+expressions (the same technique dedup_exact_fingerprint uses for its
+duplicate injection): the Spark builder and the DuckDB oracle build
+byte-identical augmented corpora from the same ``documents`` table,
+then both apply the operator — so the redacted/cleaned TEXT itself is
+hash-compared value-for-value, not just counts.
+
+Everything here is column expressions + at most one line-frequency
+shuffle (the line dedup); no UDFs, no collect. PII regexes are
+restricted to the Java-regex ∩ RE2 dialect so both engines evaluate
+the identical pattern strings (functions/pii.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.pii import PII_PATTERNS, pii_counts, redact_pii
+from ..functions.text import STOPWORDS, mean_token_length, tokens
+from ..operators.lines import line_dedup_global
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# deterministic PII injection (Spark + DuckDB forms must stay in sync)
+# ---------------------------------------------------------------------------
+
+
+def _augment_pii(docs: DataFrame) -> DataFrame:
+    """Append one synthetic PII item to docs by doc_id % 7 arm:
+    0 → email, 1 → phone, 2 → SSN, 3 → IPv4, else unchanged."""
+    did = F.col("doc_id")
+
+    def s(col: F.Column) -> F.Column:
+        return col.cast("string")
+
+    text = (
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), s(did),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 7 == 1,
+            F.concat(
+                F.col("text"), F.lit(" call 555-"),
+                F.lpad(s(did % 1000), 3, "0"), F.lit("-"),
+                F.lpad(s(did % 10000), 4, "0"),
+            ),
+        )
+        .when(
+            did % 7 == 2,
+            F.concat(
+                F.col("text"), F.lit(" ssn is "),
+                F.lpad(s(did % 1000), 3, "0"), F.lit("-"),
+                F.lpad(s(did % 100), 2, "0"), F.lit("-"),
+                F.lpad(s(did % 10000), 4, "0"),
+            ),
+        )
+        .when(
+            did % 7 == 3,
+            F.concat(
+                F.col("text"), F.lit(" from 10."),
+                s(did % 256), F.lit("."),
+                s((did * 3) % 256), F.lit("."),
+                s((did * 7) % 256),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", "lang", text.alias("text"))
+
+
+_AUG_PII_SQL = """
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' contact user'
+                     || CAST(doc_id AS VARCHAR) || '@example.com now'
+                WHEN doc_id % 7 = 1 THEN text || ' call 555-'
+                     || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                WHEN doc_id % 7 = 2 THEN text || ' ssn is '
+                     || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                     || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                WHEN doc_id % 7 = 3 THEN text || ' from 10.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST(doc_id * 3 % 256 AS VARCHAR) || '.'
+                     || CAST(doc_id * 7 % 256 AS VARCHAR)
+                ELSE text END AS text
+    FROM documents
+"""
+
+# the redaction chain in DuckDB, innermost-first in PII_PATTERNS order
+_REDACT_SQL = "text"
+for _cat, _pat in PII_PATTERNS.items():
+    _tok = {"email": "<EMAIL>", "phone": "<PHONE>", "ssn": "<SSN>", "ipv4": "<IP>"}[_cat]
+    _REDACT_SQL = f"regexp_replace({_REDACT_SQL}, '{_pat}', '{_tok}', 'g')"
+
+_COUNT_SQL = {
+    cat: f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+    for cat, pat in PII_PATTERNS.items()
+}
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS ({_AUG_PII_SQL})
+    SELECT doc_id,
+           {_COUNT_SQL['email']} AS n_emails,
+           {_COUNT_SQL['phone']} AS n_phones,
+           {_COUNT_SQL['ssn']} AS n_ssns,
+           {_COUNT_SQL['ipv4']} AS n_ipv4,
+           {_REDACT_SQL} AS redacted
+    FROM aug
+    """,
+    tags=("text", "pii", "curation", "extension"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub per document: per-category match counts plus the
+    fully redacted text (``<EMAIL>``/``<PHONE>``/``<SSN>``/``<IP>``
+    tokens). Pure regexp column expressions — whole-stage codegen,
+    zero shuffles, scan-speed at 100 TB. The oracle hash-compares the
+    REDACTED TEXT byte-for-byte, not just the counts."""
+    aug = _augment_pii(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    c = pii_counts(t)
+    return aug.select(
+        "doc_id",
+        c["email"].alias("n_emails"),
+        c["phone"].alias("n_phones"),
+        c["ssn"].alias("n_ssns"),
+        c["ipv4"].alias("n_ipv4"),
+        redact_pii(t).alias("redacted"),
+    )
+
+
+@register(
+    "text_pii_prevalence",
+    oracle=f"""
+    WITH aug AS ({_AUG_PII_SQL}),
+    per_doc AS (
+        SELECT lang,
+               {_COUNT_SQL['email']} AS e, {_COUNT_SQL['phone']} AS p,
+               {_COUNT_SQL['ssn']} AS s, {_COUNT_SQL['ipv4']} AS i
+        FROM aug
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN e + p + s + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_pii,
+           CAST(sum(e) AS BIGINT) AS n_emails,
+           CAST(sum(p) AS BIGINT) AS n_phones,
+           CAST(sum(s) AS BIGINT) AS n_ssns,
+           CAST(sum(i) AS BIGINT) AS n_ipv4
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("text", "pii", "curation", "extension"),
+)
+def text_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII audit: per-language document counts, documents
+    containing any PII, and per-category totals — the reporting stage
+    that decides whether a source needs filtering rather than
+    redaction. One grouped aggregation (map-side partial sums)."""
+    aug = _augment_pii(load_table(spark, sf_dir, "documents"))
+    c = pii_counts(F.col("text"))
+    any_pii = (c["email"] + c["phone"] + c["ssn"] + c["ipv4"]) > 0
+    per_doc = aug.select(
+        "lang",
+        c["email"].alias("e"), c["phone"].alias("p"),
+        c["ssn"].alias("s"), c["ipv4"].alias("i"),
+        any_pii.cast("int").alias("has"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("has").cast("long").alias("docs_with_pii"),
+        F.sum("e").cast("long").alias("n_emails"),
+        F.sum("p").cast("long").alias("n_phones"),
+        F.sum("s").cast("long").alias("n_ssns"),
+        F.sum("i").cast("long").alias("n_ipv4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup (RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+
+def _augment_lines(docs: DataFrame) -> DataFrame:
+    """Turn the single-line fixture docs into multi-line documents with
+    injected boilerplate: doc_id%3==0 gains a newsletter line,
+    %4==0 a rights line (mixed case — exercises normalization),
+    %5==0 a UNIQUE ref-code line that must survive the dedup."""
+    did = F.col("doc_id")
+    text = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit("subscribe to our newsletter")),
+        F.when(did % 4 == 0, F.lit("All Rights Reserved")),
+        F.when(did % 5 == 0, F.concat(F.lit("ref code "), did.cast("string"))),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+_AUG_LINES_SQL = """
+    SELECT doc_id,
+           concat_ws(chr(10), text,
+               CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' END,
+               CASE WHEN doc_id % 4 = 0 THEN 'All Rights Reserved' END,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'ref code ' || CAST(doc_id AS VARCHAR) END) AS text
+    FROM documents
+"""
+
+
+@register(
+    "dedup_lines_global",
+    oracle=f"""
+    WITH aug AS ({_AUG_LINES_SQL}),
+    lines AS (
+        SELECT doc_id,
+               unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+               unnest(string_split(text, chr(10))) AS line
+        FROM aug
+    ),
+    freq AS (
+        SELECT trim(lower(line)) AS norm, count(DISTINCT doc_id) AS n_docs
+        FROM lines GROUP BY 1
+    ),
+    kept AS (
+        SELECT l.doc_id, l.pos, l.line
+        FROM lines l JOIN freq f ON trim(lower(l.line)) = f.norm
+        WHERE f.n_docs <= 10
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           len(string_split(a.text, chr(10))) AS n_lines,
+           CAST(len(string_split(a.text, chr(10))) - coalesce(r.n_kept, 0)
+                AS INT) AS n_removed
+    FROM aug a LEFT JOIN rebuilt r ON a.doc_id = r.doc_id
+    """,
+    tags=("dedup", "lines", "curation", "extension"),
+)
+def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup ACROSS documents (RefinedWeb-style): lines
+    present in > 10 distinct documents (normalized trim+lower) are
+    boilerplate and are removed; each document is reconstructed from
+    its surviving lines in original order. The injected newsletter /
+    rights lines vanish; the unique per-doc ref-code lines survive —
+    and the oracle hash-compares every reconstructed document string
+    (operators/lines.py for the 100 TB shuffle shape)."""
+    aug = _augment_lines(load_table(spark, sf_dir, "documents"))
+    return line_dedup_global(aug, "doc_id", "text", max_doc_freq=10)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality filter
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(lower(text), '\\s+')"
+_STOPS = "['" + "','".join(STOPWORDS) + "']"
+
+
+@register(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id,
+               len({_TOKS}) AS n_words,
+               round(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum')
+                     / len({_TOKS}), 6) AS mean_word_len,
+               round(len(list_filter({_TOKS}, x -> regexp_matches(x, '[A-Za-z]')))
+                     / len({_TOKS}), 6) AS frac_alpha_words,
+               len(list_filter({_TOKS}, x -> list_contains({_STOPS}, x)))
+                   AS n_stop_hits,
+               CASE WHEN len({_TOKS}) < 2 THEN 0.0
+                    ELSE round(1 - len(list_distinct(list_transform(
+                             range(1, len({_TOKS})),
+                             i -> {_TOKS}[i] || ' ' || {_TOKS}[i + 1])))
+                         / (len({_TOKS}) - 1), 6) END AS dup_bigram_frac
+        FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
+           dup_bigram_frac,
+           n_words >= 20 AND n_words <= 100000 AS pass_words,
+           mean_word_len >= 3 AND mean_word_len <= 10 AS pass_word_len,
+           frac_alpha_words >= 0.8 AS pass_alpha,
+           n_stop_hits >= 2 AS pass_stop,
+           dup_bigram_frac <= 0.5 AS pass_repetition,
+           n_words >= 20 AND n_words <= 100000
+               AND mean_word_len >= 3 AND mean_word_len <= 10
+               AND frac_alpha_words >= 0.8 AND n_stop_hits >= 2
+               AND dup_bigram_frac <= 0.5 AS keep
+    FROM sig
+    """,
+    tags=("text", "quality", "curation", "extension"),
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite document filter: word count band, mean
+    word length band, alphabetic-word fraction, stopword presence,
+    and duplicate-bigram fraction — each as a boolean flag plus the
+    conjunctive ``keep``. Every signal (including the bigram
+    repetition, via array expressions) is computed in ONE projection
+    with no shuffle and no UDF — at 100 TB this is a pure parquet
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = tokens(t)
+    n_words = F.size(toks)
+    mean_wl = mean_token_length(t)
+    frac_alpha = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_words, 6
+    )
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_words - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    dup_frac = F.when(n_words < 2, F.lit(0.0)).otherwise(
+        F.round(1 - F.size(F.array_distinct(bigrams)) / (n_words - 1), 6)
+    )
+    sig = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+        dup_frac.alias("dup_bigram_frac"),
+    )
+    pass_words = (F.col("n_words") >= 20) & (F.col("n_words") <= 100000)
+    pass_wl = (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+    pass_alpha = F.col("frac_alpha_words") >= 0.8
+    pass_stop = F.col("n_stop_hits") >= 2
+    pass_rep = F.col("dup_bigram_frac") <= 0.5
+    return sig.select(
+        "*",
+        pass_words.alias("pass_words"),
+        pass_wl.alias("pass_word_len"),
+        pass_alpha.alias("pass_alpha"),
+        pass_stop.alias("pass_stop"),
+        pass_rep.alias("pass_repetition"),
+        (pass_words & pass_wl & pass_alpha & pass_stop & pass_rep).alias("keep"),
+    )

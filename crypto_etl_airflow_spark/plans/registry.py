@@ -63,6 +63,7 @@ def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from . import (  # noqa: F401
         analytics,
+        curation,
         extensions,
         parity,
         relational,
@@ -87,6 +88,10 @@ _PRIORITY = [
     "multimodal_resize_images",
     "dedup_fuzzy_short_docs",
     "dedup_incremental_minhash",
+    "text_pii_redact",
+    "text_pii_prevalence",
+    "dedup_lines_global",
+    "text_gopher_filter",
     # (b) last driver-certified in r2 — missed the round-6 cap
     "join_salted_skew",
     "q2_cheapest_supplier",

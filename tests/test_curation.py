@@ -1,0 +1,133 @@
+"""Curation surface: PII redaction, cross-document line dedup, and
+the Gopher-style composite filter (plans/curation.py)."""
+
+from pyspark.sql import functions as F
+
+from crypto_etl_airflow_spark.functions.pii import (
+    PII_PATTERNS,
+    pii_counts,
+    redact_pii,
+)
+from crypto_etl_airflow_spark.operators.lines import line_dedup_global
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_pii_counts_and_redaction(spark):
+    df = _df(spark, [
+        (1, "write to alice.smith+tag@mail.example.org today"),
+        (2, "call 555-123-4567 or 555-987-6543"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "server at 192.168.10.250 responded"),
+        (5, "nothing sensitive here at all"),
+    ])
+    c = pii_counts(F.col("text"))
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id", c["email"].alias("e"), c["phone"].alias("p"),
+        c["ssn"].alias("s"), c["ipv4"].alias("i"),
+        redact_pii(F.col("text")).alias("red"),
+    ).collect()}
+    assert (rows[1].e, rows[1].p, rows[1].s, rows[1].i) == (1, 0, 0, 0)
+    assert rows[2].p == 2 and rows[3].s == 1 and rows[4].i == 1
+    assert rows[5].red == "nothing sensitive here at all"
+    assert rows[1].red == "write to <EMAIL> today"
+    assert rows[2].red == "call <PHONE> or <PHONE>"
+    assert rows[3].red == "ssn <SSN> on file"
+    assert rows[4].red == "server at <IP> responded"
+
+
+def test_pii_redacted_text_has_no_remaining_matches(spark):
+    """Redaction is complete: no category pattern matches its own
+    output (the categories are mutually disjoint via \\b anchors)."""
+    df = _df(spark, [
+        (1, "a@b.co 111-222-3333 123-45-6789 10.0.0.1 b@c.org"),
+    ])
+    red = df.select(redact_pii(F.col("text")).alias("r"))
+    for pat in PII_PATTERNS.values():
+        assert red.filter(F.regexp_count("r", F.lit(pat)) > 0).count() == 0
+
+
+def test_pii_mid_number_boundaries_do_not_match(spark):
+    """Digit runs embedded in longer numbers are not PII: the \\b
+    anchors refuse mid-number matches."""
+    df = _df(spark, [(1, "serial 9555-123-45678 code 1234-45-67890")])
+    c = pii_counts(F.col("text"))
+    r = df.select(c["phone"].alias("p"), c["ssn"].alias("s")).first()
+    assert (r.p, r.s) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# line dedup
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_removes_boilerplate_keeps_unique(spark):
+    rows = [
+        (i, f"unique body {i}\nSubscribe NOW\nfooter {i}") for i in range(8)
+    ] + [(100, "no boilerplate at all")]
+    out = {r.doc_id: r for r in line_dedup_global(
+        _df(spark, rows), "doc_id", "text", max_doc_freq=3
+    ).collect()}
+    # 'Subscribe NOW' appears in 8 docs > 3 → removed everywhere;
+    # unique body/footer lines survive in original order
+    for i in range(8):
+        assert out[i].clean_text == f"unique body {i}\nfooter {i}"
+        assert out[i].n_lines == 3 and out[i].n_removed == 1
+    assert out[100].clean_text == "no boilerplate at all"
+    assert out[100].n_removed == 0
+
+
+def test_line_dedup_normalizes_case_and_space(spark):
+    rows = [(i, f"body {i}\n  ALL rights RESERVED  ") for i in range(5)]
+    out = line_dedup_global(_df(spark, rows), "doc_id", "text", max_doc_freq=2)
+    assert all(r.clean_text == f"body {r.doc_id}" for r in out.collect())
+
+
+def test_line_dedup_fully_boilerplate_doc_yields_empty(spark):
+    rows = [(i, "same line") for i in range(6)]
+    out = line_dedup_global(_df(spark, rows), "doc_id", "text", max_doc_freq=2)
+    assert all(
+        r.clean_text == "" and r.n_removed == 1 for r in out.collect()
+    )
+    assert out.count() == 6  # documents are never dropped, only emptied
+
+
+def test_line_dedup_threshold_is_distinct_docs_not_occurrences(spark):
+    # one doc repeats a line 5 times — still only ONE distinct doc,
+    # so the line survives a max_doc_freq=2 threshold
+    df = _df(spark, [(1, "\n".join(["echo"] * 5))])
+    r = line_dedup_global(df, "doc_id", "text", max_doc_freq=2).first()
+    assert r.clean_text == "\n".join(["echo"] * 5) and r.n_removed == 0
+
+
+# ---------------------------------------------------------------------------
+# gopher filter (via the registered query at fixture scale)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_filter_flags(spark):
+    from crypto_etl_airflow_spark.plans.registry import get
+
+    from .conftest import SF_ORACLE
+
+    out = get("text_gopher_filter").builder(spark, SF_ORACLE)
+    rows = out.collect()
+    assert len(rows) == 500
+    by_keep = {}
+    for r in rows:
+        # keep is exactly the conjunction of the five flags
+        assert r.keep == (
+            r.pass_words and r.pass_word_len and r.pass_alpha
+            and r.pass_stop and r.pass_repetition
+        )
+        by_keep.setdefault(r.keep, 0)
+        by_keep[r.keep] += 1
+    # the fixture corpus produces a genuine mix (zh docs fail alpha)
+    assert by_keep.get(True, 0) > 0 and by_keep.get(False, 0) > 0
