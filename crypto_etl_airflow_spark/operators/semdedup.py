@@ -1,0 +1,109 @@
+"""Semantic deduplication (SemDeDup-style): cluster the embedding
+space with the deterministic IVF coarse quantizer, then search for
+cosine-similar pairs ONLY within each cluster and drop every
+non-canonical member.
+
+This is the embedding-space counterpart of MinHash-LSH for text: the
+cluster assignment plays the role of the LSH bucket, bounding the
+pair search to within-cluster candidates instead of all n² pairs
+(Abbas et al., "SemDeDup", arXiv:2303.09540 — the public recipe:
+k-means cluster, intra-cluster pairwise cosine, keep one
+representative).
+
+Scale posture at 100 TB:
+
+- centroids derive from the corpus deterministically (lowest-id
+  seeds + one refinement — operators/similarity.py::ivf_centroids)
+  and broadcast: assignment is a map-side cross-score, no shuffle of
+  the corpus;
+- the only shuffle is the self-join on ``centroid_id``; per-cluster
+  work is quadratic in CLUSTER size, so ``nlist`` is the scale dial —
+  grow it with the corpus (n/√nlist constant) exactly as SemDeDup
+  runs 50k clusters for LAION-scale data. A skewed giant cluster is
+  the failure mode to watch; the cluster-size histogram is one
+  groupBy away and re-seeding with a larger nlist is cheap;
+- vectors shuffle once (8-byte key + the array payload); cosine is a
+  JVM array expression (zip_with/aggregate), no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot as _dot, norm as _norm
+from .similarity import _nearest_centroid, ivf_centroids
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+) -> DataFrame:
+    """(id, v double-array, nrm, centroid_id) — nearest refined IVF
+    centroid per vector, deterministic (lowest-centroid tiebreak)."""
+    cents = ivf_centroids(corpus, id_col, vec_col, nlist)
+    v = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return _nearest_centroid(v, cents, id_col, "v").withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Within-cluster cosine-similar pairs:
+    ``(centroid_id, id_a, id_b, cosine_sim)`` with id_a < id_b and
+    cosine_sim ≥ threshold (rounded to 6 — oracle-stable)."""
+    assigned = assign_clusters(corpus, id_col, vec_col, nlist)
+    a = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("centroid_id", "id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semdedup_keep(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Per-vector verdict: ``(id, centroid_id, is_duplicate)`` —
+    a vector is duplicate iff it is the LARGER id of some
+    within-cluster pair at ≥ threshold (so each similar pair keeps
+    its lowest id; a chain a~b~c keeps only a, matching the
+    keep-one-representative SemDeDup policy for transitive groups
+    whose members all pairwise collide in one cluster)."""
+    assigned = assign_clusters(corpus, id_col, vec_col, nlist)
+    dups = (
+        semdedup_pairs(corpus, id_col, vec_col, nlist, threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assigned.join(dups, id_col, "left").select(
+        id_col,
+        "centroid_id",
+        F.coalesce("__dup", F.lit(False)).alias("is_duplicate"),
+    )

@@ -275,6 +275,160 @@ _TOKS = "string_split_regex(lower(text), '\\s+')"
 _STOPS = "['" + "','".join(STOPWORDS) + "']"
 
 
+# ---------------------------------------------------------------------------
+# token-budget sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, len({_TOKS}) AS n_tokens,
+               CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           sum(n_tokens) OVER w - n_tokens < 2000 AS kept
+    FROM t
+    WINDOW w AS (PARTITION BY lang ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+    """,
+    tags=("sampling", "curation", "extension"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: admit documents per language, in
+    deterministic hash order, until each language's 2000-token budget
+    is exhausted — the 'mix N billion tokens per source' knob of a
+    pretraining data recipe, with no RNG state (the md5 order is
+    reproducible on any engine, any partitioning). One window cumsum
+    per language; a doc is kept iff the budget wasn't exhausted
+    before it started, so the sample slightly overshoots rather than
+    splitting a document."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    t = docs.select(
+        "doc_id", "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        h.alias("h"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id", "lang", "n_tokens",
+        cum.alias("cum_tokens"),
+        ((cum - F.col("n_tokens")) < 2000).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of the deterministic IVF clustering through nearest-
+# centroid assignment (same CTE chain as _ivf_oracle in extensions.py)
+_SEMDEDUP_CLUSTERS_SQL = """
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    seeds AS (
+        SELECT vec_id AS centroid_id, e AS c_vec
+        FROM v ORDER BY vec_id LIMIT 16
+    ),
+    assign0 AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, s.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.e, s.c_vec)
+                                / sqrt(list_dot_product(s.c_vec, s.c_vec)) DESC,
+                                s.centroid_id) AS rn
+            FROM v, seeds s
+        ) WHERE rn = 1
+    ),
+    comp AS (
+        SELECT a.centroid_id, j - 1 AS pos, round(avg(v.e[j]), 6) AS m
+        FROM assign0 a
+        JOIN v USING (vec_id), unnest(generate_series(1, len(v.e))) AS u(j)
+        GROUP BY 1, 2
+    ),
+    cents AS (
+        SELECT centroid_id, list(m ORDER BY pos) AS c_vec
+        FROM comp GROUP BY centroid_id
+    ),
+    clusters AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.e, c.c_vec)
+                                / sqrt(list_dot_product(c.c_vec, c.c_vec)) DESC,
+                                c.centroid_id) AS rn
+            FROM v, cents c
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.centroid_id, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(va.e, vb.e)
+                     / (sqrt(list_dot_product(va.e, va.e))
+                        * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cosine_sim
+        FROM clusters a
+        JOIN clusters b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+    )
+"""
+
+
+@register(
+    "embedding_semdedup_pairs",
+    oracle=f"""
+    WITH {_SEMDEDUP_CLUSTERS_SQL}
+    SELECT centroid_id, id_a, id_b, cosine_sim
+    FROM pairs WHERE cosine_sim >= 0.4
+    """,
+    tags=("similarity", "dedup", "curation", "extension"),
+)
+def embedding_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup candidate pairs: deterministic IVF clustering of the
+    embedding space (16 clusters), then cosine ≥ 0.4 pairs WITHIN
+    each cluster only — pair search bounded by cluster size, never n²
+    (operators/semdedup.py; nlist is the 100 TB scale dial)."""
+    from ..operators.semdedup import semdedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_pairs(emb, "vec_id", "embedding", nlist=16, threshold=0.4)
+
+
+@register(
+    "embedding_semdedup_keep",
+    oracle=f"""
+    WITH {_SEMDEDUP_CLUSTERS_SQL}
+    SELECT c.vec_id, c.centroid_id,
+           c.vec_id IN (SELECT id_b FROM pairs WHERE cosine_sim >= 0.4)
+               AS is_duplicate
+    FROM clusters c
+    """,
+    tags=("similarity", "dedup", "curation", "extension"),
+)
+def embedding_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdict per vector: duplicate iff it is the larger id
+    of some within-cluster pair at cosine ≥ 0.4 (each similar group
+    keeps its lowest id). The curation decision a training pipeline
+    applies before tokenization."""
+    from ..operators.semdedup import semdedup_keep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_keep(emb, "vec_id", "embedding", nlist=16, threshold=0.4)
+
+
 @register(
     "text_gopher_filter",
     oracle=f"""

@@ -92,6 +92,9 @@ _PRIORITY = [
     "text_pii_prevalence",
     "dedup_lines_global",
     "text_gopher_filter",
+    "sample_token_budget",
+    "embedding_semdedup_pairs",
+    "embedding_semdedup_keep",
     # (b) last driver-certified in r2 — missed the round-6 cap
     "join_salted_skew",
     "q2_cheapest_supplier",

@@ -131,3 +131,34 @@ def test_gopher_filter_flags(spark):
         by_keep[r.keep] += 1
     # the fixture corpus produces a genuine mix (zh docs fail alpha)
     assert by_keep.get(True, 0) > 0 and by_keep.get(False, 0) > 0
+
+
+# ---------------------------------------------------------------------------
+# token-budget sampling (via the registered query at fixture scale)
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_sampling_invariants(spark):
+    from crypto_etl_airflow_spark.plans.registry import get
+
+    from .conftest import SF_ORACLE
+
+    rows = get("sample_token_budget").builder(spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        kept = [r for r in rs if r.kept]
+        dropped = [r for r in rs if not r.kept]
+        # every kept doc STARTED under budget; every dropped doc didn't
+        assert all(r.cum_tokens - r.n_tokens < 2000 for r in kept)
+        assert all(r.cum_tokens - r.n_tokens >= 2000 for r in dropped)
+        # budget actually bites (fixture langs all exceed 2000 tokens)
+        total = sum(r.n_tokens for r in rs)
+        if total > 2100:
+            assert dropped, f"{lang}: budget should be exhausted"
+        # overshoot is bounded by one document
+        if kept:
+            max_cum = max(r.cum_tokens for r in kept)
+            assert max_cum - max(r.n_tokens for r in kept) < 2000
