@@ -336,22 +336,26 @@ def band_bucket_rows(
     (:func:`minhash_lsh_candidates`) and the incremental store join
     (operators/dedup_store.py). ``portable=True`` keys on the raw
     signature values (DuckDB-reproducible); default keys on their
-    xxhash64 (one 8-byte key)."""
+    xxhash64 (one 8-byte key).
+
+    Built as ONE explode of a per-row band array, not a union of
+    ``bands`` projections: the union form re-reads the signature
+    table once per band (``bands`` scans / task sets — 8 passes over
+    a cached table here, 8 passes over a 100 TB-derived signature
+    store at scale), while the explode emits every band row in a
+    single pass. Same rows, one stage."""
     r = num_hashes // bands
-    band_rows = []
+    entries = []
     for bi in range(bands):
         cols = [F.col(f"mh_{bi * r + j}") for j in range(r)]
         if portable:
             keys = [c.alias(f"k_{j}") for j, c in enumerate(cols)]
         else:
             keys = [F.xxhash64(*cols).alias("k_0")]
-        band_rows.append(
-            signatures.select(F.col(id_col), F.lit(bi).alias("band"), *keys)
-        )
-    buckets = band_rows[0]
-    for extra in band_rows[1:]:
-        buckets = buckets.unionAll(extra)
-    return buckets
+        entries.append(F.struct(F.lit(bi).alias("band"), *keys))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("__band")
+    ).select(id_col, "__band.*")
 
 
 def minhash_lsh_candidates(
@@ -393,14 +397,24 @@ def verify_pairs_exact_jaccard(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for the given (id_a, id_b)
     candidate pairs only. Candidate-DRIVEN: shingles join onto the
     candidate list (cands ⋈ shingles(id_a) ⋈ shingles(id_b)), so the
     shuffle is |candidates| × shingles-per-doc — never the full
     shingle self-join, whose hot shingles fan out quadratically.
-    Keeps pairs ≥ threshold; returns (id_a, id_b, jaccard)."""
-    sh = _reuse(_hashed_shingles(df, id_col, text_col, n))
+    Keeps pairs ≥ threshold; returns (id_a, id_b, jaccard).
+
+    ``shingles``: optional pre-built set-distinct ``(id_col, sh)``
+    table (8-byte hashed shingles) — callers that already shingled
+    the corpus (:func:`minhash_lsh_pairs`) pass it to avoid a second
+    document scan; default builds it here."""
+    sh = (
+        shingles
+        if shingles is not None
+        else _reuse(_hashed_shingles(df, id_col, text_col, n))
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
@@ -437,16 +451,40 @@ def minhash_lsh_pairs(
     Output matches :func:`ngram_jaccard_pairs` up to LSH recall (a
     near-dup pair is missed only if it collides in no band).
     ``portable=True`` makes every stage md5-reproducible in a DuckDB
-    oracle (see :func:`minhash_signatures`)."""
-    # the banding stage reads the signature table once PER BAND (the
-    # band rows are a union of projections of it); persisting the
-    # tiny (docs × num_hashes) table stops the shingle scan + hash +
-    # 32-way min aggregation from running `bands` times over — with
-    # lineage kept for executor-loss recompute (see _reuse)
-    sigs = _reuse(minhash_signatures(df, id_col, text_col, n, num_hashes, portable))
+    oracle (see :func:`minhash_signatures`).
+
+    ONE document scan feeds the whole pipeline: the set-distinct
+    shingle table carries both the 8-byte verification join key
+    (xxhash64) and the signature base hash, so signatures and the
+    exact-Jaccard verification share it instead of each re-scanning
+    and re-shingling the corpus. Min over the distinct shingle SET
+    equals min over the multiset, so signatures are unchanged."""
+    base = word_shingles(df, id_col, text_col, n, distinct=False)
+    if portable:
+        h = portable_hash48(F.col("shingle")) % MERSENNE_P
+    else:
+        h = (F.xxhash64("shingle") % MERSENNE_P + MERSENNE_P) % MERSENNE_P
+    # distinct over (id, xxhash64, base-hash) == distinct over
+    # (id, shingle) up to 64-bit collisions — the same exposure
+    # _hashed_shingles always had; duplicates cannot change a min
+    sh = _reuse(
+        base.select(
+            F.col(id_col), F.xxhash64("shingle").alias("sh"), h.alias("__h")
+        ).distinct()
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_constants(num_hashes))
+    ]
+    # persisted because the band-bucket self-join reads the signature
+    # table on both sides (exchange reuse across a self-join's renamed
+    # sides is not guaranteed) — lineage kept for executor-loss
+    # recompute (see _reuse)
+    sigs = _reuse(sh.groupBy(id_col).agg(*mins))
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands, portable)
     return verify_pairs_exact_jaccard(
-        df, cands, id_col, text_col, n, threshold
+        df, cands, id_col, text_col, n, threshold,
+        shingles=sh.select(id_col, "sh"),
     )
 
 
