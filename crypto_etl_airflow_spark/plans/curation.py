@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.pii import PII_PATTERNS, pii_counts, redact_pii
-from ..functions.text import STOPWORDS, mean_token_length, tokens
+from ..functions.text import STOPWORDS, mean_token_length, quality_score, tokens
 from ..operators.lines import line_dedup_global
 from ..sources.tables import load_table
 from .registry import register
@@ -327,6 +327,134 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tokens",
         cum.alias("cum_tokens"),
         ((cum - F.col("n_tokens")) < 2000).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram language-model score (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    big AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    cb AS (SELECT w1, w2, count(*) AS c_bi FROM big GROUP BY 1, 2),
+    cc AS (SELECT w1, count(*) AS c_ctx FROM big GROUP BY 1),
+    v AS (SELECT count(DISTINCT w1) AS v FROM big)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((cb.c_bi + 0.5) / (cc.c_ctx + 0.5 * v.v))), 6)
+               AS avg_logprob
+    FROM big b
+    JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+    JOIN cc ON cc.w1 = b.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+    tags=("text", "quality", "curation", "extension"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model score per document (the CCNet
+    idea with the corpus as its own LM): P(w2|w1) from corpus bigram /
+    context counts with add-0.5 smoothing over the context vocabulary,
+    scored as the mean log-probability of each document's bigrams.
+    Low scores = text unlike the corpus (spam, wrong language,
+    boilerplate). Shapes: one bigram explode, two grouped counts
+    (map-side partial), one join back keyed on the bigram — every
+    aggregation linear, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    big = docs.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    cc = big.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    v = big.select(F.count_distinct("w1").alias("v"))
+    lp = F.log((F.col("c_bi") + 0.5) / (F.col("c_ctx") + 0.5 * F.col("v")))
+    return (
+        big.join(cb, ["w1", "w2"])
+        .join(cc, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "filter_quality_quantile",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               length(text) AS n,
+               round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                     / length(text), 6) AS p_ratio,
+               round(len(list_filter({_TOKS}, x -> list_contains({_STOPS}, x)))
+                     / len({_TOKS}), 6) AS s_ratio,
+               round(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum')
+                     / len({_TOKS}), 6) AS mtl
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               round(((CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                            WHEN n >= 30 THEN 0.5 ELSE 0.0 END)
+                      + (CASE WHEN p_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN s_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN mtl >= 2.5 AND mtl <= 12 THEN 1.0 ELSE 0.0 END)
+                     ) / 4.0, 6) AS quality
+        FROM q
+    )
+    SELECT doc_id, quality,
+           round(percent_rank() OVER (ORDER BY quality), 6) AS quality_pct,
+           percent_rank() OVER (ORDER BY quality) >= 0.5 AS kept
+    FROM scored
+    """,
+    tags=("text", "quality", "sampling", "curation", "extension"),
+)
+def filter_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality gate: keep the top half of the corpus by
+    composite quality score — 'filter by score percentile' is how
+    pretraining recipes apply learned or heuristic quality signals
+    without hand-picking a threshold. percent_rank is deterministic
+    under ties (ties share a rank), so the cut is engine-reproducible.
+    Note the single-partition window: a global rank IS a global sort —
+    at 100 TB the same cut is taken with approx_percentile to find
+    the threshold value, then a scan-shaped filter; both forms exist
+    here (`agg_approx_percentiles` certifies the sketch)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    w = W.orderBy("quality")
+    pct = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id",
+        "quality",
+        F.round(pct, 6).alias("quality_pct"),
+        (pct >= 0.5).alias("kept"),
     )
 
 

@@ -95,6 +95,9 @@ _PRIORITY = [
     "sample_token_budget",
     "embedding_semdedup_pairs",
     "embedding_semdedup_keep",
+    "streaming_dedup_exact",
+    "text_bigram_logprob",
+    "filter_quality_quantile",
     # (b) last driver-certified in r2 — missed the round-6 cap
     "join_salted_skew",
     "q2_cheapest_supplier",

@@ -163,6 +163,49 @@ def streaming_ingest_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "dedup", "stateful"),
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the event stream is polluted with a
+    duplicate copy of every 5th event (same event_id — an at-least-
+    once source replaying records), then deduplicated with
+    ``dropDuplicatesWithinWatermark`` on the key — the state-BOUNDED
+    streaming dedup (plain ``dropDuplicates`` retains every key
+    forever; the within-watermark form evicts state once the key's
+    event time passes the watermark, which is what survives an
+    unbounded 100 TB stream). Executed as a real streaming query;
+    the drained, deduplicated rows then batch-aggregate per type.
+    A fully drained stream must equal the clean batch table — the
+    duplicates must vanish exactly."""
+    stream = stream_events(spark, sf_dir)
+    dupes = stream.filter(F.col("event_id") % 5 == 0)
+    polluted = stream.unionByName(dupes)
+    # the fixture's ts is TimestampNTZ; watermarks require an
+    # instant-typed column, so cast transiently (the column is only
+    # the state-eviction clock here — it is not in the output, and
+    # the duplicate copies carry identical values either way)
+    deduped = (
+        polluted.withColumn("__wm_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("__wm_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = run_append_to_memory(
+        deduped.select("event_id", "event_type", "value")
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@register(
     "streaming_enrich_segment",
     oracle="""
     SELECT c.c_mktsegment,

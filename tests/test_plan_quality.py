@@ -99,6 +99,36 @@ def test_scaled_lsh_broadcasts_planes_table(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
 
 
+def test_line_dedup_broadcasts_hot_lines(spark):
+    """The hot-line (boilerplate) set must broadcast into the LEFT
+    ANTI join against the exploded line table — shuffling the full
+    line table against a shuffled hot set would turn the cheap
+    boilerplate filter into a corpus-wide sort-merge at scale."""
+    df = all_specs()["dedup_lines_global"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+
+
+def test_semdedup_broadcasts_centroids(spark):
+    """Cluster assignment must score every vector against a BROADCAST
+    centroid table (map-side cross-score) — a shuffled assignment
+    join would move the corpus once per k-means step."""
+    df = all_specs()["embedding_semdedup_pairs"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+
+
+@pytest.mark.parametrize("name", ["text_pii_redact", "text_gopher_filter"])
+def test_curation_projections_have_no_exchange(spark, name):
+    """PII redaction and the Gopher filter are pure projections: the
+    physical plan must contain NO Exchange at all — at 100 TB these
+    run at parquet-scan speed, and a stray shuffle would be a silent
+    order-of-magnitude regression."""
+    df = all_specs()[name].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"{name}: unexpected shuffle:\n{plan[:2000]}"
+
+
 def test_incremental_store_join_broadcasts_batch_side(spark, tmp_path):
     """The incremental dedup join must broadcast the (small) batch
     bucket keys against the store scan — a sort-merge shuffle of the

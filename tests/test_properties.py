@@ -233,3 +233,93 @@ def test_stratified_sample_deterministic_and_per_stratum(spark):
     }
     assert by_s["b"] == 1000  # default=1.0 keeps all
     assert 120 <= by_s["a"] <= 280  # ~20% of 1000
+
+
+# --- curation properties (round 7) -----------------------------------------
+
+_pii_filler = st.text(
+    alphabet="abc XYZ.-@0123456789", min_size=0, max_size=40
+)
+_pii_items = st.lists(
+    st.sampled_from([
+        "user@example.com", "x.y+z@mail.org",
+        "555-123-4567", "123-45-6789", "10.0.200.7",
+    ]),
+    min_size=0,
+    max_size=4,
+)
+
+
+@settings(max_examples=8, **{k: v for k, v in _SETTINGS.items() if k != "max_examples"})
+@given(filler=_pii_filler, items=_pii_items)
+def test_pii_redaction_complete_on_arbitrary_text(spark, filler, items):
+    """However PII items are interleaved with arbitrary filler, the
+    redacted output matches NO category pattern — redaction is a
+    fixed point of every detector."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.functions.pii import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    text = (" " + filler + " ").join(items) if items else filler
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    red = df.select(redact_pii(F.col("text")).alias("r"))
+    leftovers = red.select(
+        *[
+            F.regexp_count("r", F.lit(p)).alias(c)
+            for c, p in PII_PATTERNS.items()
+        ]
+    ).first()
+    assert all(v == 0 for v in leftovers.asDict().values()), (
+        text,
+        red.first().r,
+    )
+
+
+_line_docs = st.lists(
+    st.lists(
+        st.sampled_from(["hot line", "HOT  LINE", "alpha", "beta", "gamma"]),
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, **{k: v for k, v in _SETTINGS.items() if k != "max_examples"})
+@given(docs=_line_docs)
+def test_line_dedup_matches_python_model(spark, docs):
+    """line_dedup_global over arbitrary small corpora equals a pure
+    Python model: normalize (trim+lower+space-collapse? no — just
+    trim+lower), count distinct docs per line, drop lines above the
+    threshold, rebuild in order."""
+    from crypto_etl_airflow_spark.operators.lines import line_dedup_global
+
+    max_doc_freq = 2
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+
+    def norm(line):
+        return line.strip().lower()
+
+    from collections import defaultdict
+
+    docs_per_line = defaultdict(set)
+    for i, lines in enumerate(docs):
+        for ln in lines:
+            docs_per_line[norm(ln)].add(i)
+    expected = {}
+    for i, lines in enumerate(docs):
+        kept = [ln for ln in lines if len(docs_per_line[norm(ln)]) <= max_doc_freq]
+        expected[i] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+        for r in line_dedup_global(
+            df, "doc_id", "text", max_doc_freq=max_doc_freq
+        ).collect()
+    }
+    assert got == expected

@@ -58,6 +58,18 @@ EXTRA_SCALE_QUERIES = (
     "embedding_neardup_pairs_lsh",  # planes=4 recall demonstrator —
     # no longer benched headline; its super-linear curve stays on
     # record here as the measured contrast to the scaled config
+    # round-7 curation surface (plans/curation.py):
+    "dedup_lines_global",  # the only one with a corpus shuffle
+    "text_pii_redact",
+    "text_gopher_filter",
+    "sample_token_budget",
+    # embedding_semdedup_* are deliberately NOT here: their registered
+    # nlist=16 is sized for the certification fixture, and SemDeDup's
+    # scale contract is nlist ∝ corpus size (clusters stay constant-
+    # sized). Measuring 10× data at a frozen nlist would time a
+    # config the operator's own docstring says not to run — the
+    # planes=4 lesson. The nlist dial is measured separately in
+    # SCALE.md (1× @ nlist=16 vs 10× @ nlist=160).
 )
 
 
