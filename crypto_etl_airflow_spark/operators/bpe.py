@@ -1,0 +1,130 @@
+"""BPE merge-rule learning as pure dataflow (tokenizer fitting).
+
+Byte-pair encoding's training loop — count adjacent symbol pairs over
+the word vocabulary, merge the most frequent pair, repeat — expressed
+entirely as DataFrame operations (Sennrich et al. 2016, the standard
+subword-vocabulary algorithm every LLM tokenizer descends from):
+
+- the word vocabulary is one grouped count over the corpus (words
+  carry their corpus frequency, so each round aggregates VOCABULARY
+  rows, not corpus rows — the classic trick that makes BPE training
+  corpus-size-independent after the first pass);
+- each round's winning pair is a 1-row DataFrame (deterministic
+  tie-break: count desc, then lexicographic) CROSS-JOINED back as a
+  broadcast — the merge rule is applied distributively with the rule
+  as COLUMNS, no driver-side collect anywhere;
+- merge application is an ``F.aggregate`` fold over the symbol list
+  (leftmost, non-overlapping — exact BPE semantics), a pure array
+  expression the DuckDB oracle mirrors with ``list_reduce``.
+
+Scale posture: round r touches |vocab| rows (millions at 100 TB, not
+billions); per-round state is the vocabulary's symbol lists. The
+driver loop only BUILDS the plan (n_merges rounds); each round's
+symbol table is persisted so round r+1 reads a materialized vocab
+instead of recursively re-deriving rounds 0..r (exponential
+re-evaluation otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _reuse
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """Array of (l, r) structs for each adjacent symbol pair."""
+    idx = F.when(
+        F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("l"),
+            F.element_at(syms, i + 1).alias("r"),
+        ),
+    )
+
+
+def _apply_merge(syms: Column, left: Column, right: Column) -> Column:
+    """Fold the merge rule (left, right) → left||right over the
+    symbol list, leftmost-first and non-overlapping (a freshly merged
+    symbol never re-merges with the following element in the same
+    round — exact BPE application order)."""
+    tail = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+    init = F.slice(syms, 1, 1)
+    return F.aggregate(
+        tail,
+        init,
+        lambda acc, s: F.when(
+            (F.element_at(acc, -1) == left) & (s == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(left, right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the whitespace-lowercased corpus."""
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_merge_rules(
+    df: DataFrame, text_col: str = "text", n_merges: int = 4
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus:
+    ``(merge_rank, left_sym, right_sym, pair_count)`` — one row per
+    learned merge, in learning order."""
+    cur = _reuse(
+        word_vocab(df, text_col).select(
+            "word", "freq", F.split("word", "").alias("syms")
+        )
+    )
+    rules: list[DataFrame] = []
+    for rank in range(n_merges):
+        pairs = cur.select(
+            "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .select(
+                F.lit(rank).alias("merge_rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("pair_count").cast("long").alias("pair_count"),
+            )
+        )
+        rules.append(best)
+        if rank < n_merges - 1:
+            rule = F.broadcast(
+                best.select(
+                    F.col("left_sym").alias("__l"),
+                    F.col("right_sym").alias("__r"),
+                )
+            )
+            cur = _reuse(
+                cur.crossJoin(rule).select(
+                    "word",
+                    "freq",
+                    _apply_merge(
+                        F.col("syms"), F.col("__l"), F.col("__r")
+                    ).alias("syms"),
+                )
+            )
+    out = rules[0]
+    for extra in rules[1:]:
+        out = out.unionByName(extra)
+    return out

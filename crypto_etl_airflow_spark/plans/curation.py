@@ -331,6 +331,73 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge-rule learning (tokenizer fitting)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_oracle(n_merges: int = 4) -> str:
+    """DuckDB mirror of operators/bpe.py::bpe_merge_rules: the same
+    round structure as chained CTEs — pair counts over the vocabulary,
+    deterministic top-1, merge applied via a list_reduce fold with the
+    identical leftmost non-overlapping semantics."""
+    ctes = ["""
+    vocab AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents
+        ) WHERE word != '' GROUP BY word
+    )""", """
+    s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM vocab)"""]
+    for r in range(n_merges):
+        ctes.append(f"""
+    p{r} AS (
+        SELECT s.syms[i] AS l, s.syms[i + 1] AS r,
+               CAST(sum(s.freq) AS BIGINT) AS pair_count
+        FROM s{r} s, unnest(range(1, len(s.syms))) AS u(i)
+        GROUP BY 1, 2
+    )""")
+        ctes.append(f"""
+    b{r} AS (
+        SELECT {r} AS merge_rank, l, r, pair_count FROM p{r}
+        ORDER BY pair_count DESC, l, r LIMIT 1
+    )""")
+        if r < n_merges - 1:
+            ctes.append(f"""
+    s{r + 1} AS (
+        SELECT s.word, s.freq,
+               list_reduce(list_transform(s.syms, x -> [x]),
+                   (acc, e) -> CASE WHEN acc[-1] = b.l AND e[1] = b.r
+                                    THEN list_append(acc[1:-2], b.l || b.r)
+                                    ELSE list_append(acc, e[1]) END) AS syms
+        FROM s{r} s, b{r} b
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT merge_rank, l AS left_sym, r AS right_sym, pair_count FROM b{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",".join(ctes) + "\n    " + union
+
+
+@register(
+    "vocab_bpe_merge_rules",
+    oracle=_bpe_oracle(),
+    tags=("text", "vocab", "tokenizer", "curation", "extension"),
+)
+def vocab_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 BPE merge rules learned from the corpus — tokenizer
+    fitting as dataflow (operators/bpe.py): pair counts aggregate the
+    word VOCABULARY (corpus-size-independent after the first pass),
+    each round's winner broadcasts back as a 1-row rule, merges apply
+    via an array fold with exact leftmost BPE semantics. The oracle
+    re-learns all 4 rounds in SQL (list_reduce fold), so the learned
+    rules AND their counts hash-match."""
+    from ..operators.bpe import bpe_merge_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_rules(docs, "text", n_merges=4)
+
+
+# ---------------------------------------------------------------------------
 # corpus bigram language-model score (CCNet-style quality signal)
 # ---------------------------------------------------------------------------
 

@@ -98,6 +98,7 @@ _PRIORITY = [
     "streaming_dedup_exact",
     "text_bigram_logprob",
     "filter_quality_quantile",
+    "vocab_bpe_merge_rules",
     # (b) last driver-certified in r2 — missed the round-6 cap
     "join_salted_skew",
     "q2_cheapest_supplier",

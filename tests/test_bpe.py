@@ -1,0 +1,52 @@
+"""BPE merge-rule learning (operators/bpe.py): hand-computed rounds,
+leftmost non-overlapping application, deterministic tie-break."""
+
+from crypto_etl_airflow_spark.operators.bpe import bpe_merge_rules
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_hand_computed_merge_sequence(spark):
+    # vocab: aaab x2, ab x1
+    # round 0: (a,a)=4 beats (a,b)=3 → merge  [a,a,a,b]→[aa,a,b]
+    # round 1: (a,b)=3 beats (aa,a)=2 → merge [aa,a,b]→[aa,ab], [a,b]→[ab]
+    # round 2: (aa,ab)=2                      [aa,ab]→[aaab]
+    # round 3: no pairs remain → no rule emitted
+    out = bpe_merge_rules(_df(spark, ["aaab aaab ab"]), n_merges=4)
+    rules = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in out.orderBy("merge_rank").collect()
+    ]
+    assert rules == [(0, "a", "a", 4), (1, "a", "b", 3), (2, "aa", "ab", 2)]
+
+
+def test_leftmost_nonoverlapping_application(spark):
+    # 'aaaa': pairs (a,a) counted at 3 positions; after merging (a,a)
+    # leftmost-first the word becomes [aa, aa] — NOT [aa, a, a] or a
+    # re-merged [aaa, a]
+    out = bpe_merge_rules(_df(spark, ["aaaa"]), n_merges=2)
+    rules = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in out.orderBy("merge_rank").collect()
+    ]
+    # round 0: (a,a) = 3 occurrences; round 1: [aa,aa] → (aa,aa) = 1
+    assert rules == [(0, "a", "a", 3), (1, "aa", "aa", 1)]
+
+
+def test_tie_break_is_lexicographic(spark):
+    # 'xy' and 'ab' both appear once: (a,b) and (x,y) tie at 1;
+    # (a,b) wins lexicographically
+    out = bpe_merge_rules(_df(spark, ["xy ab"]), n_merges=1)
+    r = out.first()
+    assert (r.left_sym, r.right_sym, r.pair_count) == ("a", "b", 1)
+
+
+def test_word_frequencies_weight_pairs(spark):
+    # 'cd' appears 3 times as a word, 'ef' once → (c,d) count 3
+    out = bpe_merge_rules(_df(spark, ["cd cd", "cd ef"]), n_merges=1)
+    r = out.first()
+    assert (r.left_sym, r.right_sym, r.pair_count) == ("c", "d", 3)
