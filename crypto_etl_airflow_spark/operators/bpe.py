@@ -79,12 +79,11 @@ def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_merge_rules(
-    df: DataFrame, text_col: str = "text", n_merges: int = 4
-) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merge rules from the corpus:
-    ``(merge_rank, left_sym, right_sym, pair_count)`` — one row per
-    learned merge, in learning order."""
+def _learn_rules(
+    df: DataFrame, text_col: str, n_merges: int
+) -> list[DataFrame]:
+    """The training loop: returns one 1-row DataFrame per learned
+    merge — ``(merge_rank, left_sym, right_sym, pair_count)``."""
     cur = _reuse(
         word_vocab(df, text_col).select(
             "word", "freq", F.split("word", "").alias("syms")
@@ -124,7 +123,65 @@ def bpe_merge_rules(
                     ).alias("syms"),
                 )
             )
+    return rules
+
+
+def bpe_merge_rules(
+    df: DataFrame, text_col: str = "text", n_merges: int = 4
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus:
+    ``(merge_rank, left_sym, right_sym, pair_count)`` — one row per
+    learned merge, in learning order."""
+    rules = _learn_rules(df, text_col, n_merges)
     out = rules[0]
     for extra in rules[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Tokenize every document with the corpus-learned merge rules
+    and report per-document token statistics:
+
+    ``(id_col, n_words, n_chars, n_bpe_tokens, compression)``
+
+    where ``compression = n_chars / n_bpe_tokens`` (chars per BPE
+    token — the number a tokenizer-budget estimate needs). The
+    tokenization pass is linear: explode to words, apply each learned
+    rule as a broadcast 1-row cross join + array fold (no driver
+    collect), one grouped count at the end."""
+    rules = _learn_rules(df, text_col, n_merges)
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .select(id_col, "word", F.split("word", "").alias("syms"))
+    )
+    for rule_df in rules:
+        rule = F.broadcast(
+            rule_df.select(
+                F.col("left_sym").alias("__l"), F.col("right_sym").alias("__r")
+            )
+        )
+        words = words.crossJoin(rule).select(
+            id_col,
+            "word",
+            _apply_merge(F.col("syms"), F.col("__l"), F.col("__r")).alias(
+                "syms"
+            ),
+        )
+    return words.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+        F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum(F.length("word")) / F.sum(F.size("syms")), 6
+        ).alias("compression"),
+    )

@@ -335,11 +335,12 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_oracle(n_merges: int = 4) -> str:
-    """DuckDB mirror of operators/bpe.py::bpe_merge_rules: the same
-    round structure as chained CTEs — pair counts over the vocabulary,
-    deterministic top-1, merge applied via a list_reduce fold with the
-    identical leftmost non-overlapping semantics."""
+def _bpe_learn_ctes(n_merges: int = 4) -> list[str]:
+    """The shared learning-loop CTE chain (vocab → s0, then per round
+    pair counts p_r → winner b_r → merged s_{r+1}) — DuckDB mirror of
+    operators/bpe.py::_learn_rules: deterministic top-1, merge applied
+    via a list_reduce fold with the identical leftmost non-overlapping
+    semantics."""
     ctes = ["""
     vocab AS (
         SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -371,11 +372,65 @@ def _bpe_oracle(n_merges: int = 4) -> str:
                                     ELSE list_append(acc, e[1]) END) AS syms
         FROM s{r} s, b{r} b
     )""")
+    return ctes
+
+
+def _bpe_oracle(n_merges: int = 4) -> str:
     union = "\n    UNION ALL ".join(
         f"SELECT merge_rank, l AS left_sym, r AS right_sym, pair_count FROM b{r}"
         for r in range(n_merges)
     )
-    return "WITH " + ",".join(ctes) + "\n    " + union
+    return "WITH " + ",".join(_bpe_learn_ctes(n_merges)) + "\n    " + union
+
+
+def _bpe_tokenize_oracle(n_merges: int = 4) -> str:
+    """Re-learn the rules (shared CTEs), then apply each in order to
+    every document's words and count."""
+    ctes = list(_bpe_learn_ctes(n_merges))
+    ctes.append("""
+    t0 AS (
+        SELECT doc_id, word, string_split(word, '') AS syms FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents
+        ) WHERE word != ''
+    )""")
+    for r in range(n_merges):
+        ctes.append(f"""
+    t{r + 1} AS (
+        SELECT t.doc_id, t.word,
+               list_reduce(list_transform(t.syms, x -> [x]),
+                   (acc, e) -> CASE WHEN acc[-1] = b.l AND e[1] = b.r
+                                    THEN list_append(acc[1:-2], b.l || b.r)
+                                    ELSE list_append(acc, e[1]) END) AS syms
+        FROM t{r} t, b{r} b
+    )""")
+    return (
+        "WITH " + ",".join(ctes) + f"""
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
+           round(sum(length(word)) / sum(len(syms)), 6) AS compression
+    FROM t{n_merges} GROUP BY doc_id"""
+    )
+
+
+@register(
+    "text_bpe_token_counts",
+    oracle=_bpe_tokenize_oracle(),
+    tags=("text", "vocab", "tokenizer", "curation", "extension"),
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the corpus-learned BPE rules and
+    report per-doc word/char/BPE-token counts plus chars-per-token
+    compression — the token-budget estimate a training recipe needs,
+    computed by the engine's own learned tokenizer. The oracle
+    re-learns the rules AND re-tokenizes every document in SQL."""
+    from ..operators.bpe import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, "doc_id", "text", n_merges=4)
 
 
 @register(

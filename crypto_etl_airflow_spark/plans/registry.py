@@ -75,13 +75,13 @@ def _load_all() -> None:
 # Certification priority: the external driver verifies queries in the
 # order this registry emits them and caps how many it runs per round
 # (50 in every round so far), so ordering IS the rotation policy.
-# Round-7 rotation (VERDICT r6 item 2): (a) queries new this round —
-# no driver row exists at all; then (b) the 14 queries the round-6
-# cap missed (8 new + the first 42 of the 56-query stale backlog fit
-# in the 50 slots, leaving exactly these 14 with only a round-2 row);
-# everything else — certified r5/r6 — sorts after in registration
-# order and refreshes with whatever slots remain. With |a| + 14 ≤ 50
-# (true for ≤36 new queries) every stale row refreshes this round.
+# Round-7 rotation (VERDICT r6 item 2): (a) the 16 queries new or
+# oracle-upgraded this round — no (or rows-only) driver row exists;
+# then (b) the 14 queries the round-6 cap missed (still carrying a
+# round-2 row); everything else — certified r5/r6 — sorts after in
+# registration order and refreshes with whatever slots remain.
+# 16 + 14 = 30 ≤ 50, so every new query certifies AND every stale
+# row refreshes this round, with 20 slots left for r5/r6 refreshes.
 _PRIORITY = [
     # (a) new or oracle-upgraded in round 7 — needs a fresh driver row
     "dedup_minhash_lsh_xxhash",  # r6 row was rows-only; now oracle-paired
@@ -99,6 +99,7 @@ _PRIORITY = [
     "text_bigram_logprob",
     "filter_quality_quantile",
     "vocab_bpe_merge_rules",
+    "text_bpe_token_counts",
     # (b) last driver-certified in r2 — missed the round-6 cap
     "join_salted_skew",
     "q2_cheapest_supplier",

@@ -50,3 +50,20 @@ def test_word_frequencies_weight_pairs(spark):
     out = bpe_merge_rules(_df(spark, ["cd cd", "cd ef"]), n_merges=1)
     r = out.first()
     assert (r.left_sym, r.right_sym, r.pair_count) == ("c", "d", 3)
+
+
+def test_token_counts_compression(spark):
+    # after learning on 'abab abab cd', rules merge a+b then ab+ab;
+    # doc tokenization must reflect the merged symbol counts
+    from crypto_etl_airflow_spark.operators.bpe import bpe_token_counts
+
+    out = bpe_token_counts(
+        _df(spark, ["abab abab", "cd"]), n_merges=2
+    ).orderBy("doc_id").collect()
+    # rules: (a,b) count 4 -> 'abab'=[ab,ab]; then (ab,ab) count 2 -> [abab]
+    d0, d1 = out
+    assert (d0.n_words, d0.n_chars, d0.n_bpe_tokens) == (2, 8, 2)
+    assert d0.compression == 4.0
+    # 'cd' untouched by the learned rules -> stays 2 chars, 2 symbols
+    assert (d1.n_words, d1.n_chars, d1.n_bpe_tokens) == (1, 2, 2)
+    assert d1.compression == 1.0
