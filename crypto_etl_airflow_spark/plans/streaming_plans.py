@@ -236,6 +236,104 @@ def streaming_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_incremental",
+    # the streaming union over ALL arrival waves covers every pair
+    # exactly once (a pair is discovered when its LATER member's
+    # micro-batch runs against the store of earlier docs), so the
+    # oracle is the incremental-store oracle with the batch
+    # restriction dissolved (batch_mod=1: every doc is some batch's
+    # member) — the final pair set is arrival-order-INVARIANT.
+    oracle=None,  # assigned below: extensions._incremental_minhash_oracle(batch_mod=1)
+    tags=("streaming", "dedup", "approx"),
+)
+def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup dedup against a persisted MinHash signature
+    store — the 100 TB steady-state INGEST shape run as a real
+    Structured Streaming query: the corpus arrives in three
+    micro-batches (file source, maxFilesPerTrigger=1, availableNow);
+    each batch signatures ONLY itself inside ``foreachBatch``, joins
+    its band keys against the store of everything that arrived
+    before, scores candidates by signature agreement (threshold 0.5 =
+    ≥16/32 permutations agree), appends its pairs to the sink, and
+    idempotently registers its own signatures in the store. No batch
+    ever re-shingles earlier data; store×store pairs are never
+    generated. The drained sink equals the full-corpus banded
+    agreement pairs — which is what the oracle recomputes."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import dedup_store
+    from ..operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory(prefix="stream_neardup_") as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for k in range(3):
+            staging = os.path.join(tmp, f"stage{k}")
+            docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
+                staging
+            )
+            part = globmod.glob(f"{staging}/part-*.parquet")[0]
+            shutil.copy(part, os.path.join(src, f"wave{k}.parquet"))
+
+        store_path = os.path.join(tmp, "sig_store")
+        sink_path = os.path.join(tmp, "pairs")
+
+        def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            s = batch_df.sparkSession
+            if os.path.exists(store_path):
+                store = dedup_store.read_minhash_store(s, store_path)
+            else:  # first wave: empty store with the signature schema
+                store = minhash_signatures(
+                    batch_df.limit(0), "doc_id", "text", portable=True
+                )
+            pairs = dedup_store.incremental_minhash_pairs(
+                batch_df, store, threshold=0.5, portable=True,
+                verify="estimate",
+            )
+            pairs.write.mode("append").parquet(sink_path)
+            dedup_store.write_minhash_store(
+                batch_df, store_path, portable=True
+            )
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(src)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(sink_path).select("id_a", "id_b", "score")
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _attach_streaming_dedup_oracle() -> None:
+    """The oracle lives in extensions.py (shared with the batch
+    incremental query); QuerySpec is frozen, so re-register the spec
+    with the oracle attached."""
+    from dataclasses import replace
+
+    from . import registry
+    from .extensions import _incremental_minhash_oracle
+
+    spec = registry._REGISTRY["streaming_dedup_incremental"]
+    registry._REGISTRY["streaming_dedup_incremental"] = replace(
+        spec, oracle=_incremental_minhash_oracle(batch_mod=1)
+    )
+
+
+_attach_streaming_dedup_oracle()
+
+
+@register(
     "interval_join_click_errors",
     oracle="""
     SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
