@@ -331,6 +331,62 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deterministic shuffle-and-shard (training-data layout)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "training_shards_manifest",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, len({_TOKS}) AS n_tokens,
+               CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY h, doc_id) AS rn FROM h
+    )
+    SELECT CAST((rn - 1) // 100 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM ranked GROUP BY 1
+    """,
+    tags=("sampling", "layout", "curation", "extension"),
+)
+def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + fixed-size sharding: documents
+    sort by md5(doc_id) (a reproducible pseudo-random order — no RNG
+    state, same shards on any engine/partitioning) and pack into
+    100-doc shards; the manifest reports per-shard doc/token counts —
+    the final write-layout step before training. The exact-size form
+    needs a global rank (a range-partitioned sort at scale); when
+    approximate shard sizes suffice, ``pmod(hash, n_shards)`` gives
+    the shuffle-free scan-shaped alternative."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    t = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"), h.alias("h")
+    )
+    rn = F.row_number().over(W.orderBy("h", "doc_id"))
+    sharded = t.select(
+        "doc_id", "n_tokens", F.floor((rn - 1) / 100).alias("shard_id")
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE merge-rule learning (tokenizer fitting)
 # ---------------------------------------------------------------------------
 

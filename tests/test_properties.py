@@ -323,3 +323,64 @@ def test_line_dedup_matches_python_model(spark, docs):
         ).collect()
     }
     assert got == expected
+
+
+_bpe_corpus = st.lists(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=8, **{k: v for k, v in _SETTINGS.items() if k != "max_examples"})
+@given(docs=_bpe_corpus)
+def test_bpe_matches_python_reference(spark, docs):
+    """bpe_merge_rules on arbitrary small corpora equals a pure-Python
+    BPE trainer: same winning pair each round (count desc, then
+    lexicographic) and same counts, with leftmost non-overlapping
+    merge application."""
+    from collections import Counter
+
+    from crypto_etl_airflow_spark.operators.bpe import bpe_merge_rules
+
+    # --- python reference ---------------------------------------------
+    vocab = Counter()
+    for words in docs:
+        vocab.update(words)
+    syms = {w: list(w) for w in vocab}
+    expected = []
+    for rank in range(3):
+        pairs = Counter()
+        for w, freq in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        expected.append((rank, l, r, cnt))
+        for w in syms:
+            s, out = syms[w], []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+    # --- engine -------------------------------------------------------
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merge_rules(df, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    assert got == expected, (docs, got, expected)
