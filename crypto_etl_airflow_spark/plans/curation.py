@@ -280,9 +280,9 @@ _STOPS = "['" + "','".join(STOPWORDS) + "']"
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "sample_token_budget",
-    oracle=f"""
+# shared by sample_token_budget and its distributed twin: both must
+# produce the IDENTICAL per-document cumulative sums
+_TOKEN_BUDGET_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, lang, len({_TOKS}) AS n_tokens,
                CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -294,7 +294,12 @@ _STOPS = "['" + "','".join(STOPWORDS) + "']"
            sum(n_tokens) OVER w - n_tokens < 2000 AS kept
     FROM t
     WINDOW w AS (PARTITION BY lang ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
-    """,
+    """
+
+
+@register(
+    "sample_token_budget",
+    oracle=_TOKEN_BUDGET_ORACLE,
     tags=("sampling", "curation", "extension"),
 )
 def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,6 +329,69 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = F.sum("n_tokens").over(w)
     return t.select(
+        "doc_id", "lang", "n_tokens",
+        cum.alias("cum_tokens"),
+        ((cum - F.col("n_tokens")) < 2000).alias("kept"),
+    )
+
+
+@register(
+    "sample_token_budget_distributed",
+    oracle=_TOKEN_BUDGET_ORACLE,
+    tags=("sampling", "curation", "extension", "scale"),
+)
+def sample_token_budget_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of ``sample_token_budget`` — same output, no
+    per-language mega-partition: a per-language window puts ALL of a
+    language's documents in one window partition (the 100 TB
+    failure mode), so here the global cumulative sum is a classic
+    two-phase distributed prefix sum instead:
+
+    1. bucket documents by the TOP BITS of the order hash
+       (order-aligned: bucket order == hash order);
+    2. per-(lang, bucket) token totals — a tiny table — get
+       prefix-summed with a window over ≤256 rows per language and
+       broadcast back as bucket offsets;
+    3. each bucket computes its LOCAL cumsum (window partition =
+       one bucket, bounded) and adds its offset.
+
+    Certified against the IDENTICAL oracle as the single-window
+    form: both must produce the same per-document cumulative sums —
+    the equivalence of the distributed decomposition is
+    value-checked, not asserted."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    t = docs.select(
+        "doc_id", "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn("b", F.shiftright("h", 24))  # h < 2^32 → 256 buckets
+
+    per_bucket = t.groupBy("lang", "b").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    wb = (
+        W.partitionBy("lang")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "lang", "b",
+        F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias("offset"),
+    )
+    wl = (
+        W.partitionBy("lang", "b")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local_cum = F.sum("n_tokens").over(wl)
+    joined = t.join(F.broadcast(offsets), ["lang", "b"])
+    cum = F.col("offset") + local_cum
+    return joined.select(
         "doc_id", "lang", "n_tokens",
         cum.alias("cum_tokens"),
         ((cum - F.col("n_tokens")) < 2000).alias("kept"),
