@@ -398,6 +398,67 @@ def sample_token_budget_distributed(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "sequence_packing_manifest",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len({_TOKS}) AS n_tokens,
+               CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_start,
+           CAST((cum - 1) // 512 AS BIGINT) AS bin_end,
+           CAST((cum - 1) // 512 - (cum - n_tokens) // 512 AS BIGINT)
+               AS n_boundary_crossings,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS offset_in_bin
+    FROM c
+    """,
+    tags=("sampling", "layout", "chunking", "curation", "extension"),
+)
+def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate all documents in a deterministic
+    md5 pseudo-random order and cut the token stream into 512-token
+    training sequences — the standard pretraining layout (documents
+    straddle context boundaries; nothing is padded or dropped). Each
+    document reports its first/last bin, how many boundaries cross
+    it, and its offset within its first bin — everything a packed
+    writer needs, from ONE global cumulative sum (the distributed
+    prefix-sum form of which is certified by
+    ``sample_token_budget_distributed``)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    t = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        h.alias("h"),
+    )
+    w = W.orderBy("h", "doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum("n_tokens").over(w)
+    c = t.select("doc_id", "n_tokens", cum.alias("cum"))
+    start = F.floor((F.col("cum") - F.col("n_tokens")) / 512)
+    end = F.floor((F.col("cum") - 1) / 512)
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("bin_start"),
+        end.alias("bin_end"),
+        (end - start).alias("n_boundary_crossings"),
+        ((F.col("cum") - F.col("n_tokens")) % 512).alias("offset_in_bin"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic shuffle-and-shard (training-data layout)
 # ---------------------------------------------------------------------------
