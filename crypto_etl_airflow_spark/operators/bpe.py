@@ -108,22 +108,37 @@ def _learn_rules(
         )
         rules.append(best)
         if rank < n_merges - 1:
-            rule = F.broadcast(
-                best.select(
-                    F.col("left_sym").alias("__l"),
-                    F.col("right_sym").alias("__r"),
-                )
-            )
-            cur = _reuse(
-                cur.crossJoin(rule).select(
-                    "word",
-                    "freq",
-                    _apply_merge(
-                        F.col("syms"), F.col("__l"), F.col("__r")
-                    ).alias("syms"),
-                )
-            )
+            cur = _reuse(_apply_rule(cur, best))
     return rules
+
+
+def _apply_rule(table: DataFrame, rule_df: DataFrame) -> DataFrame:
+    """Apply a (possibly EMPTY) 1-row rule to every ``syms`` row of
+    ``table`` via a broadcast LEFT join on a constant key — a plain
+    crossJoin would annihilate the table when the corpus exhausts its
+    pairs before ``n_merges`` rounds (empty rule × table = empty),
+    silently dropping every row. With the left join an absent rule
+    leaves the symbols unchanged."""
+    rule = F.broadcast(
+        rule_df.select(
+            F.lit(1).alias("__k"),
+            F.col("left_sym").alias("__l"),
+            F.col("right_sym").alias("__r"),
+        )
+    )
+    keep = [c for c in table.columns if c != "syms"]
+    return (
+        table.withColumn("__k", F.lit(1))
+        .join(rule, "__k", "left")
+        .select(
+            *keep,
+            F.when(F.col("__l").isNull(), F.col("syms"))
+            .otherwise(
+                _apply_merge(F.col("syms"), F.col("__l"), F.col("__r"))
+            )
+            .alias("syms"),
+        )
+    )
 
 
 def bpe_merge_rules(
@@ -165,18 +180,9 @@ def bpe_token_counts(
         .select(id_col, "word", F.split("word", "").alias("syms"))
     )
     for rule_df in rules:
-        rule = F.broadcast(
-            rule_df.select(
-                F.col("left_sym").alias("__l"), F.col("right_sym").alias("__r")
-            )
-        )
-        words = words.crossJoin(rule).select(
-            id_col,
-            "word",
-            _apply_merge(F.col("syms"), F.col("__l"), F.col("__r")).alias(
-                "syms"
-            ),
-        )
+        # left-join application: an empty rule (pairs exhausted before
+        # n_merges) must leave documents untouched, not drop them
+        words = _apply_rule(words, rule_df)
     return words.groupBy(id_col).agg(
         F.count("*").alias("n_words"),
         F.sum(F.length("word")).cast("long").alias("n_chars"),

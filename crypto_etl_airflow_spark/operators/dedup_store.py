@@ -55,10 +55,51 @@ def write_minhash_store(
     Creates the store if absent. Returns rows appended."""
     from .upsert import upsert_append
 
+    params = {"n": n, "num_hashes": num_hashes, "portable": portable}
+    _validate_store_params(path, params)
     sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, portable)
-    return upsert_append(
+    written = upsert_append(
         docs.sparkSession, sigs, path, keys=[id_col], allow_empty=True
     )
+    _record_store_params(path, params)
+    return written
+
+
+def _sidecar(path: str) -> str:
+    import os
+
+    # underscore-prefixed so Spark's parquet reader ignores it
+    return os.path.join(path, "_minhash_store_params.json")
+
+
+def _validate_store_params(path: str, params: dict) -> None:
+    """Refuse to mix hash families in one store: signatures built with
+    a different (n, num_hashes, portable) are schema-compatible with
+    an existing store but NEVER agree with it, so an append would
+    silently turn agreement scores into noise."""
+    import json
+    import os
+
+    if os.path.exists(_sidecar(path)):
+        with open(_sidecar(path)) as f:
+            existing = json.load(f)
+        if existing != params:
+            raise ValueError(
+                f"minhash store {path} was built with {existing}; "
+                f"refusing to append signatures built with {params}"
+            )
+
+
+def _record_store_params(path: str, params: dict) -> None:
+    # written AFTER the first append (the store dir must not exist
+    # before upsert_append creates it — an empty dir with only the
+    # sidecar would read as an existing-but-parquet-less table)
+    import json
+    import os
+
+    if os.path.isdir(path) and not os.path.exists(_sidecar(path)):
+        with open(_sidecar(path), "w") as f:
+            json.dump(params, f)
 
 
 def read_minhash_store(spark: SparkSession, path: str) -> DataFrame:
@@ -101,7 +142,10 @@ def incremental_minhash_pairs(
     new_sigs = _reuse(
         minhash_signatures(new_docs, id_col, text_col, n, num_hashes, portable)
     )
-    all_sigs = store.select(*new_sigs.columns).unionByName(new_sigs)
+    # persisted: the union feeds the band rows AND both sides of the
+    # agreement scoring — without reuse the signature store parquet
+    # would be scanned three times per ingest batch
+    all_sigs = _reuse(store.select(*new_sigs.columns).unionByName(new_sigs))
 
     all_buckets = band_bucket_rows(all_sigs, id_col, num_hashes, bands, portable)
     new_buckets = band_bucket_rows(new_sigs, id_col, num_hashes, bands, portable)
@@ -121,7 +165,7 @@ def incremental_minhash_pairs(
     if verify == "exact":
         return verify_pairs_exact_jaccard(
             corpus_text, cands, id_col, text_col, n, threshold
-        )
+        ).withColumnRenamed("jaccard", "score")  # one contract, both paths
 
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
     sa = all_sigs.select(

@@ -25,6 +25,8 @@ Nothing here is all-pairs and nothing collects to the driver.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,9 +51,15 @@ def line_dedup_global(
     lines per corpus — same argument as the shingle hashing in
     operators/dedup.py).
     """
+    # F.split takes a REGEX; sep is a literal separator (it is also
+    # re-joined literally below), so escape it — an unescaped '|' or
+    # '.' would split between every character
+    sep_pattern = re.escape(sep)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_pattern)).alias(
+            "pos", "line"
+        ),
     ).withColumn("lh", F.xxhash64(F.trim(F.lower(F.col("line")))))
 
     hot = (
@@ -76,7 +84,8 @@ def line_dedup_global(
     )
 
     base = df.select(
-        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_lines")
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep_pattern)).alias("n_lines"),
     )
     return base.join(rebuilt, id_col, "left").select(
         id_col,

@@ -52,17 +52,12 @@ def assign_clusters(
     )
 
 
-def semdedup_pairs(
-    corpus: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    nlist: int = 16,
-    threshold: float = 0.4,
+def _pairs_from_assigned(
+    assigned: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """Within-cluster cosine-similar pairs:
-    ``(centroid_id, id_a, id_b, cosine_sim)`` with id_a < id_b and
-    cosine_sim ≥ threshold (rounded to 6 — oracle-stable)."""
-    assigned = assign_clusters(corpus, id_col, vec_col, nlist)
+    """Within-cluster pair search over an already-clustered table —
+    shared by :func:`semdedup_pairs` and :func:`semdedup_keep` so the
+    keep path never re-runs the clustering."""
     a = assigned.select(
         "centroid_id", F.col(id_col).alias("id_a"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
@@ -82,6 +77,20 @@ def semdedup_pairs(
     )
 
 
+def semdedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Within-cluster cosine-similar pairs:
+    ``(centroid_id, id_a, id_b, cosine_sim)`` with id_a < id_b and
+    cosine_sim ≥ threshold (rounded to 6 — oracle-stable)."""
+    assigned = assign_clusters(corpus, id_col, vec_col, nlist)
+    return _pairs_from_assigned(assigned, id_col, threshold)
+
+
 def semdedup_keep(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -94,10 +103,17 @@ def semdedup_keep(
     within-cluster pair at ≥ threshold (so each similar pair keeps
     its lowest id; a chain a~b~c keeps only a, matching the
     keep-one-representative SemDeDup policy for transitive groups
-    whose members all pairwise collide in one cluster)."""
-    assigned = assign_clusters(corpus, id_col, vec_col, nlist)
+    whose members all pairwise collide in one cluster).
+
+    The clustering runs ONCE: the persisted assignment feeds the
+    pair search (both self-join sides) and the verdict projection —
+    at corpus scale the clustering pass is the dominant cost, so
+    re-deriving it per consumer would double the corpus scans."""
+    from .dedup import _reuse
+
+    assigned = _reuse(assign_clusters(corpus, id_col, vec_col, nlist))
     dups = (
-        semdedup_pairs(corpus, id_col, vec_col, nlist, threshold)
+        _pairs_from_assigned(assigned, id_col, threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("__dup", F.lit(True))

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.pii import PII_PATTERNS, pii_counts, redact_pii
+from ..functions.pii import PII_PATTERNS, PII_TOKENS, pii_counts, redact_pii
 from ..functions.text import STOPWORDS, mean_token_length, quality_score, tokens
 from ..operators.lines import line_dedup_global
 from ..sources.tables import load_table
@@ -100,10 +100,13 @@ _AUG_PII_SQL = """
 """
 
 # the redaction chain in DuckDB, innermost-first in PII_PATTERNS order
+# (tokens come from the same PII_TOKENS constant the engine applies,
+# so adding/renaming a category updates both sides together)
 _REDACT_SQL = "text"
 for _cat, _pat in PII_PATTERNS.items():
-    _tok = {"email": "<EMAIL>", "phone": "<PHONE>", "ssn": "<SSN>", "ipv4": "<IP>"}[_cat]
-    _REDACT_SQL = f"regexp_replace({_REDACT_SQL}, '{_pat}', '{_tok}', 'g')"
+    _REDACT_SQL = (
+        f"regexp_replace({_REDACT_SQL}, '{_pat}', '{PII_TOKENS[_cat]}', 'g')"
+    )
 
 _COUNT_SQL = {
     cat: f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
@@ -581,14 +584,20 @@ def _bpe_tokenize_oracle(n_merges: int = 4) -> str:
         ) WHERE word != ''
     )""")
     for r in range(n_merges):
+        # LEFT JOIN ON TRUE: an EMPTY rule (pairs exhausted before
+        # n_merges rounds) must leave documents untouched — a plain
+        # cross join would annihilate every row (engine mirror:
+        # operators/bpe.py::_apply_rule)
         ctes.append(f"""
     t{r + 1} AS (
         SELECT t.doc_id, t.word,
-               list_reduce(list_transform(t.syms, x -> [x]),
-                   (acc, e) -> CASE WHEN acc[-1] = b.l AND e[1] = b.r
-                                    THEN list_append(acc[1:-2], b.l || b.r)
-                                    ELSE list_append(acc, e[1]) END) AS syms
-        FROM t{r} t, b{r} b
+               CASE WHEN b.l IS NULL THEN t.syms
+                    ELSE list_reduce(list_transform(t.syms, x -> [x]),
+                        (acc, e) -> CASE WHEN acc[-1] = b.l AND e[1] = b.r
+                                         THEN list_append(acc[1:-2], b.l || b.r)
+                                         ELSE list_append(acc, e[1]) END)
+               END AS syms
+        FROM t{r} t LEFT JOIN b{r} b ON TRUE
     )""")
     return (
         "WITH " + ",".join(ctes) + f"""

@@ -426,12 +426,19 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     store_docs = docs.filter(F.col("doc_id") % 4 != 0)
     batch = docs.filter(F.col("doc_id") % 4 == 0)
-    path = os.path.join(tempfile.mkdtemp(prefix="mh_store_"), "sigs")
-    dedup_store.write_minhash_store(store_docs, path, portable=True)
-    store = dedup_store.read_minhash_store(spark, path)
-    return dedup_store.incremental_minhash_pairs(
-        batch, store, threshold=0.5, portable=True, verify="estimate"
-    )
+    # the store is a throwaway roundtrip artifact: materialize the
+    # result inside the TemporaryDirectory scope so repeated builder
+    # invocations (sweeps, plan audits, certification) don't leak a
+    # store dir per call
+    with tempfile.TemporaryDirectory(prefix="mh_store_") as tmp:
+        path = os.path.join(tmp, "sigs")
+        dedup_store.write_minhash_store(store_docs, path, portable=True)
+        store = dedup_store.read_minhash_store(spark, path)
+        out = dedup_store.incremental_minhash_pairs(
+            batch, store, threshold=0.5, portable=True, verify="estimate"
+        )
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def _simhash_oracle(max_hamming: int = 3) -> str:

@@ -67,3 +67,18 @@ def test_token_counts_compression(spark):
     # 'cd' untouched by the learned rules -> stays 2 chars, 2 symbols
     assert (d1.n_words, d1.n_chars, d1.n_bpe_tokens) == (1, 2, 2)
     assert d1.compression == 1.0
+
+
+def test_token_counts_survive_exhausted_rules(spark):
+    # only 3 merges are learnable from this corpus; requesting 4 must
+    # NOT drop documents (regression: an empty rule cross-joined into
+    # the words table annihilated every row)
+    from crypto_etl_airflow_spark.operators.bpe import bpe_token_counts
+
+    out = bpe_token_counts(
+        _df(spark, ["aaab aaab ab"]), n_merges=4
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 'aaab' x2 and 'ab' all collapse to single symbols by merge 3
+    assert (r.n_words, r.n_chars, r.n_bpe_tokens) == (3, 10, 3)

@@ -52,8 +52,8 @@ def test_incremental_exact_matches_full_recompute(spark, tmp_path):
     store = dedup_store.read_minhash_store(spark, path)
 
     got = {
-        (r.id_a, r.id_b, r.jaccard)
-        for r in dedup_store.incremental_minhash_pairs(
+        (r.id_a, r.id_b, r.score)  # exact verify shares the estimate
+        for r in dedup_store.incremental_minhash_pairs(  # path's 'score'
             batch, store, threshold=0.5, verify="exact", corpus_text=docs
         ).collect()
     }
@@ -98,3 +98,43 @@ def test_incremental_validates_arguments(spark, tmp_path):
         dedup_store.incremental_minhash_pairs(
             docs, docs, verify="exact"
         )
+
+
+def test_store_refuses_mixed_hash_families(spark, tmp_path):
+    import pytest
+
+    from crypto_etl_airflow_spark.operators import dedup_store
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sigs")
+    dedup_store.write_minhash_store(docs, path, portable=True)
+    with pytest.raises(ValueError, match="refusing to append"):
+        dedup_store.write_minhash_store(docs, path, portable=False)
+    # same params append stays idempotent and silent
+    dedup_store.write_minhash_store(docs, path, portable=True)
+
+
+def test_exact_verify_uses_score_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.operators import dedup_store
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sigs")
+    dedup_store.write_minhash_store(docs.filter(F.col("doc_id") == 1), path)
+    store = dedup_store.read_minhash_store(spark, path)
+    out = dedup_store.incremental_minhash_pairs(
+        docs.filter(F.col("doc_id") == 2), store,
+        threshold=0.8, verify="exact", corpus_text=docs,
+    )
+    assert out.columns == ["id_a", "id_b", "score"]  # same contract as estimate
+    assert out.first().score == 1.0
