@@ -63,6 +63,11 @@ EXTRA_SCALE_QUERIES = (
     "text_pii_redact",
     "text_gopher_filter",
     "sample_token_budget",
+    "sample_token_budget_distributed",  # two-phase prefix sum
+    "sequence_packing_manifest",
+    "training_shards_manifest",
+    "vocab_bpe_merge_rules",  # vocabulary-bound, not corpus-bound
+    "text_bpe_token_counts",
     # embedding_semdedup_* are deliberately NOT here: their registered
     # nlist=16 is sized for the certification fixture, and SemDeDup's
     # scale contract is nlist ∝ corpus size (clusters stay constant-
