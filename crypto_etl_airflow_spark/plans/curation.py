@@ -518,6 +518,45 @@ def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _z_sql(col: str) -> str:
+    """DuckDB expression for the Morton bit-spread — generated from
+    the SAME shift/mask constants the engine uses
+    (operators/layout.py::_SPREAD_STEPS), so the two engines compute
+    identical z-values by construction."""
+    from ..operators.layout import _SPREAD_STEPS
+
+    x = f"CAST({col} AS BIGINT)"
+    for shift, mask in _SPREAD_STEPS:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+@register(
+    "layout_zorder_values",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           ({_z_sql('o_orderkey')} | ({_z_sql('o_custkey')} << 1)) AS z
+    FROM orders
+    """,
+    tags=("layout", "curation", "extension"),
+)
+def layout_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-curve) interleave of (o_orderkey, o_custkey) — the
+    clustering key behind ``write_zordered`` (operators/layout.py):
+    sorting on it keeps every parquet file inside a small rectangle
+    of both key ranges, so min/max stats prune row groups for
+    predicates on EITHER column. Pure int64 shift/mask arithmetic,
+    oracle-identical by construction (shared constants)."""
+    from ..operators.layout import z_value
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        z_value(F.col("o_orderkey"), F.col("o_custkey")).alias("z"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE merge-rule learning (tokenizer fitting)
 # ---------------------------------------------------------------------------
