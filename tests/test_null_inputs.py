@@ -21,6 +21,21 @@ RISKY = [
     "similarity_topk_bruteforce",
     "embedding_quantize_error_by_label",
     "multimodal_features",
+    # round-7 curation surface
+    "text_pii_redact",
+    "text_gopher_filter",
+    "dedup_lines_global",
+    "sample_token_budget",
+    "sample_token_budget_distributed",
+    "sequence_packing_manifest",
+    "training_shards_manifest",
+    "embedding_semdedup_pairs",
+    "embedding_semdedup_keep",
+    "vocab_bpe_merge_rules",
+    "text_bpe_token_counts",
+    "text_bigram_logprob",
+    "filter_quality_quantile",
+    "layout_zorder_values",
 ]
 
 
