@@ -338,6 +338,85 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# target mixture: tokens admitted per language before the gate closes
+# (the "data recipe" weights, scaled to a 10k-token total here)
+_MIX_WEIGHTS = {"en": 4000, "de": 1500, "es": 1500, "fr": 1500, "zh": 1500}
+_MIX_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "sample_mixture_weights",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, len({_TOKS}) AS n_tokens,
+               CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(sum(n_tokens) OVER w AS BIGINT) AS cum,
+               {_MIX_SQL} AS budget
+        FROM t
+        WINDOW w AS (PARTITION BY lang ORDER BY h, doc_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT lang,
+           CAST(max(budget) AS BIGINT) AS budget,
+           CAST(count(*) FILTER (WHERE cum - n_tokens < budget) AS BIGINT)
+               AS kept_docs,
+           CAST(coalesce(sum(n_tokens) FILTER (WHERE cum - n_tokens < budget), 0)
+                AS BIGINT) AS kept_tokens
+    FROM c GROUP BY lang
+    """,
+    tags=("sampling", "curation", "extension"),
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data-mixture sampling: each language admits documents
+    (deterministic md5 order) until ITS OWN token budget — the recipe
+    weight — is exhausted; the per-language summary reports the
+    realized mixture. This is the 'N billion tokens of source X'
+    composition step of a pretraining recipe, built on the same
+    cumsum-admission machinery as ``sample_token_budget`` (whose
+    distributed prefix-sum twin is the certified 100 TB form)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    budget = F.lit(0)
+    for k, v in _MIX_WEIGHTS.items():
+        budget = F.when(F.col("lang") == k, v).otherwise(budget)
+    t = docs.select(
+        "doc_id", "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        h.alias("h"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.select(
+        "lang", "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum"),
+        budget.alias("budget"),
+    )
+    kept = F.col("cum") - F.col("n_tokens") < F.col("budget")
+    return c.groupBy("lang").agg(
+        F.max("budget").cast("long").alias("budget"),
+        F.sum(kept.cast("int")).cast("long").alias("kept_docs"),
+        F.coalesce(
+            F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)
+        ).cast("long").alias("kept_tokens"),
+    )
+
+
 @register(
     "sample_token_budget_distributed",
     oracle=_TOKEN_BUDGET_ORACLE,
