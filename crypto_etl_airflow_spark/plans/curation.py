@@ -597,6 +597,136 @@ def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_novelty_score",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(1, len(string_split_regex(lower(text), '\\s+')) - 1),
+                   i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                        string_split_regex(lower(text), '\\s+')[i + 1] || ' ' ||
+                        string_split_regex(lower(text), '\\s+')[i + 2]
+               )) AS shingle
+        FROM documents
+    ),
+    freq AS (
+        SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE f.df = 1) AS BIGINT) AS n_unique,
+           round(count(*) FILTER (WHERE f.df = 1) / count(*), 6) AS novelty
+    FROM sh s JOIN freq f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+    tags=("text", "dedup", "curation", "extension"),
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty per document: the fraction of its distinct word
+    3-grams found in NO other document — the inverse of the
+    boilerplate signal (near-1 = original content; low = the doc is
+    assembled from corpus-common phrasing). One shingle explode, one
+    doc-frequency count, one join back — all linear, shuffles keyed
+    on the shingle string (the same shape the dedup family uses with
+    hashed keys; here the join-back needs the shingle anyway)."""
+    from ..operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3, distinct=True)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("int")).cast("long").alias("n_unique"),
+            F.round(
+                F.sum((F.col("df") == 1).cast("int")) / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, 'copycat' FROM documents
+        WHERE doc_id % 10 = 0
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(1, len(string_split_regex(lower(text), '\\s+')) - 1),
+                   i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                        string_split_regex(lower(text), '\\s+')[i + 1] || ' ' ||
+                        string_split_regex(lower(text), '\\s+')[i + 2]
+               )) AS shingle
+        FROM corpus
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE c / (na.n + nb.n - c) >= 0.8
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN corpus da ON da.doc_id = pairs.id_a
+    JOIN corpus db ON db.doc_id = pairs.id_b
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "curation", "extension"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the duplication comes from: exact-Jaccard near-dup pairs
+    (3-gram sets, ≥ 0.8) rolled up by unordered source pair — the
+    audit that tells a curation team whether duplication is
+    intra-source boilerplate or cross-source scraping overlap. The
+    fixture corpus has no text near-dups, so every 10th document is
+    re-injected under a synthetic 'copycat' source (the
+    dedup_exact_fingerprint injection with a source twist): the
+    matrix must attribute each pair to its (srcN, copycat) cell.
+    Pair generation is the certified ngram pipeline; the rollup adds
+    two dimension joins keyed on doc_id."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    base = load_table(spark, sf_dir, "documents")
+    corpus = base.select("doc_id", "text", "source").unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+            F.lit("copycat").alias("source"),
+        )
+    )
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.8)
+    src = corpus.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def _z_sql(col: str) -> str:
     """DuckDB expression for the Morton bit-spread — generated from
     the SAME shift/mask constants the engine uses

@@ -75,13 +75,13 @@ def _load_all() -> None:
 # Certification priority: the external driver verifies queries in the
 # order this registry emits them and caps how many it runs per round
 # (50 in every round so far), so ordering IS the rotation policy.
-# Round-7 rotation (VERDICT r6 item 2): (a) the 22 queries new or
+# Round-7 rotation (VERDICT r6 item 2): (a) the 24 queries new or
 # oracle-upgraded this round — no (or rows-only) driver row exists;
 # then (b) the 14 queries the round-6 cap missed (still carrying a
 # round-2 row); everything else — certified r5/r6 — sorts after in
 # registration order and refreshes with whatever slots remain.
-# 22 + 14 = 36 ≤ 50, so every new query certifies AND every stale
-# row refreshes this round, with 14 slots left for r5/r6 refreshes.
+# 24 + 14 = 38 ≤ 50, so every new query certifies AND every stale
+# row refreshes this round, with 12 slots left for r5/r6 refreshes.
 _PRIORITY = [
     # (a) new or oracle-upgraded in round 7 — needs a fresh driver row
     "dedup_minhash_lsh_xxhash",  # r6 row was rows-only; now oracle-paired
@@ -106,6 +106,8 @@ _PRIORITY = [
     "sequence_packing_manifest",
     "layout_zorder_values",
     "sample_mixture_weights",
+    "text_novelty_score",
+    "dedup_cross_source_matrix",
     # (b) last driver-certified in r2 — missed the round-6 cap
     "join_salted_skew",
     "q2_cheapest_supplier",
