@@ -32,6 +32,7 @@ def write_range_partitioned(
     n_files: int | None = None,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    drop_cols: list[str] | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered on ``range_cols``: rows are
     range-shuffled into ``n_files`` buckets with disjoint key ranges
@@ -43,7 +44,10 @@ def write_range_partitioned(
         out = df.repartitionByRange(*range_cols)
     else:
         out = df.repartitionByRange(n_files, *range_cols)
-    writer = out.sortWithinPartitions(*range_cols).write.mode(mode)
+    sorted_out = out.sortWithinPartitions(*range_cols)
+    if drop_cols:
+        sorted_out = sorted_out.drop(*drop_cols)  # order is preserved
+    writer = sorted_out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
@@ -61,6 +65,8 @@ def write_range_partitioned(
 # min/max stats are tight on BOTH columns and either predicate prunes
 # — the same layout Delta's OPTIMIZE ZORDER BY produces.
 
+INPUT_MASK = 0x7FFFFFFF  # keys participate with their low 31 bits
+
 _SPREAD_STEPS = [
     (16, 0x0000FFFF0000FFFF),
     (8, 0x00FF00FF00FF00FF),
@@ -72,20 +78,25 @@ _SPREAD_STEPS = [
 
 def _spread_bits(col: Column) -> Column:
     """Spread the low 31 bits of ``col`` so bit i lands at bit 2i —
-    the standard shift-or-mask sequence, pure int64 arithmetic (every
-    intermediate stays inside signed 64-bit for inputs < 2^31, so
-    ANSI mode never overflows)."""
-    x = col
+    the standard shift-or-mask sequence, pure int64 arithmetic. The
+    initial 31-bit mask makes the function TOTAL: negative or
+    >= 2^31 inputs contribute their low 31 bits instead of leaking
+    high bits into the interleave (which would flip z negative and
+    silently destroy the clustering); every intermediate then stays
+    inside signed 64-bit, so ANSI mode never overflows."""
+    x = col.bitwiseAND(F.lit(INPUT_MASK))
     for shift, mask in _SPREAD_STEPS:
         x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
     return x
 
 
 def z_value(a: Column, b: Column) -> Column:
-    """Morton interleave of two NON-NEGATIVE ints < 2^31: bit i of
-    ``a`` at bit 2i, bit i of ``b`` at bit 2i+1. Identical arithmetic
-    runs in any engine with shifts (the DuckDB oracle evaluates the
-    same expression), so z-ordered layouts are reproducible."""
+    """Morton interleave of two ints on their low 31 bits: bit i of
+    ``a`` at bit 2i, bit i of ``b`` at bit 2i+1 (wider/negative
+    values are masked — see :func:`_spread_bits`). Identical
+    arithmetic runs in any engine with shifts (the DuckDB oracle
+    evaluates the same expression), so z-ordered layouts are
+    reproducible."""
     return _spread_bits(a.cast("long")).bitwiseOR(
         F.shiftleft(_spread_bits(b.cast("long")), 1)
     )
@@ -106,8 +117,6 @@ def write_zordered(
     column — the multi-dimensional upgrade of
     :func:`write_range_partitioned`."""
     with_z = df.withColumn("__z", z_value(F.col(col_a), F.col(col_b)))
-    if n_files is None:
-        out = with_z.repartitionByRange("__z")
-    else:
-        out = with_z.repartitionByRange(n_files, "__z")
-    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+    write_range_partitioned(
+        with_z, path, ["__z"], n_files=n_files, mode=mode, drop_cols=["__z"]
+    )

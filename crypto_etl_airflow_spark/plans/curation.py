@@ -283,6 +283,34 @@ _STOPS = "['" + "','".join(STOPWORDS) + "']"
 # ---------------------------------------------------------------------------
 
 
+# shared by every admission-ordered query (token budgets, mixture,
+# shards, packing): the deterministic pseudo-random global order.
+# ONE definition — the distributed prefix-sum twin certifies that
+# every consumer produces identical cumulative sums, which only
+# holds while they all order by this exact expression.
+def _admission_hash() -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+# shared by the shingle-level audit oracles below: distinct word
+# 3-grams per document, the SQL mirror of operators/dedup.py::
+# word_shingles(n=3, distinct=True) (extensions.py keeps a separate
+# mirror operating on its duplicate-injected corpus CTE)
+def _shingle3_sql(table: str) -> str:
+    return f"""
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(1, len(string_split_regex(lower(text), '\\s+')) - 1),
+                   i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                        string_split_regex(lower(text), '\\s+')[i + 1] || ' ' ||
+                        string_split_regex(lower(text), '\\s+')[i + 2]
+               )) AS shingle
+        FROM {table}
+    """
+
+
 # shared by sample_token_budget and its distributed twin: both must
 # produce the IDENTICAL per-document cumulative sums
 _TOKEN_BUDGET_ORACLE = f"""
@@ -317,9 +345,7 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    h = _admission_hash()
     t = docs.select(
         "doc_id", "lang",
         F.size(tokens(F.col("text"))).alias("n_tokens"),
@@ -386,9 +412,7 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    h = _admission_hash()
     budget = F.lit(0)
     for k, v in _MIX_WEIGHTS.items():
         budget = F.when(F.col("lang") == k, v).otherwise(budget)
@@ -444,9 +468,7 @@ def sample_token_budget_distributed(spark: SparkSession, sf_dir: str) -> DataFra
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    h = _admission_hash()
     t = docs.select(
         "doc_id", "lang",
         F.size(tokens(F.col("text"))).alias("n_tokens"),
@@ -518,9 +540,7 @@ def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    h = _admission_hash()
     t = docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).alias("n_tokens"),
@@ -579,9 +599,7 @@ def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    h = _admission_hash()
     t = docs.select(
         "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"), h.alias("h")
     )
@@ -599,17 +617,8 @@ def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_novelty_score",
-    oracle="""
-    WITH sh AS (
-        SELECT DISTINCT doc_id,
-               unnest(list_transform(
-                   range(1, len(string_split_regex(lower(text), '\\s+')) - 1),
-                   i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
-                        string_split_regex(lower(text), '\\s+')[i + 1] || ' ' ||
-                        string_split_regex(lower(text), '\\s+')[i + 2]
-               )) AS shingle
-        FROM documents
-    ),
+    oracle=f"""
+    WITH sh AS ({_shingle3_sql('documents')}),
     freq AS (
         SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
     )
@@ -629,11 +638,14 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled from corpus-common phrasing). One shingle explode, one
     doc-frequency count, one join back — all linear, shuffles keyed
     on the shingle string (the same shape the dedup family uses with
-    hashed keys; here the join-back needs the shingle anyway)."""
-    from ..operators.dedup import word_shingles
+    hashed keys; here the join-back needs the shingle anyway). The
+    shingle table persists: both the frequency count and the
+    join-back read it, and without the persist the explode+distinct
+    subtree — the dominant cost — would run twice."""
+    from ..operators.dedup import _reuse, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=3, distinct=True)
+    sh = _reuse(word_shingles(docs, "doc_id", "text", n=3, distinct=True))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     return (
         sh.join(freq, "shingle")
@@ -650,23 +662,14 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cross_source_matrix",
-    oracle="""
+    oracle=f"""
     WITH corpus AS (
         SELECT doc_id, text, source FROM documents
         UNION ALL
         SELECT doc_id + 1000000, text, 'copycat' FROM documents
         WHERE doc_id % 10 = 0
     ),
-    sh AS (
-        SELECT DISTINCT doc_id,
-               unnest(list_transform(
-                   range(1, len(string_split_regex(lower(text), '\\s+')) - 1),
-                   i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
-                        string_split_regex(lower(text), '\\s+')[i + 1] || ' ' ||
-                        string_split_regex(lower(text), '\\s+')[i + 2]
-               )) AS shingle
-        FROM corpus
-    ),
+    sh AS ({_shingle3_sql('corpus')}),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -695,12 +698,13 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3-gram sets, ≥ 0.8) rolled up by unordered source pair — the
     audit that tells a curation team whether duplication is
     intra-source boilerplate or cross-source scraping overlap. The
-    fixture corpus has no text near-dups, so every 10th document is
-    re-injected under a synthetic 'copycat' source (the
-    dedup_exact_fingerprint injection with a source twist): the
-    matrix must attribute each pair to its (srcN, copycat) cell.
-    Pair generation is the certified ngram pipeline; the rollup adds
-    two dimension joins keyed on doc_id."""
+    short fixture docs produce some native ≥0.8 pairs across sources;
+    every 10th document is ADDITIONALLY re-injected under a synthetic
+    'copycat' source (the dedup_exact_fingerprint injection with a
+    source twist) so the matrix provably attributes exact copies to
+    their (srcN, copycat) cells alongside the native pairs. Pair
+    generation is the certified ngram pipeline; the rollup adds two
+    dimension joins keyed on doc_id."""
     from ..operators.dedup import ngram_jaccard_pairs
 
     base = load_table(spark, sf_dir, "documents")
@@ -732,9 +736,9 @@ def _z_sql(col: str) -> str:
     the SAME shift/mask constants the engine uses
     (operators/layout.py::_SPREAD_STEPS), so the two engines compute
     identical z-values by construction."""
-    from ..operators.layout import _SPREAD_STEPS
+    from ..operators.layout import _SPREAD_STEPS, INPUT_MASK
 
-    x = f"CAST({col} AS BIGINT)"
+    x = f"(CAST({col} AS BIGINT) & {INPUT_MASK})"
     for shift, mask in _SPREAD_STEPS:
         x = f"(({x} | ({x} << {shift})) & {mask})"
     return x

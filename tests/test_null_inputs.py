@@ -36,6 +36,9 @@ RISKY = [
     "text_bigram_logprob",
     "filter_quality_quantile",
     "layout_zorder_values",
+    "sample_mixture_weights",
+    "text_novelty_score",
+    "dedup_cross_source_matrix",
 ]
 
 
@@ -49,6 +52,14 @@ def nulls_sf(spark, tmp_path_factory):
                 (F.col("doc_id") + 900000).alias("doc_id"),
                 F.lit(None).cast("string").alias("text"),
                 *[c for c in df.columns if c not in ("doc_id", "text")],
+            ).select(*df.columns)
+            df = df.unionByName(extra)
+        if t == "orders":
+            # poison the z-order query's input too (null join key)
+            extra = df.limit(3).select(
+                (F.col("o_orderkey") + 900000).alias("o_orderkey"),
+                F.lit(None).cast("long").alias("o_custkey"),
+                *[c for c in df.columns if c not in ("o_orderkey", "o_custkey")],
             ).select(*df.columns)
             df = df.unionByName(extra)
         if t == "embeddings":
