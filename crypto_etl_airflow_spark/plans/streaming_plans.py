@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+# the streaming incremental dedup certifies against the SAME oracle
+# family as the batch incremental query (no import cycle: extensions
+# does not import this module)
+from .extensions import _incremental_minhash_oracle
 from ..streaming.ingest import ingest_events_stream
 from ..streaming.runner import run_append_to_memory, run_complete_to_memory
 from ..streaming.sources import stream_events
@@ -243,7 +247,7 @@ def streaming_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle is the incremental-store oracle with the batch
     # restriction dissolved (batch_mod=1: every doc is some batch's
     # member) — the final pair set is arrival-order-INVARIANT.
-    oracle=None,  # assigned below: extensions._incremental_minhash_oracle(batch_mod=1)
+    oracle=_incremental_minhash_oracle(batch_mod=1),
     tags=("streaming", "dedup", "approx"),
 )
 def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,24 +317,6 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.parquet(sink_path).select("id_a", "id_b", "score")
         rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
-
-
-def _attach_streaming_dedup_oracle() -> None:
-    """The oracle lives in extensions.py (shared with the batch
-    incremental query); QuerySpec is frozen, so re-register the spec
-    with the oracle attached."""
-    from dataclasses import replace
-
-    from . import registry
-    from .extensions import _incremental_minhash_oracle
-
-    spec = registry._REGISTRY["streaming_dedup_incremental"]
-    registry._REGISTRY["streaming_dedup_incremental"] = replace(
-        spec, oracle=_incremental_minhash_oracle(batch_mod=1)
-    )
-
-
-_attach_streaming_dedup_oracle()
 
 
 @register(
