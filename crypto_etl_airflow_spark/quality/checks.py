@@ -221,6 +221,112 @@ def unique_keys(keys: list[str]) -> Check:
     )
 
 
+def _pct_thresholds(
+    name: str, pct_expr_keys: list[str], compute, warn_when_gt, fail_when_gt
+):
+    def ev(v: dict[str, Any]) -> tuple[str, str]:
+        pct = compute(v)
+        detail = f"{name}={pct:.3f}%"
+        if fail_when_gt is not None and pct > fail_when_gt:
+            return FAIL, f"{detail} > {fail_when_gt}"
+        if warn_when_gt is not None and pct > warn_when_gt:
+            return WARN, f"{detail} > {warn_when_gt}"
+        return PASS, detail
+
+    return ev
+
+
+def duplicate_percent(
+    text_col: str = "text",
+    warn_when_gt: float | None = None,
+    fail_when_gt: float | None = None,
+) -> Check:
+    """Percent of rows whose normalized text is an exact duplicate of
+    another row — the corpus-health metric the dedup family acts on,
+    here as a GATE (Soda's ``duplicate_percent``). Measured as
+    100·(1 − distinct fingerprints / rows) inside the scan's single
+    aggregation job (one count + one count_distinct over the md5
+    fingerprint — the same key operators/dedup.py groups on)."""
+    from ..functions.text import fingerprint
+
+    def compute(v: dict[str, Any]) -> float:
+        n = v["dup_rows"]
+        return 0.0 if not n else 100.0 * (1 - v["dup_distinct"] / n)
+
+    return Check(
+        f"duplicate_percent({text_col})",
+        {
+            "dup_rows": F.count(F.lit(1)),
+            "dup_distinct": F.count_distinct(fingerprint(F.col(text_col))),
+        },
+        _pct_thresholds(
+            "duplicate_percent", ["dup_rows", "dup_distinct"], compute,
+            warn_when_gt, fail_when_gt,
+        ),
+    )
+
+
+def pii_percent(
+    text_col: str = "text",
+    warn_when_gt: float | None = None,
+    fail_when_gt: float | None = None,
+) -> Check:
+    """Percent of rows containing ANY detectable PII
+    (functions/pii.py patterns) — the gate a curation pipeline runs
+    AFTER redaction, where the expected value is 0. Pure regexp
+    aggregates inside the single scan job."""
+    from ..functions.pii import pii_counts
+
+    c = pii_counts(F.col(text_col))
+    any_pii = sum(c.values()) > F.lit(0)
+
+    def compute(v: dict[str, Any]) -> float:
+        n = v["pii_rows"]
+        return 0.0 if not n else 100.0 * v["pii_hits"] / n
+
+    return Check(
+        f"pii_percent({text_col})",
+        {
+            "pii_rows": F.count(F.lit(1)),
+            "pii_hits": F.sum(any_pii.cast("int")),
+        },
+        _pct_thresholds(
+            "pii_percent", ["pii_rows", "pii_hits"], compute,
+            warn_when_gt, fail_when_gt,
+        ),
+    )
+
+
+def low_quality_percent(
+    text_col: str = "text",
+    min_score: float = 0.5,
+    warn_when_gt: float | None = None,
+    fail_when_gt: float | None = None,
+) -> Check:
+    """Percent of rows scoring below ``min_score`` on the composite
+    quality heuristic (functions/text.py::quality_score) — the
+    quality-distribution gate of a training-data ingest."""
+    from ..functions.text import quality_score
+
+    low = quality_score(F.col(text_col)) < min_score
+
+    def compute(v: dict[str, Any]) -> float:
+        n = v["lq_rows"]
+        return 0.0 if not n else 100.0 * v["lq_hits"] / n
+
+    return Check(
+        f"low_quality_percent({text_col})",
+        {
+            "lq_rows": F.count(F.lit(1)),
+            "lq_hits": F.sum(low.cast("int")),
+        },
+        _pct_thresholds(
+            "low_quality_percent", ["lq_rows", "lq_hits"], compute,
+            warn_when_gt, fail_when_gt,
+        ),
+    )
+
+
 def run_scan(df: DataFrame, checks: list[Check]) -> ScanResult:
     """Compile all measures into one agg job, evaluate all thresholds.
 

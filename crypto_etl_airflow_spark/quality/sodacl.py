@@ -25,10 +25,13 @@ import re
 
 from .checks import (
     Check,
+    duplicate_percent,
     freshness,
+    low_quality_percent,
     max_value,
     min_value,
     not_null,
+    pii_percent,
     row_count,
     unique_keys,
 )
@@ -36,7 +39,10 @@ from .checks import (
 _DUR_UNITS = {"s": "seconds", "m": "minutes", "h": "hours", "d": "days"}
 
 _HEADER = re.compile(r"^checks for\s+(\w+)\s*:\s*$")
-_BLOCK = re.compile(r"^-\s*(min|max|freshness)\((\w+)\)\s*:\s*$")
+_BLOCK = re.compile(
+    r"^-\s*(min|max|freshness|duplicate_percent|pii_percent"
+    r"|low_quality_percent)\((\w+)\)\s*:\s*$"
+)
 _THRESH = re.compile(r"^(warn|fail)\s*:\s*when\s*([<>])\s*(\S+)\s*$")
 _ROWCOUNT = re.compile(r"^-\s*row_count\s*>\s*(\d+)\s*$")
 _MISSING = re.compile(r"^-\s*missing_count\((\w+)\)\s*=\s*0\s*$")
@@ -73,6 +79,20 @@ def _build(kind: str, column: str, thresholds: dict[str, tuple[str, str]]) -> Ch
                 raise ValueError(f"freshness({column}): only '>' supported")
             kw[{"warn": "warn_after", "fail": "fail_after"}[sev]] = _duration(val)
         return freshness(column, **kw)
+    if kind in ("duplicate_percent", "pii_percent", "low_quality_percent"):
+        # corpus-health gates (Soda's duplicate_percent vocabulary,
+        # extended to the curation metrics): percent thresholds 0-100
+        kw = {}
+        for sev, (op, val) in thresholds.items():
+            if op != ">":
+                raise ValueError(f"{kind}({column}): only '>' supported")
+            kw[f"{sev}_when_gt"] = float(val.rstrip("%"))
+        builder = {
+            "duplicate_percent": duplicate_percent,
+            "pii_percent": pii_percent,
+            "low_quality_percent": low_quality_percent,
+        }[kind]
+        return builder(column, **kw)
     raise ValueError(f"unknown check kind: {kind}")
 
 

@@ -120,3 +120,85 @@ def test_profile_table_counts_nulls_and_types(spark):
     assert prof["name"].str_min == "a" and prof["name"].str_max == "b"
     assert prof["name"].num_min is None and prof["id"].str_min is None
     assert prof["score"].num_mean == 3.0
+
+
+# ---------------------------------------------------------------------------
+# curation gates (round 7): duplicate / PII / quality percent checks
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_percent_gate(spark):
+    from crypto_etl_airflow_spark.quality.checks import (
+        duplicate_percent,
+        run_scan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "ALPHA  beta"), (3, "gamma delta"),
+         (4, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    # rows 1+2 normalize identically -> 25% duplicates
+    res = run_scan(df, [duplicate_percent("text", fail_when_gt=20.0)])
+    assert res.failed and "25.000%" in res.results[0].detail
+    res2 = run_scan(df, [duplicate_percent("text", fail_when_gt=30.0)])
+    assert not res2.failed
+
+
+def test_pii_percent_gate_clean_after_redaction(spark):
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.functions.pii import redact_pii
+    from crypto_etl_airflow_spark.quality.checks import pii_percent, run_scan
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a@b.org"), (2, "call 555-123-4567"),
+         (3, "nothing here"), (4, "also clean")],
+        "doc_id long, text string",
+    )
+    dirty = run_scan(df, [pii_percent("text", fail_when_gt=10.0)])
+    assert dirty.failed and "50.000%" in dirty.results[0].detail
+    clean = df.select("doc_id", redact_pii(F.col("text")).alias("text"))
+    assert not run_scan(clean, [pii_percent("text", fail_when_gt=0.0)]).failed
+
+
+def test_low_quality_percent_warn_level(spark):
+    from crypto_etl_airflow_spark.quality.checks import (
+        low_quality_percent,
+        run_scan,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog " * 5
+    df = spark.createDataFrame(
+        [(1, good), (2, good), (3, "x!!"), (4, good)],
+        "doc_id long, text string",
+    )
+    res = run_scan(
+        df, [low_quality_percent("text", warn_when_gt=10.0, fail_when_gt=50.0)]
+    )
+    assert res.warned and not res.failed
+
+
+def test_sodacl_parses_curation_gates(spark):
+    from crypto_etl_airflow_spark.quality.checks import run_scan
+    from crypto_etl_airflow_spark.quality.sodacl import parse_checks
+
+    table, checks = parse_checks(
+        """
+checks for documents:
+  - duplicate_percent(text):
+      fail: when > 5
+  - pii_percent(text):
+      warn: when > 0
+      fail: when > 10
+  - low_quality_percent(text):
+      warn: when > 50
+"""
+    )
+    assert table == "documents" and len(checks) == 3
+    df = spark.createDataFrame(
+        [(1, "unique one two three"), (2, "other words entirely")],
+        "doc_id long, text string",
+    )
+    res = run_scan(df, checks)
+    assert not res.failed
