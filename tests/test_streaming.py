@@ -268,3 +268,65 @@ def test_stream_stream_interval_join(spark, watch_dir, tmp_path):
     got = run_append_to_memory(joined, checkpoint=str(tmp_path / "ck_ssj"))
     rows_out = [(r.click_id, r.error_id, r.error_value) for r in got.collect()]
     assert rows_out == [(1, 2, 7.0)]
+
+
+def test_streaming_gate_halts_on_pii_poisoned_batch(spark, tmp_path):
+    """The curation gates compose with the streaming quality gate: a
+    micro-batch carrying PII past the threshold fails the query and
+    the poisoned batch is never committed to the sink."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pytest
+    from pyspark.sql import types as TT
+    from pyspark.sql.utils import StreamingQueryException
+
+    from crypto_etl_airflow_spark.quality.checks import (
+        QualityGateError,
+        pii_percent,
+    )
+    from crypto_etl_airflow_spark.streaming.quality_gate import (
+        gated_batch_writer,
+    )
+
+    doc_schema = TT.StructType(
+        [TT.StructField("doc_id", TT.LongType()),
+         TT.StructField("text", TT.StringType())]
+    )
+    src = tmp_path / "docs_src"
+    src.mkdir()
+
+    def write_doc_batch(name, rows):
+        with tempfile.TemporaryDirectory() as staging:
+            spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = glob.glob(f"{staging}/part-*.parquet")[0]
+            shutil.copy(part, f"{src}/{name}.parquet")
+
+    write_doc_batch("b000", [(1, "perfectly clean text")])
+    write_doc_batch("b001", [(2, "leaked ssn 123-45-6789")])  # poison
+
+    sink = str(tmp_path / "sink")
+    gated = gated_batch_writer(
+        [pii_percent("text", fail_when_gt=0.0)],
+        lambda df, _id: df.write.mode("append").parquet(sink),
+    )
+    q = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+        .writeStream.foreachBatch(gated)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException) as e:
+        q.awaitTermination()
+    assert QualityGateError.__name__ in str(e.value) or "pii_percent" in str(
+        e.value
+    )
+    committed = spark.read.parquet(sink)
+    assert [r.doc_id for r in committed.collect()] == [1]  # poison absent
