@@ -162,3 +162,39 @@ def test_token_budget_sampling_invariants(spark):
         if kept:
             max_cum = max(r.cum_tokens for r in kept)
             assert max_cum - max(r.n_tokens for r in kept) < 2000
+
+
+def test_line_dedup_literal_metachar_separator(spark):
+    # regression: sep is a LITERAL separator — '|' must not be
+    # interpreted as regex alternation (which would split between
+    # every character)
+    rows = [(i, f"keep {i}|SPAM AD|tail {i}") for i in range(5)]
+    out = {
+        r.doc_id: r
+        for r in line_dedup_global(
+            _df(spark, rows), "doc_id", "text", max_doc_freq=2, sep="|"
+        ).collect()
+    }
+    for i in range(5):
+        assert out[i].clean_text == f"keep {i}|tail {i}"
+        assert out[i].n_lines == 3 and out[i].n_removed == 1
+
+
+def test_sequence_packing_invariants(spark):
+    from crypto_etl_airflow_spark.plans.registry import get
+
+    from .conftest import SF_ORACLE
+
+    rows = get("sequence_packing_manifest").builder(spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    total_tokens = sum(r.n_tokens for r in rows)
+    # bins cover the stream with no gaps: every bin index from 0 to
+    # the last bin_end is touched by at least one document
+    touched = set()
+    for r in rows:
+        assert 0 <= r.bin_start <= r.bin_end
+        assert r.n_boundary_crossings == r.bin_end - r.bin_start
+        assert 0 <= r.offset_in_bin < 512
+        touched.update(range(r.bin_start, r.bin_end + 1))
+    last_bin = (total_tokens - 1) // 512
+    assert touched == set(range(last_bin + 1))

@@ -184,3 +184,24 @@ def test_zordered_files_cluster_both_columns(spark, tmp_path):
     # the one-dimensional layout cannot cluster b
     assert rb >= side * 0.9, rb
     assert zb < rb / 2
+
+
+def test_z_value_masks_wide_and_negative_inputs(spark):
+    """Regression: inputs outside [0, 2^31) participate with their
+    low 31 bits instead of leaking sign/high bits into the interleave
+    (which flipped z negative and destroyed the clustering)."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.operators.layout import z_value
+
+    df = spark.createDataFrame(
+        [(-1, 0), (2**31, 5), (2**40 + 7, 2**33 + 9), (-(2**35) - 3, -2)],
+        "a long, b long",
+    )
+    rows = df.select(
+        "a", "b", z_value(F.col("a"), F.col("b")).alias("z")
+    ).collect()
+    mask = (1 << 31) - 1
+    for r in rows:
+        assert r.z == _py_z(r.a & mask, r.b & mask)
+        assert r.z >= 0
