@@ -221,11 +221,26 @@ def unique_keys(keys: list[str]) -> Check:
     )
 
 
-def _pct_thresholds(
-    name: str, pct_expr_keys: list[str], compute, warn_when_gt, fail_when_gt
-):
+def _percent_check(
+    name: str,
+    key: str,
+    numerator,
+    denominator,
+    warn_when_gt: float | None,
+    fail_when_gt: float | None,
+) -> Check:
+    """Shared shape of the corpus-health gates: pct = 100·num/den from
+    two aggregate measures, warn/fail on '>' thresholds. ``key`` must
+    be UNIQUE per (check kind, parameters) — run_scan merges every
+    check's measures into one dict, so colliding keys would silently
+    evaluate one check against another's scalars (the same reason
+    min_value keys on ``min_{column}``)."""
+    nk, dk = f"{key}_num", f"{key}_den"
+
     def ev(v: dict[str, Any]) -> tuple[str, str]:
-        pct = compute(v)
+        den = v[dk]
+        num = v[nk] or 0
+        pct = 0.0 if not den else 100.0 * num / den
         detail = f"{name}={pct:.3f}%"
         if fail_when_gt is not None and pct > fail_when_gt:
             return FAIL, f"{detail} > {fail_when_gt}"
@@ -233,7 +248,7 @@ def _pct_thresholds(
             return WARN, f"{detail} > {warn_when_gt}"
         return PASS, detail
 
-    return ev
+    return Check(name, {nk: numerator, dk: denominator}, ev)
 
 
 def duplicate_percent(
@@ -241,28 +256,23 @@ def duplicate_percent(
     warn_when_gt: float | None = None,
     fail_when_gt: float | None = None,
 ) -> Check:
-    """Percent of rows whose normalized text is an exact duplicate of
+    """Percent of NON-NULL rows whose normalized text duplicates
     another row — the corpus-health metric the dedup family acts on,
-    here as a GATE (Soda's ``duplicate_percent``). Measured as
-    100·(1 − distinct fingerprints / rows) inside the scan's single
-    aggregation job (one count + one count_distinct over the md5
-    fingerprint — the same key operators/dedup.py groups on)."""
+    here as a GATE (Soda's ``duplicate_percent``). NULL texts are in
+    neither numerator nor denominator (a NULL is missing, not a
+    duplicate — ``not_null`` is the gate for missing values). One
+    count + one count_distinct over the md5 fingerprint inside the
+    scan's single aggregation job."""
     from ..functions.text import fingerprint
 
-    def compute(v: dict[str, Any]) -> float:
-        n = v["dup_rows"]
-        return 0.0 if not n else 100.0 * (1 - v["dup_distinct"] / n)
-
-    return Check(
+    fp = fingerprint(F.col(text_col))
+    return _percent_check(
         f"duplicate_percent({text_col})",
-        {
-            "dup_rows": F.count(F.lit(1)),
-            "dup_distinct": F.count_distinct(fingerprint(F.col(text_col))),
-        },
-        _pct_thresholds(
-            "duplicate_percent", ["dup_rows", "dup_distinct"], compute,
-            warn_when_gt, fail_when_gt,
-        ),
+        f"dup_{text_col}",
+        F.count(fp) - F.count_distinct(fp),  # count(fp) skips NULLs
+        F.count(fp),
+        warn_when_gt,
+        fail_when_gt,
     )
 
 
@@ -271,29 +281,21 @@ def pii_percent(
     warn_when_gt: float | None = None,
     fail_when_gt: float | None = None,
 ) -> Check:
-    """Percent of rows containing ANY detectable PII
+    """Percent of non-null rows containing ANY detectable PII
     (functions/pii.py patterns) — the gate a curation pipeline runs
     AFTER redaction, where the expected value is 0. Pure regexp
     aggregates inside the single scan job."""
     from ..functions.pii import pii_counts
 
     c = pii_counts(F.col(text_col))
-    any_pii = sum(c.values()) > F.lit(0)
-
-    def compute(v: dict[str, Any]) -> float:
-        n = v["pii_rows"]
-        return 0.0 if not n else 100.0 * v["pii_hits"] / n
-
-    return Check(
+    any_pii = sum(c.values()) > F.lit(0)  # NULL text → NULL → sum skips
+    return _percent_check(
         f"pii_percent({text_col})",
-        {
-            "pii_rows": F.count(F.lit(1)),
-            "pii_hits": F.sum(any_pii.cast("int")),
-        },
-        _pct_thresholds(
-            "pii_percent", ["pii_rows", "pii_hits"], compute,
-            warn_when_gt, fail_when_gt,
-        ),
+        f"pii_{text_col}",
+        F.sum(any_pii.cast("int")),
+        F.count(F.col(text_col)),
+        warn_when_gt,
+        fail_when_gt,
     )
 
 
@@ -303,27 +305,20 @@ def low_quality_percent(
     warn_when_gt: float | None = None,
     fail_when_gt: float | None = None,
 ) -> Check:
-    """Percent of rows scoring below ``min_score`` on the composite
-    quality heuristic (functions/text.py::quality_score) — the
-    quality-distribution gate of a training-data ingest."""
+    """Percent of non-null rows scoring below ``min_score`` on the
+    composite quality heuristic (functions/text.py::quality_score) —
+    the quality-distribution gate of a training-data ingest."""
     from ..functions.text import quality_score
 
     low = quality_score(F.col(text_col)) < min_score
-
-    def compute(v: dict[str, Any]) -> float:
-        n = v["lq_rows"]
-        return 0.0 if not n else 100.0 * v["lq_hits"] / n
-
-    return Check(
-        f"low_quality_percent({text_col})",
-        {
-            "lq_rows": F.count(F.lit(1)),
-            "lq_hits": F.sum(low.cast("int")),
-        },
-        _pct_thresholds(
-            "low_quality_percent", ["lq_rows", "lq_hits"], compute,
-            warn_when_gt, fail_when_gt,
-        ),
+    score_tag = str(min_score).replace(".", "_")
+    return _percent_check(
+        f"low_quality_percent({text_col}, <{min_score})",
+        f"lq_{text_col}_{score_tag}",
+        F.sum(low.cast("int")),
+        F.count(F.col(text_col)),
+        warn_when_gt,
+        fail_when_gt,
     )
 
 

@@ -202,3 +202,41 @@ checks for documents:
     )
     res = run_scan(df, checks)
     assert not res.failed
+
+
+def test_same_kind_percent_checks_do_not_collide(spark):
+    # regression: two duplicate_percent checks on DIFFERENT columns in
+    # one scan must each evaluate their own measures (run_scan merges
+    # measure dicts by key)
+    from crypto_etl_airflow_spark.quality.checks import (
+        duplicate_percent,
+        run_scan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same title", "body a"), (2, "same title", "body b"),
+         (3, "other", "body c"), (4, "fourth", "body d")],
+        "doc_id long, title string, body string",
+    )
+    res = run_scan(
+        df,
+        [duplicate_percent("title", fail_when_gt=10.0),
+         duplicate_percent("body", fail_when_gt=10.0)],
+    )
+    by_name = {r.name: r for r in res.results}
+    assert by_name["duplicate_percent(title)"].outcome == "fail"  # 25% dups
+    assert by_name["duplicate_percent(body)"].outcome == "pass"  # all distinct
+
+
+def test_duplicate_percent_ignores_null_text(spark):
+    from crypto_etl_airflow_spark.quality.checks import (
+        duplicate_percent,
+        run_scan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None), (4, "gamma")],
+        "doc_id long, text string",
+    )
+    res = run_scan(df, [duplicate_percent("text", fail_when_gt=0.0)])
+    assert not res.failed, res.log_text()  # NULL is missing, not duplicate

@@ -307,6 +307,11 @@ def test_streaming_gate_halts_on_pii_poisoned_batch(spark, tmp_path):
 
     write_doc_batch("b000", [(1, "perfectly clean text")])
     write_doc_batch("b001", [(2, "leaked ssn 123-45-6789")])  # poison
+    # the file source orders batches by modification time; force
+    # distinct mtimes so the clean batch deterministically runs first
+    import os
+    os.utime(f"{src}/b000.parquet", (1, 1))
+    os.utime(f"{src}/b001.parquet", (2, 2))
 
     sink = str(tmp_path / "sink")
     gated = gated_batch_writer(
