@@ -67,6 +67,7 @@ def _load_all() -> None:
         extensions,
         parity,
         relational,
+        retrieval,
         streaming_plans,
         tpch_more,
     )
@@ -80,10 +81,13 @@ def _load_all() -> None:
 # then (b) the 14 queries the round-6 cap missed (still carrying a
 # round-2 row); everything else — certified r5/r6 — sorts after in
 # registration order and refreshes with whatever slots remain.
-# 24 + 14 = 38 ≤ 50, so every new query certifies AND every stale
-# row refreshes this round, with 12 slots left for r5/r6 refreshes.
+# 27 + 14 = 41 ≤ 50, so every new query certifies AND every stale
+# row refreshes this round, with 9 slots left for r5/r6 refreshes.
 _PRIORITY = [
     # (a) new or oracle-upgraded in round 7 — needs a fresh driver row
+    "similarity_bm25_topk",
+    "dedup_substring_spans",
+    "dedup_substring_removal",
     "dedup_minhash_lsh_xxhash",  # r6 row was rows-only; now oracle-paired
     "multimodal_resize_images",
     "dedup_fuzzy_short_docs",

@@ -1,0 +1,306 @@
+"""Lexical retrieval + exact-substring dedup queries.
+
+Two more pillars of an LLM training-data pipeline:
+
+- **BM25 top-k retrieval** (``similarity_bm25_topk``): the lexical
+  complement to the embedding ANN family in operators/similarity.py —
+  data-curation pipelines use BM25 both for quality-aware selection
+  (retrieve documents similar to a trusted seed set) and for eval-set
+  decontamination by lexical overlap. Pure dataflow: one tokenize
+  pass feeds term frequencies AND document lengths; query terms and
+  the per-term document frequencies are broadcast; the final top-k is
+  an ORDER BY + LIMIT (TakeOrderedAndProject — per-partition heaps,
+  no global sort).
+
+- **Exact-substring dedup** (``dedup_substring_spans``,
+  ``dedup_substring_removal``): the distributed re-expression of Lee
+  et al.'s suffix-array dedup (operators/substrings.py) — repeated
+  k-char windows found by ONE hash shuffle, merged into maximal spans
+  per document, optionally excised keep-first.
+
+The fixture corpus is random-word text, so verbatim cross-document
+repeats ≥32 chars are not guaranteed; the substring queries therefore
+plant deterministic boilerplate IN-PLAN (the _augment technique of
+plans/curation.py): docs with ``doc_id % 5 = 0`` get a newsletter
+banner prepended, docs with ``doc_id % 7 = 3`` get a rights notice
+appended. Spark builder and DuckDB oracle construct byte-identical
+corpora, so the span offsets and the RECONSTRUCTED CLEAN TEXT are
+hash-compared value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.substrings import remove_repeated_spans, repeated_window_spans
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("join", "merge", "window", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS) + "]"
+
+
+@register(
+    "similarity_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE term != ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    q AS (SELECT unnest({_TERMS_SQL}) AS term),
+    qtf AS (SELECT tf.* FROM tf JOIN q USING (term)),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfq FROM qtf GROUP BY 1),
+    scored AS (
+        SELECT qtf.doc_id,
+               ln((s.n - d.dfq + 0.5) / (d.dfq + 0.5) + 1)
+               * (qtf.tf * ({BM25_K1} + 1))
+               / (qtf.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) AS sc
+        FROM qtf
+        JOIN dfreq d USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, round(sum(sc), 6) AS bm25,
+           CAST(count(*) AS INTEGER) AS n_hit_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+    tags=("similarity", "text", "retrieval"),
+    bench=True,
+)
+def similarity_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed 4-term query (k1=1.2, b=0.75,
+    idf = ln((N−df+0.5)/(df+0.5)+1)).
+
+    100 TB shape: tokenization is one explode (linear); term
+    frequencies and document lengths are two groupBys over the SAME
+    exploded relation (one wide shuffle on term, one narrow on doc);
+    query terms, per-term document frequencies and the (avgdl, N)
+    scalar are all broadcast, so scoring adds no shuffle beyond the
+    tf⋈dl doc-key join; the top-k is ORDER BY + LIMIT, which Spark
+    executes as TakeOrderedAndProject (per-partition heaps — never a
+    global sort). At a real deployment the (doc_id, term, tf) postings
+    table is the thing you persist once and query many times.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n"))
+    q = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "term string"
+    )
+    qtf = tf.join(F.broadcast(q), "term")
+    dfreq = qtf.groupBy("term").agg(F.count_distinct("doc_id").alias("dfq"))
+    scored = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n") - F.col("dfq") + F.lit(0.5))
+                    / (F.col("dfq") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1 - BM25_B)
+                        + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("sc"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("sc"), 6).alias("bm25"),
+            F.count("*").cast("int").alias("n_hit_terms"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. re-expressed as window hashing)
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 32
+SUBSTR_STRIDE = 8
+
+_B1 = "subscribe to our newsletter for updates and exclusive offers today"
+_B2 = "all rights reserved unauthorized reproduction is strictly prohibited"
+
+
+def _augment_boilerplate(docs: DataFrame) -> DataFrame:
+    """Plant two boilerplate strings: the newsletter banner prepended
+    to doc_id % 5 == 0, the rights notice appended to doc_id % 7 == 3.
+    Both are ≥ k + stride − 1 = 39 chars, so detection is complete
+    regardless of stride-grid alignment."""
+    t0 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(_B1 + " "), F.col("text")),
+    ).otherwise(F.col("text"))
+    t1 = F.when(
+        F.col("doc_id") % 7 == 3, F.concat(t0, F.lit(" " + _B2))
+    ).otherwise(t0)
+    return docs.select("doc_id", t1.alias("text"))
+
+
+_AUG_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 3 THEN t0 || ' {_B2}' ELSE t0 END AS text
+    FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN '{_B1} ' || text
+                    ELSE text END AS t0
+        FROM documents
+    )
+"""
+
+# shared CTE chain: windows -> repeated hashes (the two queries differ
+# only in which occurrences feed the island merge)
+_WIN_SQL = f"""
+    aug AS ({_AUG_SQL}),
+    w AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, len(text) - {SUBSTR_K - 1},
+                                      {SUBSTR_STRIDE})) AS pos
+        FROM aug WHERE len(text) >= {SUBSTR_K}
+    ),
+    win AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               substr(md5(substring(text, pos, {SUBSTR_K})), 1, 16) AS h
+        FROM w
+    ),
+    rep AS (
+        SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    )
+"""
+
+_ISLAND_SQL = f"""
+    flg AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) <= {SUBSTR_K}
+                    THEN 0 ELSE 1 END AS f
+        FROM cand
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+        FROM flg
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) + {SUBSTR_K - 1} AS span_end,
+               count(*) AS n_windows
+        FROM isl GROUP BY doc_id, g
+    )
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_WIN_SQL},
+    cand AS (
+        SELECT DISTINCT win.doc_id, win.pos FROM win JOIN rep USING (h)
+    ),
+    {_ISLAND_SQL}
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_len, n_windows
+    FROM spans
+    """,
+    tags=("dedup", "substring", "llm"),
+    bench=True,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal character spans repeated verbatim across ≥2 documents
+    (k=32-char windows, stride 8 — complete for repeats ≥39 chars).
+    See operators/substrings.py for the 100 TB shape: one hash shuffle
+    over O(chars/stride) window rows, island merge partitioned by
+    document. The planted boilerplate guarantees the fixture exercises
+    both the prepended and the appended repeat position."""
+    docs = _augment_boilerplate(load_table(spark, sf_dir, "documents"))
+    return repeated_window_spans(
+        docs, "doc_id", "text", k=SUBSTR_K, stride=SUBSTR_STRIDE, min_docs=2
+    )
+
+
+@register(
+    "dedup_substring_removal",
+    oracle=f"""
+    WITH {_WIN_SQL},
+    hits AS (SELECT win.doc_id, win.pos, win.h FROM win JOIN rep USING (h)),
+    rk AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM hits
+    ),
+    cand AS (SELECT DISTINCT doc_id, pos FROM rk WHERE rn > 1),
+    {_ISLAND_SQL},
+    seg AS (
+        SELECT doc_id, span_start, span_end,
+               coalesce(lag(span_end) OVER (
+                   PARTITION BY doc_id ORDER BY span_start), 0) + 1
+                   AS seg_start
+        FROM spans
+    ),
+    reb AS (
+        SELECT s.doc_id,
+               string_agg(substring(a.text, s.seg_start,
+                                    s.span_start - s.seg_start),
+                          '' ORDER BY s.span_start) AS head,
+               max(s.span_end) AS last_end,
+               count(*) AS n_spans,
+               sum(s.span_end - s.span_start + 1) AS removed_chars
+        FROM seg s JOIN aug a USING (doc_id)
+        GROUP BY s.doc_id
+    )
+    SELECT a.doc_id,
+           CASE WHEN r.n_spans IS NULL THEN a.text
+                ELSE r.head || substring(a.text, r.last_end + 1,
+                                         greatest(len(a.text) - r.last_end,
+                                                  0))
+           END AS clean_text,
+           CAST(coalesce(r.n_spans, 0) AS INTEGER) AS n_spans,
+           CAST(coalesce(r.removed_chars, 0) AS BIGINT) AS removed_chars
+    FROM aug a LEFT JOIN reb r USING (doc_id)
+    """,
+    tags=("dedup", "substring", "llm"),
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact-substring dedup: the globally first occurrence
+    of each repeated window survives; every other occurrence's spans
+    are excised and each document is reconstructed (oracle checks the
+    full clean text byte-for-byte). Lee et al.'s semantics — one copy
+    survives — not C4's drop-all."""
+    docs = _augment_boilerplate(load_table(spark, sf_dir, "documents"))
+    return remove_repeated_spans(
+        docs, "doc_id", "text", k=SUBSTR_K, stride=SUBSTR_STRIDE
+    )
