@@ -76,10 +76,6 @@ def _window_table(
             F.coalesce(F.sum(F.length("tok") + 1).over(prefix), F.lit(0))
             + F.lit(1)
         ).alias("pos"),
-        (
-            F.coalesce(F.sum(F.length("tok") + 1).over(prefix), F.lit(0))
-            + F.length("tok")
-        ).alias("tend"),
         F.collect_list("tok").over(frame).alias("gram"),
         F.last(
             F.coalesce(F.sum(F.length("tok") + 1).over(prefix), F.lit(0))

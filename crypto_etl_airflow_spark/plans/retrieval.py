@@ -148,18 +148,19 @@ def similarity_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-substring dedup (Lee et al. re-expressed as window hashing)
 # ---------------------------------------------------------------------------
 
-SUBSTR_K = 32
-SUBSTR_STRIDE = 8
+SUBSTR_W = 8  # tokens per window
 
 _B1 = "subscribe to our newsletter for updates and exclusive offers today"
 _B2 = "all rights reserved unauthorized reproduction is strictly prohibited"
 
 
 def _augment_boilerplate(docs: DataFrame) -> DataFrame:
-    """Plant two boilerplate strings: the newsletter banner prepended
-    to doc_id % 5 == 0, the rights notice appended to doc_id % 7 == 3.
-    Both are ≥ k + stride − 1 = 39 chars, so detection is complete
-    regardless of stride-grid alignment."""
+    """Plant two boilerplate strings: the newsletter banner (10 tokens)
+    prepended to doc_id % 5 == 0, the rights notice (exactly
+    ``SUBSTR_W`` = 8 tokens) appended to doc_id % 7 == 3. Both are
+    ≥ w tokens, so at least one w-token window sits fully inside each
+    copy and detection is complete regardless of character offset —
+    token boundaries are content-defined anchors."""
     t0 = F.when(
         F.col("doc_id") % 5 == 0,
         F.concat(F.lit(_B1 + " "), F.col("text")),
@@ -181,20 +182,42 @@ _AUG_SQL = f"""
     )
 """
 
-# shared CTE chain: windows -> repeated hashes (the two queries differ
-# only in which occurrences feed the island merge)
+# shared CTE chain: token windows -> repeated hashes (the two queries
+# differ only in which occurrences feed the island merge). Mirrors
+# operators/substrings.py:_window_table exactly: split on the literal
+# single space (text == ' '.join(tokens)), per-doc prefix-sum char
+# offsets, and h = first 16 hex chars of md5 of the space-joined
+# w-token gram. Since the gram IS the covered substring,
+# wend = pos + len(gram) - 1.
 _WIN_SQL = f"""
     aug AS ({_AUG_SQL}),
-    w AS (
-        SELECT doc_id, text,
-               unnest(generate_series(1, len(text) - {SUBSTR_K - 1},
-                                      {SUBSTR_STRIDE})) AS pos
-        FROM aug WHERE len(text) >= {SUBSTR_K}
+    tl AS (
+        SELECT doc_id, string_split(text, ' ') AS tk
+        FROM aug WHERE text IS NOT NULL
+    ),
+    tok AS (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+        FROM tl
+    ),
+    off AS (
+        SELECT doc_id, tk, i,
+               coalesce(sum(len(tk[i]) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + 1 AS pos
+        FROM tok
     ),
     win AS (
-        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-               substr(md5(substring(text, pos, {SUBSTR_K})), 1, 16) AS h
-        FROM w
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+               CAST(pos AS BIGINT) AS pos,
+               CAST(pos + len(gram) - 1 AS BIGINT) AS wend,
+               substr(md5(gram), 1, 16) AS h
+        FROM (
+            SELECT doc_id, i, pos,
+                   array_to_string(tk[i : i + {SUBSTR_W - 1}], ' ')
+                       AS gram
+            FROM off WHERE i + {SUBSTR_W - 1} <= len(tk)
+        )
     ),
     rep AS (
         SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2
@@ -203,21 +226,21 @@ _WIN_SQL = f"""
 
 _ISLAND_SQL = f"""
     flg AS (
-        SELECT doc_id, pos,
-               CASE WHEN pos - lag(pos) OVER (
-                        PARTITION BY doc_id ORDER BY pos) <= {SUBSTR_K}
+        SELECT doc_id, idx, pos, wend,
+               CASE WHEN idx - lag(idx) OVER (
+                        PARTITION BY doc_id ORDER BY idx) <= {SUBSTR_W}
                     THEN 0 ELSE 1 END AS f
         FROM cand
     ),
     isl AS (
-        SELECT doc_id, pos,
-               sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+        SELECT doc_id, idx, pos, wend,
+               sum(f) OVER (PARTITION BY doc_id ORDER BY idx
                             ROWS UNBOUNDED PRECEDING) AS g
         FROM flg
     ),
     spans AS (
         SELECT doc_id, min(pos) AS span_start,
-               max(pos) + {SUBSTR_K - 1} AS span_end,
+               max(wend) AS span_end,
                count(*) AS n_windows
         FROM isl GROUP BY doc_id, g
     )
@@ -229,7 +252,8 @@ _ISLAND_SQL = f"""
     oracle=f"""
     WITH {_WIN_SQL},
     cand AS (
-        SELECT DISTINCT win.doc_id, win.pos FROM win JOIN rep USING (h)
+        SELECT DISTINCT win.doc_id, win.idx, win.pos, win.wend
+        FROM win JOIN rep USING (h)
     ),
     {_ISLAND_SQL}
     SELECT doc_id, span_start, span_end,
@@ -241,14 +265,15 @@ _ISLAND_SQL = f"""
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal character spans repeated verbatim across ≥2 documents
-    (k=32-char windows, stride 8 — complete for repeats ≥39 chars).
-    See operators/substrings.py for the 100 TB shape: one hash shuffle
-    over O(chars/stride) window rows, island merge partitioned by
-    document. The planted boilerplate guarantees the fixture exercises
-    both the prepended and the appended repeat position."""
+    (w=8-token windows — complete for any cross-document repeat of
+    ≥8 whitespace tokens, at any character offset). See
+    operators/substrings.py for the 100 TB shape: one hash shuffle
+    over O(tokens) window rows, island merge partitioned by document.
+    The planted boilerplate guarantees the fixture exercises both the
+    prepended and the appended repeat position."""
     docs = _augment_boilerplate(load_table(spark, sf_dir, "documents"))
     return repeated_window_spans(
-        docs, "doc_id", "text", k=SUBSTR_K, stride=SUBSTR_STRIDE, min_docs=2
+        docs, "doc_id", "text", w=SUBSTR_W, min_docs=2
     )
 
 
@@ -256,13 +281,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_substring_removal",
     oracle=f"""
     WITH {_WIN_SQL},
-    hits AS (SELECT win.doc_id, win.pos, win.h FROM win JOIN rep USING (h)),
+    hits AS (
+        SELECT win.doc_id, win.idx, win.pos, win.wend, win.h
+        FROM win JOIN rep USING (h)
+    ),
     rk AS (
-        SELECT doc_id, pos,
-               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        SELECT doc_id, idx, pos, wend,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
         FROM hits
     ),
-    cand AS (SELECT DISTINCT doc_id, pos FROM rk WHERE rn > 1),
+    cand AS (SELECT DISTINCT doc_id, idx, pos, wend FROM rk WHERE rn > 1),
     {_ISLAND_SQL},
     seg AS (
         SELECT doc_id, span_start, span_end,
@@ -301,6 +329,4 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     full clean text byte-for-byte). Lee et al.'s semantics — one copy
     survives — not C4's drop-all."""
     docs = _augment_boilerplate(load_table(spark, sf_dir, "documents"))
-    return remove_repeated_spans(
-        docs, "doc_id", "text", k=SUBSTR_K, stride=SUBSTR_STRIDE
-    )
+    return remove_repeated_spans(docs, "doc_id", "text", w=SUBSTR_W)

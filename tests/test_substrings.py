@@ -12,42 +12,67 @@ from crypto_etl_airflow_spark.plans.retrieval import similarity_bm25_topk
 
 from .conftest import SF_SMOKE
 
-BOILER = "x" * 0 + "the quick brown fox jumps over the lazy dog again and again"  # 60 chars
+# 12 tokens — w=8 windows fully inside start at token idx 0..4
+BOILER = "the quick brown fox jumps over the lazy dog again and again"
+# a second shared block, disjoint tokens, 12 tokens
+BOILER2 = "please review all the terms of service before you continue using it"
 FILL_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa unique one"
 FILL_B = "lambda mu nu xi omicron pi rho sigma tau upsilon distinct other two"
+FILL_C = "zero uno duo tres quattro cinque sei sette otto nove dieci extra"
+
+W = 8
 
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
-def test_spans_cover_planted_boilerplate(spark):
-    # boilerplate is 60 >= k + stride - 1 = 39, so detection must be
-    # complete wherever it sits
+def test_spans_cover_planted_boilerplate_exactly(spark):
+    # BOILER is 12 tokens >= w=8, so windows fully inside it exist in
+    # every copy regardless of character offset — token boundaries are
+    # content-defined anchors, so there is no alignment condition.
     df = _docs(
         spark,
         [
             (1, BOILER + " " + FILL_A),
             (2, FILL_B + " " + BOILER),
-            (3, FILL_A + " " + FILL_B),
+            (3, FILL_C + " tail words here"),
         ],
     )
-    spans = repeated_window_spans(df, k=32, stride=8).collect()
+    spans = repeated_window_spans(df, w=W).collect()
     by_doc = {r.doc_id: r for r in spans}
     assert set(by_doc) == {1, 2}
-    # doc 1: boilerplate at chars [1, 60] — the span must cover the
-    # stride-aligned windows inside it (first window at pos 1)
+    # token windows give EXACT span bounds: the merged island covers
+    # precisely the repeated block's characters
     s1 = by_doc[1]
-    assert s1.span_start == 1
-    assert s1.span_end >= 32  # at least the first window
-    assert s1.span_end <= 60 + 31  # never past boilerplate + window slop
-    assert s1.span_len == s1.span_end - s1.span_start + 1
-    # doc 2's copy starts at len(FILL_B)+2 — unaligned with doc 1's
-    # grid, still found (windows hash by content, not position)
+    assert (s1.span_start, s1.span_end) == (1, len(BOILER))
+    assert s1.span_len == len(BOILER)
+    assert s1.n_windows == 12 - W + 1  # idx 0..4
+    # doc 2's copy starts at char len(FILL_B)+2 — unaligned with doc
+    # 1's offset (1), still found and covered exactly
     s2 = by_doc[2]
     off = len(FILL_B) + 2
-    assert s2.span_start >= off - 7  # within one stride of the copy
-    assert s2.span_end >= s2.span_start + 31
+    assert (s2.span_start, s2.span_end) == (off, off + len(BOILER) - 1)
+    assert s2.n_windows == 12 - W + 1
+
+
+def test_spans_two_islands_per_doc(spark):
+    # two shared blocks separated by > w unique tokens -> two spans
+    d1 = BOILER + " " + FILL_A + " " + BOILER2
+    d2 = BOILER + " " + FILL_B + " " + BOILER2
+    df = _docs(spark, [(1, d1), (2, d2)])
+    spans = repeated_window_spans(df, w=W).collect()
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows) for r in spans
+    }
+    b2_off_1 = len(BOILER) + 1 + len(FILL_A) + 2
+    b2_off_2 = len(BOILER) + 1 + len(FILL_B) + 2
+    assert got == {
+        (1, 1, len(BOILER), 5),
+        (1, b2_off_1, b2_off_1 + len(BOILER2) - 1, 5),
+        (2, 1, len(BOILER), 5),
+        (2, b2_off_2, b2_off_2 + len(BOILER2) - 1, 5),
+    }
 
 
 def test_spans_ignore_unique_and_short_docs(spark):
@@ -56,11 +81,11 @@ def test_spans_ignore_unique_and_short_docs(spark):
         [
             (1, FILL_A),
             (2, FILL_B),
-            (3, "short"),  # < k: no windows at all
+            (3, "only three tokens"),  # < w tokens: no windows at all
             (4, None),  # null text: dropped, not crashed
         ],
     )
-    assert repeated_window_spans(df, k=32, stride=8).count() == 0
+    assert repeated_window_spans(df, w=W).count() == 0
 
 
 def test_removal_keeps_exactly_one_copy(spark):
@@ -70,30 +95,27 @@ def test_removal_keeps_exactly_one_copy(spark):
         [
             (1, shared + " " + FILL_A),
             (2, FILL_B + " " + shared),
-            (3, FILL_A + " tail words here"),
+            (3, FILL_C + " tail words here"),
         ],
     )
-    out = {r.doc_id: r for r in remove_repeated_spans(df, k=32, stride=8).collect()}
+    out = {r.doc_id: r for r in remove_repeated_spans(df, w=W).collect()}
     assert len(out) == 3
-    # keeper = lowest (doc_id, pos): doc 1 keeps its text verbatim
+    # keeper = lowest (doc_id, idx): doc 1 keeps its text verbatim
     assert out[1].clean_text == shared + " " + FILL_A
     assert out[1].n_spans == 0
-    # doc 2 loses (at least the window-covered part of) the copy
+    # doc 2 loses exactly the copy (token windows cut on its precise
+    # char bounds; the separating space before it remains — the seam)
     assert out[2].n_spans == 1
-    assert len(out[2].clean_text) < len(FILL_B) + 1 + len(shared)
-    assert out[2].clean_text.startswith(FILL_B)
-    assert shared not in out[2].clean_text
-    assert out[2].removed_chars == (
-        len(FILL_B) + 1 + len(shared) - len(out[2].clean_text)
-    )
+    assert out[2].clean_text == FILL_B + " "
+    assert out[2].removed_chars == len(shared)
     # untouched doc passes through
-    assert out[3].clean_text == FILL_A + " tail words here"
+    assert out[3].clean_text == FILL_C + " tail words here"
     assert out[3].n_spans == 0 and out[3].removed_chars == 0
 
 
 def test_removal_null_and_short_pass_through(spark):
     df = _docs(spark, [(1, None), (2, "tiny")])
-    out = {r.doc_id: r for r in remove_repeated_spans(df, k=32, stride=8).collect()}
+    out = {r.doc_id: r for r in remove_repeated_spans(df, w=W).collect()}
     assert out[1].clean_text is None and out[1].n_spans == 0
     assert out[2].clean_text == "tiny" and out[2].removed_chars == 0
 
@@ -105,11 +127,21 @@ def test_removal_span_to_end_of_text(spark):
         spark,
         [(1, FILL_A + " " + BOILER), (2, FILL_B + " " + BOILER)],
     )
-    out = {r.doc_id: r for r in remove_repeated_spans(df, k=32, stride=8).collect()}
+    out = {r.doc_id: r for r in remove_repeated_spans(df, w=W).collect()}
     assert out[1].n_spans == 0  # keeper
     assert out[2].n_spans == 1
-    assert out[2].clean_text.startswith(FILL_B)
-    assert not out[2].clean_text.endswith(BOILER[-10:])
+    assert out[2].clean_text == FILL_B + " "
+    assert out[2].removed_chars == len(BOILER)
+
+
+def test_removal_mid_document_span(spark):
+    # repeated block in the MIDDLE: head piece + tail both non-empty
+    d2 = FILL_B + " " + BOILER + " " + FILL_C
+    df = _docs(spark, [(1, BOILER + " " + FILL_A), (2, d2)])
+    out = {r.doc_id: r for r in remove_repeated_spans(df, w=W).collect()}
+    assert out[2].n_spans == 1
+    assert out[2].clean_text == FILL_B + "  " + FILL_C  # double-space seam
+    assert out[2].removed_chars == len(BOILER)
 
 
 def test_bm25_ranking_sanity(spark):
