@@ -191,3 +191,125 @@ def bpe_token_counts(
             F.sum(F.length("word")) / F.sum(F.size("syms")), 6
         ).alias("compression"),
     )
+
+
+def apply_bpe_rules(
+    df: DataFrame,
+    rules: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scale-path BPE APPLICATION: tokenize with an already-learned
+    rule list in ONE Arrow-batched ``mapInPandas`` stage.
+
+    ``rules`` is the collected merge-rule table — ``Row``s with
+    ``left_sym``/``right_sym`` (and optionally ``merge_rank``, used to
+    sort) or plain ``(left, right)`` tuples in merge order. Collecting
+    it is an API-edge collect of TOKENIZER METADATA (30k–100k rows for
+    a production vocabulary — kilobytes, not corpus data); the rules
+    ship to executors inside the UDF closure, i.e. a broadcast.
+
+    Why this exists alongside :func:`bpe_token_counts`: the dataflow
+    path applies each rule as one more chained broadcast join + array
+    fold, so PLAN DEPTH grows with ``n_merges`` — exactly right for
+    the certified learner at n_merges≈4–16, impossible for a real
+    tokenizer (30k merges ≠ 30k chained joins; Catalyst analysis alone
+    would dominate). Here plan depth is constant: one Python stage
+    whose inner loop is the same leftmost non-overlapping fold,
+    property-tested equal to the dataflow path
+    (tests/test_bpe.py::test_collected_rules_path_equals_dataflow).
+    The crossover is small — prefer the dataflow path only while
+    n_merges stays within plan-depth sanity (≲16).
+
+    Output schema matches :func:`bpe_token_counts`:
+    ``(id_col, n_words, n_chars, n_bpe_tokens, compression)``; rows
+    are per input document, documents with no words are dropped, the
+    final ``compression`` rounding happens in Spark so both paths
+    round identically.
+
+    100 TB posture: linear single pass, no shuffle at all until the
+    caller aggregates; per-task unique-word memoization makes the cost
+    proportional to distinct words per partition, mirroring the
+    vocabulary trick of the learner.
+    """
+    norm: list[tuple[str, str]] = []
+    seq = rules
+    if seq and hasattr(seq[0], "merge_rank"):
+        seq = sorted(seq, key=lambda r: r.merge_rank)
+    for r in seq:
+        if hasattr(r, "left_sym"):
+            norm.append((r.left_sym, r.right_sym))
+        else:
+            left, right = r
+            norm.append((left, right))
+
+    # closure, NOT a module-level function: cloudpickled by value so
+    # executors launched by drivers outside the repo root need no
+    # crypto_etl_airflow_spark import (sources/http_datasource.py has
+    # the same constraint)
+    merges = tuple(norm)
+    id_name, text_name = id_col, text_col
+
+    def _tokenize(batches):
+        import re
+
+        import pandas as pd
+
+        # ASCII flag: Java's \s (the dataflow path's split) is
+        # [ \t\n\x0B\f\r] only; Python's default \s is Unicode-wide
+        ws = re.compile(r"\s+", re.ASCII)
+        cache: dict[str, int] = {}  # word -> token count (per task)
+
+        def n_tokens(word: str) -> int:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            for left, right in merges:
+                if len(syms) < 2:
+                    break
+                out = [syms[0]]
+                for s in syms[1:]:
+                    if out[-1] == left and s == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(s)
+                syms = out
+            cache[word] = len(syms)
+            return len(syms)
+
+        for pdf in batches:
+            ids, n_words, n_chars, n_toks = [], [], [], []
+            for did, text in zip(pdf[id_name], pdf[text_name]):
+                if not isinstance(text, str):
+                    continue  # NULL text: no words, row dropped
+                words = [w for w in ws.split(text.lower()) if w]
+                if not words:
+                    continue
+                ids.append(did)
+                n_words.append(len(words))
+                n_chars.append(sum(len(w) for w in words))
+                n_toks.append(sum(n_tokens(w) for w in words))
+            yield pd.DataFrame(
+                {
+                    id_name: pd.Series(ids, dtype="int64"),
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_chars": pd.Series(n_chars, dtype="int64"),
+                    "n_bpe_tokens": pd.Series(n_toks, dtype="int64"),
+                }
+            )
+
+    counted = df.select(id_col, text_col).mapInPandas(
+        _tokenize,
+        schema=f"{id_col} long, n_words long, n_chars long, "
+        "n_bpe_tokens long",
+    )
+    return counted.select(
+        id_col,
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6).alias(
+            "compression"
+        ),
+    )

@@ -26,6 +26,8 @@ from ..functions.pii import PII_PATTERNS, PII_TOKENS, pii_counts, redact_pii
 from ..functions.text import STOPWORDS, mean_token_length, quality_score, tokens
 from ..operators.lines import line_dedup_global
 from ..sources.tables import load_table
+from .extensions import _STOPS as _EXT_STOPS
+from .extensions import _TOKS as _EXT_TOKS
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -898,6 +900,35 @@ def vocab_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_rules(docs, "text", n_merges=4)
 
 
+@register(
+    "text_bpe_token_counts_scaled",
+    oracle=_bpe_tokenize_oracle(),
+    tags=("text", "vocab", "tokenizer", "curation", "extension"),
+)
+def text_bpe_token_counts_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE-path BPE application: learn the rules with the
+    certified dataflow learner, COLLECT them (tokenizer metadata —
+    kilobytes), and tokenize every document in one Arrow-batched
+    ``mapInPandas`` stage with constant plan depth
+    (operators/bpe.py::apply_bpe_rules). The dataflow twin
+    (``text_bpe_token_counts``) chains one broadcast join per rule —
+    right at n_merges=4, impossible at a production vocabulary's 30k
+    merges. Same oracle as the twin, so the driver certifies the
+    Python tokenizer's output value-for-value against DuckDB's
+    list_reduce fold."""
+    from ..operators.bpe import apply_bpe_rules, bpe_merge_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = (
+        bpe_merge_rules(docs, "text", n_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    return apply_bpe_rules(docs, rules, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # corpus bigram language-model score (CCNet-style quality signal)
 # ---------------------------------------------------------------------------
@@ -1206,4 +1237,108 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_stop.alias("pass_stop"),
         pass_rep.alias("pass_repetition"),
         (pass_words & pass_wl & pass_alpha & pass_stop & pass_rep).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation-gate measures as a certified query (VERDICT r7 item 7)
+# ---------------------------------------------------------------------------
+
+# Fixed boilerplate page planted on doc_id % 10 == 1: an exact
+# duplicate across ~10% of the corpus AND a low-quality document
+# (punctuation-heavy, no stopwords, short) — so the duplicate and
+# low-quality percentages are certified on nonzero values. Planted
+# AFTER the PII arms so the duplicate copies stay byte-identical.
+_DUP_PAGE = "BUY NOW!!! $$$ CLICK HERE limited offer!!!"
+
+_QUALITY_SQL = f"""
+    length(text) AS n,
+    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]',
+                                                '', 'g')))
+          / length(text), 6) AS p_ratio,
+    round(len(list_filter({_EXT_TOKS}, x -> list_contains({_EXT_STOPS}, x)))
+          / len({_EXT_TOKS}), 6) AS s_ratio,
+    round(list_aggregate(list_transform({_EXT_TOKS}, x -> length(x)), 'sum')
+          / len({_EXT_TOKS}), 6) AS mtl
+"""
+
+
+@register(
+    "quality_curation_metrics",
+    oracle=f"""
+    WITH pii_aug AS ({_AUG_PII_SQL}),
+    aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 1 THEN '{_DUP_PAGE}'
+                    ELSE text END AS text
+        FROM pii_aug
+    ),
+    per AS (
+        SELECT doc_id, text,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               CASE WHEN {_COUNT_SQL['email']} + {_COUNT_SQL['phone']}
+                         + {_COUNT_SQL['ssn']} + {_COUNT_SQL['ipv4']} > 0
+                    THEN 1 ELSE 0 END AS has_pii,
+               {_QUALITY_SQL}
+        FROM aug
+    ),
+    q AS (
+        SELECT doc_id, text, fp, has_pii,
+               round(((CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                            WHEN n >= 30 THEN 0.5 ELSE 0.0 END)
+                      + (CASE WHEN p_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN s_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN mtl >= 2.5 AND mtl <= 12 THEN 1.0
+                              ELSE 0.0 END)
+                     ) / 4.0, 6) AS quality
+        FROM per
+    )
+    SELECT CAST(count(text) AS BIGINT) AS n_docs,
+           round((count(fp) - count(DISTINCT fp)) * 100.0 / count(fp), 6)
+               AS dup_pct,
+           round(sum(has_pii) * 100.0 / count(text), 6) AS pii_pct,
+           round(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) * 100.0
+                 / count(text), 6) AS low_quality_pct
+    FROM q
+    """,
+    tags=("quality", "curation", "extension"),
+)
+def quality_curation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three corpus-health percentages the curation GATES consume
+    (quality/checks.py: duplicate_percent, pii_percent,
+    low_quality_percent), emitted as a one-row query so the measures
+    feeding the gate thresholds are oracle-certified, not just
+    unit-tested. Same measure expressions as the gates: duplicate =
+    non-null rows whose normalized-text md5 fingerprint collides;
+    PII = rows with any detectable PII category; low-quality = rows
+    scoring < 0.5 on the composite heuristic. One aggregation job over
+    a single scan — the exact shape run_scan compiles the gates into.
+    Corpus: documents + the PII arms (_augment_pii) + a fixed
+    boilerplate page on doc_id % 10 == 1, so all three percentages
+    certify on nonzero values."""
+    from ..functions.text import fingerprint
+
+    did = F.col("doc_id")
+    aug = _augment_pii(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.when(did % 10 == 1, F.lit(_DUP_PAGE))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t = F.col("text")
+    fp = fingerprint(t)
+    c = pii_counts(t)
+    any_pii = (c["email"] + c["phone"] + c["ssn"] + c["ipv4"]) > 0
+    low = quality_score(t) < 0.5
+    return aug.agg(
+        F.count(t).cast("long").alias("n_docs"),
+        F.round(
+            (F.count(fp) - F.count_distinct(fp)) * 100.0 / F.count(fp), 6
+        ).alias("dup_pct"),
+        F.round(F.sum(any_pii.cast("int")) * 100.0 / F.count(t), 6).alias(
+            "pii_pct"
+        ),
+        F.round(F.sum(low.cast("int")) * 100.0 / F.count(t), 6).alias(
+            "low_quality_pct"
+        ),
     )

@@ -76,57 +76,60 @@ def _load_all() -> None:
 # Certification priority: the external driver verifies queries in the
 # order this registry emits them and caps how many it runs per round
 # (50 in every round so far), so ordering IS the rotation policy.
-# Round-7 rotation (VERDICT r6 item 2): (a) the 24 queries new or
-# oracle-upgraded this round — no (or rows-only) driver row exists;
-# then (b) the 14 queries the round-6 cap missed (still carrying a
-# round-2 row); everything else — certified r5/r6 — sorts after in
-# registration order and refreshes with whatever slots remain.
-# 27 + 14 = 41 ≤ 50, so every new query certifies AND every stale
-# row refreshes this round, with 9 slots left for r5/r6 refreshes.
+# Round-8 rotation (VERDICT r7 items 1 and 3): (a) the two substring
+# queries that crashed in r7 (never certified) plus the queries new
+# in r8; then (b) every query whose latest green driver row is r5 —
+# computed from CORRECTNESS_r0{1..7}.json, 40 after deregistering the
+# planes=4 demonstrator. 4 + 40 = 44 ≤ 50, so every broken/new query
+# certifies AND every stale row refreshes, with ~6 slots left for r6
+# refreshes (registration order).
 _PRIORITY = [
-    # (a) new or oracle-upgraded in round 7 — needs a fresh driver row
-    "similarity_bm25_topk",
+    # (a) broken-in-r7 (TypeError, never certified) or new in r8
     "dedup_substring_spans",
     "dedup_substring_removal",
-    "dedup_minhash_lsh_xxhash",  # r6 row was rows-only; now oracle-paired
-    "multimodal_resize_images",
-    "dedup_fuzzy_short_docs",
-    "dedup_incremental_minhash",
-    "text_pii_redact",
-    "text_pii_prevalence",
-    "dedup_lines_global",
-    "text_gopher_filter",
-    "sample_token_budget",
-    "embedding_semdedup_pairs",
-    "embedding_semdedup_keep",
-    "streaming_dedup_exact",
-    "streaming_dedup_incremental",
-    "text_bigram_logprob",
-    "filter_quality_quantile",
-    "vocab_bpe_merge_rules",
-    "text_bpe_token_counts",
-    "training_shards_manifest",
-    "sample_token_budget_distributed",
-    "sequence_packing_manifest",
-    "layout_zorder_values",
-    "sample_mixture_weights",
-    "text_novelty_score",
-    "dedup_cross_source_matrix",
-    # (b) last driver-certified in r2 — missed the round-6 cap
-    "join_salted_skew",
-    "q2_cheapest_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_customers",
-    "q11_important_parts",
-    "q12_priority_by_returnflag",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
+    "quality_curation_metrics",
+    "text_bpe_token_counts_scaled",
+    # (b) latest green driver row is r5 — two full rounds stale
+    "agg_approx_percentiles",
+    "anomaly_zscore_events",
+    "customer_rfm_segments",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_decontaminate",
+    "dedup_exact_fingerprint",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_centroids_by_label",
+    "embedding_neardup_pairs",
+    "join_right_segment_orders",
+    "multimodal_audio_windows",
+    "multimodal_binary_stats",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_ppm_features",
+    "multimodal_wav_features",
+    "q13_customer_distribution",
+    "q16_supplier_cnt_by_part",
+    "q17_small_quantity_revenue",
+    "q20_majority_suppliers",
+    "q21_sole_late_supplier",
+    "q22_dormant_rich_customers",
+    "quality_psi_value_drift",
+    "sample_stratified_by_lang",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+    "split_train_val_test",
+    "streaming_enrich_segment",
+    "text_chunk_windows",
+    "text_language_id",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "vocab_top_terms",
 ]
 
 

@@ -82,3 +82,54 @@ def test_token_counts_survive_exhausted_rules(spark):
     r = out[0]
     # 'aaab' x2 and 'ab' all collapse to single symbols by merge 3
     assert (r.n_words, r.n_chars, r.n_bpe_tokens) == (3, 10, 3)
+
+
+def test_collected_rules_path_equals_dataflow(spark):
+    """apply_bpe_rules (collected rules + one mapInPandas stage) must
+    produce row-identical output to the chained-join dataflow path —
+    the property that licenses swapping it in at real vocab sizes."""
+    from crypto_etl_airflow_spark.operators.bpe import (
+        apply_bpe_rules,
+        bpe_merge_rules,
+        bpe_token_counts,
+    )
+
+    corpora = [
+        ["abab abab cd", "cd cd abab", "aaab ab a"],
+        ["the cat sat", "the cat", "a dog sat on the mat", "  ", "x"],
+    ]
+    for texts in corpora:
+        df = _df(spark, texts)
+        for n in (2, 4, 8):
+            rules = bpe_merge_rules(df, n_merges=n).orderBy(
+                "merge_rank"
+            ).collect()
+            a = sorted(
+                tuple(r) for r in bpe_token_counts(df, n_merges=n).collect()
+            )
+            b = sorted(tuple(r) for r in apply_bpe_rules(df, rules).collect())
+            assert a == b, (texts, n)
+
+
+def test_collected_rules_path_on_fixture(spark):
+    """Fixture-corpus equality incl. NULL-text handling, plus tuple
+    rules and empty-rules edge cases."""
+    from .conftest import SF_SMOKE
+    from crypto_etl_airflow_spark.operators.bpe import (
+        apply_bpe_rules,
+        bpe_merge_rules,
+        bpe_token_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rules = bpe_merge_rules(docs, n_merges=4).orderBy("merge_rank").collect()
+    a = sorted(tuple(r) for r in bpe_token_counts(docs, n_merges=4).collect())
+    b = sorted(tuple(r) for r in apply_bpe_rules(docs, rules).collect())
+    assert a == b
+    # plain (left, right) tuples work identically to Rows
+    tup = [(r.left_sym, r.right_sym) for r in rules]
+    c = sorted(tuple(r) for r in apply_bpe_rules(docs, tup).collect())
+    assert b == c
+    # empty rule list: every word stays fully character-split
+    base = apply_bpe_rules(docs, []).collect()
+    assert all(r.n_bpe_tokens == r.n_chars for r in base)

@@ -55,9 +55,11 @@ EXTRA_SCALE_QUERIES = (
     "dedup_fuzzy_levenshtein",
     "text_winnow_shared_pairs",
     "dedup_clusters_fuzzy",
-    "embedding_neardup_pairs_lsh",  # planes=4 recall demonstrator —
-    # no longer benched headline; its super-linear curve stays on
-    # record here as the measured contrast to the scaled config
+    # (the planes=4 recall demonstrator was deregistered in round 8 —
+    # its 20.8× @10× curve stays on record in SCALE_BENCH_r07.json —
+    # so it is no longer measured here either)
+    "dedup_substring_spans",  # token posexplode: rows × tokens/doc —
+    # the one new r8 operator whose 10× curve genuinely needs measuring
     # round-7 curation surface (plans/curation.py):
     "dedup_lines_global",  # the only one with a corpus shuffle
     "text_pii_redact",
