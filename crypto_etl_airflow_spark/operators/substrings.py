@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _reuse
+
 
 def _window_table(
     df: DataFrame, id_col: str, text_col: str, w: int
@@ -133,7 +135,13 @@ def repeated_window_spans(
     (Lee et al. §4.1 use 50 BPE tokens; w=8 whitespace tokens keeps
     the fixture corpus exercising multi-span documents).
     """
-    win = _window_table(df, id_col, text_col, w)
+    # ONE persisted window table feeds both the repeated-hash count
+    # and the candidate join — without it the scan + posexplode + the
+    # per-doc window sort run twice (the same single-scan refactor
+    # that cut the MinHash family's bench time 44% in round 7). At
+    # 100 TB the persist spills to disk per-executor; recomputation
+    # would cost a second full explode + sort of the token stream.
+    win = _reuse(_window_table(df, id_col, text_col, w))
     rep = (
         win.groupBy("h")
         .agg(F.count_distinct(id_col).alias("nd"))
@@ -173,7 +181,9 @@ def remove_repeated_spans(
     passage keep exactly one copy between them (the lower id's) —
     Lee et al.'s semantics, not C4's drop-all-copies.
     """
-    win = _window_table(df, id_col, text_col, w)
+    # same single-scan persist as repeated_window_spans: win feeds the
+    # repeated-hash count AND the occurrence ranking
+    win = _reuse(_window_table(df, id_col, text_col, w))
     rep = (
         win.groupBy("h")
         .agg(F.count_distinct(id_col).alias("nd"))

@@ -89,6 +89,7 @@ _PRIORITY = [
     "dedup_substring_removal",
     "quality_curation_metrics",
     "text_bpe_token_counts_scaled",
+    "similarity_hybrid_rrf_topk",
     # (b) latest green driver row is r5 — two full rounds stale
     "agg_approx_percentiles",
     "anomaly_zscore_events",

@@ -30,7 +30,7 @@ hash-compared value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.substrings import remove_repeated_spans, repeated_window_spans
@@ -98,6 +98,15 @@ def similarity_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is the thing you persist once and query many times.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return _bm25_agg(spark, docs).orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    ).limit(BM25_TOPK)
+
+
+def _bm25_agg(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25, n_hit_terms) for every document with ≥1 query
+    term — the un-truncated BM25 aggregate the top-k and the hybrid
+    fusion both rank."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
@@ -133,14 +142,156 @@ def similarity_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sc"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.round(F.sum("sc"), 6).alias("bm25"),
-            F.count("*").cast("int").alias("n_hit_terms"),
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("sc"), 6).alias("bm25"),
+        F.count("*").cast("int").alias("n_hit_terms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 ⊕ dense-cosine, fused by Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+HYBRID_N = 50  # depth of each input ranking
+HYBRID_TOPK = 10
+HYBRID_PROBE_ID = 0  # the dense query = embedding of doc 0
+
+# BM25 ranking CTEs shared verbatim with the top-k oracle above
+_BM25_CTE = f"""
+    tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE term != ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    q AS (SELECT unnest({_TERMS_SQL}) AS term),
+    qtf AS (SELECT tf.* FROM tf JOIN q USING (term)),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfq FROM qtf GROUP BY 1),
+    scored AS (
+        SELECT qtf.doc_id,
+               ln((s.n - d.dfq + 0.5) / (d.dfq + 0.5) + 1)
+               * (qtf.tf * ({BM25_K1} + 1))
+               / (qtf.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) AS sc
+        FROM qtf
+        JOIN dfreq d USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    bm AS (
+        SELECT doc_id, round(sum(sc), 6) AS bm25 FROM scored GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "similarity_hybrid_rrf_topk",
+    oracle=f"""
+    WITH {_BM25_CTE},
+    lex AS (
+        SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+            FROM bm
+        ) WHERE rn <= {HYBRID_N}
+    ),
+    v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    p AS (SELECT e AS pe FROM v WHERE vec_id = {HYBRID_PROBE_ID}),
+    dscored AS (
+        SELECT c.vec_id AS doc_id,
+               round(list_dot_product(pe, c.e)
+                     / (sqrt(list_dot_product(pe, pe))
+                        * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine_sim
+        FROM v c CROSS JOIN p WHERE c.vec_id != {HYBRID_PROBE_ID}
+    ),
+    dense AS (
+        SELECT doc_id, CAST(rn AS INT) AS dense_rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS rn
+            FROM dscored
+        ) WHERE rn <= {HYBRID_N}
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rank, d.dense_rank,
+               round(coalesce(1.0::DOUBLE / ({RRF_K} + l.lex_rank), 0)
+                     + coalesce(1.0::DOUBLE / ({RRF_K} + d.dense_rank), 0),
+                     6) AS rrf_score
+        FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, lex_rank, dense_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOPK}
+    """,
+    tags=("similarity", "text", "retrieval", "extension"),
+)
+def similarity_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
+    (Cormack et al. 2009): rank the corpus by BM25 for the fixed term
+    query AND by cosine to a probe embedding (doc 0's vector —
+    ``vec_id`` is the document's embedding id in the fixture), take
+    the top-{HYBRID_N} of each, and fuse with
+    ``score = Σ 1/(k + rank)`` (k=60); documents absent from one list
+    contribute nothing from it. The standard zero-tuning fusion for
+    RAG / curation retrieval stacks — it needs only ranks, so the two
+    scores' incompatible scales never matter.
+
+    100 TB shape: both input rankings end in ORDER BY + LIMIT
+    (TakeOrderedAndProject — per-partition heaps, no global sort);
+    the global ``row_number`` then runs on {HYBRID_N} rows, not the
+    corpus; the fusion join is {HYBRID_N}×{HYBRID_N} rows. Rank ties
+    break on doc_id in both engines, and ranks are computed on
+    ROUNDED scores, so the certified-equal BM25/cosine values yield
+    identical ranks."""
+    from ..operators import similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    order = (F.desc("bm25"), F.asc("doc_id"))
+    lex_top = (
+        _bm25_agg(spark, docs)
+        .select("doc_id", "bm25")
+        .orderBy(*order)
+        .limit(HYBRID_N)
+    )
+    # row_number over HYBRID_N rows (post-limit), not the corpus
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(*order))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+
+    probe = emb.filter(F.col("vec_id") == HYBRID_PROBE_ID)
+    dense = similarity.cosine_topk_bruteforce(
+        probe, emb, k=HYBRID_N
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("dense_rank"),
+    )
+
+    fused = lex.join(dense, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
         )
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(BM25_TOPK)
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        fused.select(
+            "doc_id", "lex_rank", "dense_rank", rrf.alias("rrf_score")
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(HYBRID_TOPK)
     )
 
 

@@ -194,3 +194,28 @@ def test_bm25_plan_broadcasts_and_no_python(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "PythonEval" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF output: ranks are consistent with the two input rankings,
+    docs found by only one ranking still fuse (NULL other-rank), and
+    the score is exactly sum of 1/(60+rank) contributions."""
+    from crypto_etl_airflow_spark.plans.retrieval import (
+        RRF_K,
+        similarity_hybrid_rrf_topk,
+    )
+
+    rows = similarity_hybrid_rrf_topk(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.lex_rank is not None or r.dense_rank is not None
+        expect = 0.0
+        if r.lex_rank is not None:
+            assert 1 <= r.lex_rank <= 50
+            expect += 1.0 / (RRF_K + r.lex_rank)
+        if r.dense_rank is not None:
+            assert 1 <= r.dense_rank <= 50
+            expect += 1.0 / (RRF_K + r.dense_rank)
+        assert r.rrf_score == round(expect, 6)
