@@ -60,6 +60,8 @@ EXTRA_SCALE_QUERIES = (
     # so it is no longer measured here either)
     "dedup_substring_spans",  # token posexplode: rows × tokens/doc —
     # the one new r8 operator whose 10× curve genuinely needs measuring
+    "dedup_substring_removal",  # same window table + occurrence ranking
+    "similarity_hybrid_rrf_topk",  # two top-N rankings + N×N fusion join
     # round-7 curation surface (plans/curation.py):
     "dedup_lines_global",  # the only one with a corpus shuffle
     "text_pii_redact",
