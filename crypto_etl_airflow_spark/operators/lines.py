@@ -95,3 +95,43 @@ def line_dedup_global(
         .cast("int")
         .alias("n_removed"),
     )
+
+
+def line_dedup_intradoc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove repeated lines WITHIN each document, keeping the first
+    occurrence in order (Dolma/RefinedWeb intra-document repetition
+    removal — the complement of :func:`line_dedup_global`: no corpus
+    state, so a line repeated inside one page goes, while a line
+    shared across pages is the global operator's job).
+
+    Returns ``(id_col, clean_text, n_lines, n_removed)``; line
+    identity is ``trim(lower(line))``.
+
+    Scale shape: pure array expressions in ONE projection — no
+    explode, no shuffle, no UDF; at 100 TB this runs at parquet-scan
+    speed inside WholeStageCodegen. The first-occurrence test is
+    ``array_position`` per line (O(L²) in lines-per-document), the
+    right trade for natural documents (tens to hundreds of lines);
+    a pathological million-line document would want the global
+    operator's explode + hash path with the frequency scoped per doc.
+    """
+    sep_pattern = re.escape(sep)
+    lines = F.split(F.col(text_col), sep_pattern)
+    norm = F.transform(lines, lambda x: F.trim(F.lower(x)))
+    # keep line i (0-based) iff the FIRST occurrence of its normalized
+    # form is at i (array_position is 1-based)
+    kept = F.filter(
+        lines,
+        lambda x, i: F.array_position(norm, F.trim(F.lower(x))) == i + 1,
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_removed"),
+    )

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from ..functions.pii import PII_PATTERNS, PII_TOKENS, pii_counts, redact_pii
 from ..functions.text import STOPWORDS, mean_token_length, quality_score, tokens
-from ..operators.lines import line_dedup_global
+from ..operators.lines import line_dedup_global, line_dedup_intradoc
+from ..operators.repetition import repetition_signals
 from ..sources.tables import load_table
 from .extensions import _STOPS as _EXT_STOPS
 from .extensions import _TOKS as _EXT_TOKS
@@ -270,6 +271,167 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/lines.py for the 100 TB shuffle shape)."""
     aug = _augment_lines(load_table(spark, sf_dir, "documents"))
     return line_dedup_global(aug, "doc_id", "text", max_doc_freq=10)
+
+
+# ---------------------------------------------------------------------------
+# intra-document line dedup + repetition signals
+# ---------------------------------------------------------------------------
+
+def _augment_intradoc(docs: DataFrame) -> DataFrame:
+    """Plant INTRA-document repetition: doc_id%3==0 gains a line plus
+    its normalized duplicate (case/whitespace variant — exercises the
+    trim+lower identity), %4==0 repeats its own body line verbatim,
+    %5==0 gains a unique ref line that must survive."""
+    did = F.col("doc_id")
+    text = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit("Click here to subscribe")),
+        F.when(did % 3 == 0, F.lit("  click HERE to subscribe ")),
+        F.when(did % 4 == 0, F.col("text")),
+        F.when(did % 5 == 0, F.concat(F.lit("ref "), did.cast("string"))),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+_AUG_INTRADOC_SQL = """
+    SELECT doc_id,
+           concat_ws(chr(10), text,
+               CASE WHEN doc_id % 3 = 0 THEN 'Click here to subscribe' END,
+               CASE WHEN doc_id % 3 = 0 THEN '  click HERE to subscribe ' END,
+               CASE WHEN doc_id % 4 = 0 THEN text END,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'ref ' || CAST(doc_id AS VARCHAR) END) AS text
+    FROM documents
+"""
+
+# the shared first-occurrence filter (list_position is the FIRST index
+# of the normalized form; DuckDB indexed lambdas are 1-based)
+_KEEP_FIRST = (
+    "list_filter(lines, (x, i) -> "
+    "list_position(norm, trim(lower(x))) = i)"
+)
+
+
+@register(
+    "dedup_lines_intradoc",
+    oracle=f"""
+    WITH aug AS ({_AUG_INTRADOC_SQL}),
+    feat AS (
+        SELECT doc_id,
+               string_split(text, chr(10)) AS lines,
+               list_transform(string_split(text, chr(10)),
+                              x -> trim(lower(x))) AS norm
+        FROM aug
+    )
+    SELECT doc_id,
+           array_to_string({_KEEP_FIRST}, chr(10)) AS clean_text,
+           len(lines) AS n_lines,
+           CAST(len(lines) - len({_KEEP_FIRST}) AS INT) AS n_removed
+    FROM feat
+    """,
+    tags=("dedup", "lines", "curation", "extension"),
+)
+def dedup_lines_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document line dedup (Dolma/RefinedWeb repetition removal):
+    WITHIN each document, repeated lines (trim+lower identity) keep
+    only their first occurrence; the document is reconstructed in
+    order. The planted case-variant and verbatim-body duplicates
+    vanish; unique ref lines survive — every reconstructed string is
+    hash-compared. Unlike ``dedup_lines_global`` there is no corpus
+    state: the whole operator is ONE shuffle-free array projection
+    (operators/lines.py::line_dedup_intradoc for the 100 TB shape)."""
+    aug = _augment_intradoc(load_table(spark, sf_dir, "documents"))
+    return line_dedup_intradoc(aug, "doc_id", "text")
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH aug AS ({_AUG_INTRADOC_SQL}),
+    feat AS (
+        SELECT doc_id, length(text) AS n_chars,
+               string_split(text, chr(10)) AS lines,
+               list_transform(string_split(text, chr(10)),
+                              x -> trim(lower(x))) AS norm,
+               string_split_regex(lower(text), '\\s+') AS toks
+        FROM aug
+    ),
+    line_sig AS (
+        SELECT doc_id, n_chars,
+               len(lines) AS n_lines,
+               round(1 - len(list_distinct(norm)) / len(lines), 6)
+                   AS dup_line_frac,
+               coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+                   AS total_lc,
+               coalesce(list_sum(list_transform(
+                   range(1, len(lines) + 1),
+                   i -> CASE WHEN list_position(norm, norm[i]) = i
+                             THEN length(lines[i]) ELSE 0 END)), 0)
+                   AS first_lc
+        FROM feat
+    ),
+    grams AS (
+        SELECT doc_id, n, gram FROM (
+            SELECT doc_id, 2 AS n,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> array_to_string(toks[i:i+1], ' '))) AS gram
+            FROM feat
+            UNION ALL
+            SELECT doc_id, 3 AS n,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS gram
+            FROM feat
+            UNION ALL
+            SELECT doc_id, 5 AS n,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - 4, 0) + 1),
+                       i -> array_to_string(toks[i:i+4], ' '))) AS gram
+            FROM feat
+        )
+    ),
+    counts AS (
+        SELECT doc_id, n, gram, count(*) AS cnt
+        FROM grams GROUP BY 1, 2, 3
+    ),
+    ng AS (
+        SELECT doc_id,
+               (max(CASE WHEN n = 2
+                         THEN {{'c': cnt, 'ch': cnt * length(gram)}} END)).ch
+                   AS top2_chars,
+               (max(CASE WHEN n = 3
+                         THEN {{'c': cnt, 'ch': cnt * length(gram)}} END)).ch
+                   AS top3_chars,
+               sum(CASE WHEN n = 5 AND cnt >= 2
+                        THEN cnt * length(gram) ELSE 0 END) AS dup5_chars
+        FROM counts GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+           CASE WHEN l.total_lc > 0
+                THEN round((l.total_lc - l.first_lc) / l.total_lc, 6)
+                ELSE 0.0 END AS dup_line_char_frac,
+           round(coalesce(g.top2_chars, 0) / l.n_chars, 6)
+               AS top_2gram_char_frac,
+           round(coalesce(g.top3_chars, 0) / l.n_chars, 6)
+               AS top_3gram_char_frac,
+           round(coalesce(g.dup5_chars, 0) / l.n_chars, 6)
+               AS dup_5gram_char_frac
+    FROM line_sig l LEFT JOIN ng g ON l.doc_id = g.doc_id
+    """,
+    tags=("text", "quality", "curation", "extension"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table-A1 repetition signal vector per document —
+    duplicate-line fraction and char coverage, most-frequent-2/3-gram
+    char coverage, duplicated-5-gram char coverage (definitions and
+    the count×length overlap convention in operators/repetition.py).
+    Line signals are a shuffle-free array projection; n-gram signals
+    are one explode + (doc, n, gram) count with map-side combine +
+    one per-doc conditional aggregation."""
+    aug = _augment_intradoc(load_table(spark, sf_dir, "documents"))
+    return repetition_signals(aug, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------

@@ -90,6 +90,8 @@ _PRIORITY = [
     "quality_curation_metrics",
     "text_bpe_token_counts_scaled",
     "similarity_hybrid_rrf_topk",
+    "dedup_lines_intradoc",
+    "text_repetition_signals",
     # (b) latest green driver row is r5 — two full rounds stale
     "agg_approx_percentiles",
     "anomaly_zscore_events",

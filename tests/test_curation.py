@@ -198,3 +198,65 @@ def test_sequence_packing_invariants(spark):
         touched.update(range(r.bin_start, r.bin_end + 1))
     last_bin = (total_tokens - 1) // 512
     assert touched == set(range(last_bin + 1))
+
+
+# ---------------------------------------------------------------------------
+# intra-document line dedup + repetition signals (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_intradoc_dedup_keeps_first_occurrence_in_order(spark):
+    from crypto_etl_airflow_spark.operators.lines import line_dedup_intradoc
+
+    rows = [(1, "a\nb\nA \nc\nb"), (2, "x\ny")]
+    out = {
+        r.doc_id: r
+        for r in line_dedup_intradoc(_df(spark, rows), "doc_id", "text").collect()
+    }
+    # "A " normalizes to "a" (dup of line 1), second "b" is a verbatim dup
+    assert out[1].clean_text == "a\nb\nc"
+    assert out[1].n_lines == 5 and out[1].n_removed == 2
+    assert out[2].clean_text == "x\ny"
+    assert out[2].n_lines == 2 and out[2].n_removed == 0
+
+
+def test_intradoc_dedup_is_per_document_not_global(spark):
+    """The same line in two documents survives in BOTH — no corpus
+    state (that's dedup_lines_global's job)."""
+    from crypto_etl_airflow_spark.operators.lines import line_dedup_intradoc
+
+    rows = [(1, "shared\nu1"), (2, "shared\nu2")]
+    out = {
+        r.doc_id: r.clean_text
+        for r in line_dedup_intradoc(_df(spark, rows), "doc_id", "text").collect()
+    }
+    assert out == {1: "shared\nu1", 2: "shared\nu2"}
+
+
+def test_repetition_signals_hand_computed(spark):
+    from crypto_etl_airflow_spark.operators.repetition import repetition_signals
+
+    rows = [(1, "a b a b a\nx"), (2, "Foo\nfoo \nbar")]
+    out = {
+        r.doc_id: r
+        for r in repetition_signals(_df(spark, rows), "doc_id", "text").collect()
+    }
+    r1 = out[1]  # tokens a b a b a x (newline is whitespace)
+    assert r1.n_lines == 2
+    assert r1.dup_line_frac == 0.0 and r1.dup_line_char_frac == 0.0
+    # bigrams: "a b"x2 "b a"x2 "a x"x1 -> top (2, 2*3=6); chars=11
+    assert r1.top_2gram_char_frac == round(6 / 11, 6)
+    # trigrams: "a b a"x2 -> 2*5=10
+    assert r1.top_3gram_char_frac == round(10 / 11, 6)
+    # 5-grams: both occur once -> no duplicated coverage
+    assert r1.dup_5gram_char_frac == 0.0
+
+    r2 = out[2]  # lines Foo / "foo " / bar ; norm foo, foo, bar
+    assert r2.n_lines == 3
+    assert r2.dup_line_frac == round(1 - 2 / 3, 6)
+    # line chars 3+4+3=10, first occurrences Foo(3)+bar(3)=6
+    assert r2.dup_line_char_frac == round(4 / 10, 6)
+    # bigrams "foo foo" / "foo bar" both x1 -> tie, coverage 7; chars=12
+    assert r2.top_2gram_char_frac == round(7 / 12, 6)
+    assert r2.top_3gram_char_frac == round(11 / 12, 6)
+    assert r2.dup_5gram_char_frac == 0.0

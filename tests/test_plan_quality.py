@@ -118,9 +118,13 @@ def test_semdedup_broadcasts_centroids(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
 
 
-@pytest.mark.parametrize("name", ["text_pii_redact", "text_gopher_filter"])
+@pytest.mark.parametrize(
+    "name",
+    ["text_pii_redact", "text_gopher_filter", "dedup_lines_intradoc"],
+)
 def test_curation_projections_have_no_exchange(spark, name):
-    """PII redaction and the Gopher filter are pure projections: the
+    """PII redaction, the Gopher filter, and intra-document line dedup
+    are pure projections: the
     physical plan must contain NO Exchange at all — at 100 TB these
     run at parquet-scan speed, and a stray shuffle would be a silent
     order-of-magnitude regression."""
