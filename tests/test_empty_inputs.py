@@ -35,6 +35,10 @@ RISKY = [
     "multimodal_features",     # Arrow mapInPandas over zero batches
     "customer_rfm_segments",   # ntile over empty partitions
     "funnel_view_click_purchase",  # sequential conversion ratios
+    # round-8 additions
+    "text_repetition_signals",  # left join of two per-doc aggregates
+    "similarity_hybrid_rrf_topk",  # full-outer fusion of two empty top-Ns
+    "dedup_substring_spans",    # island merge over empty window table
 ]
 
 

@@ -39,6 +39,12 @@ RISKY = [
     "sample_mixture_weights",
     "text_novelty_score",
     "dedup_cross_source_matrix",
+    # round-8 additions
+    "dedup_lines_intradoc",
+    "text_repetition_signals",
+    "similarity_hybrid_rrf_topk",
+    "dedup_substring_spans",
+    "dedup_substring_removal",
 ]
 
 
