@@ -87,14 +87,18 @@ def similarity_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 for a fixed 4-term query (k1=1.2, b=0.75,
     idf = ln((N−df+0.5)/(df+0.5)+1)).
 
-    100 TB shape: tokenization is one explode (linear); term
-    frequencies and document lengths are two groupBys over the SAME
-    exploded relation (one wide shuffle on term, one narrow on doc);
-    query terms, per-term document frequencies and the (avgdl, N)
-    scalar are all broadcast, so scoring adds no shuffle beyond the
-    tf⋈dl doc-key join; the top-k is ORDER BY + LIMIT, which Spark
-    executes as TakeOrderedAndProject (per-partition heaps — never a
-    global sort). At a real deployment the (doc_id, term, tf) postings
+    100 TB shape: tokenization is one explode (linear); the query-term
+    filter runs BEFORE the tf groupBy, so the wide (doc, term) shuffle
+    carries only matching postings — the full-vocabulary postings
+    never shuffle; document lengths are one narrow doc-keyed groupBy;
+    per-term document frequencies and the (avgdl, N) scalar are
+    broadcast, so scoring adds no shuffle beyond the tf⋈dl doc-key
+    join; the top-k is ORDER BY + LIMIT, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps — never a global
+    sort). The exploded token stream is deliberately NOT persisted
+    across its two consumers: re-reading the parquet text column is
+    cheaper at scale than materializing a token stream ~10× the
+    corpus size. At a real deployment the (doc_id, term, tf) postings
     table is the thing you persist once and query many times.
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -110,13 +114,19 @@ def _bm25_agg(spark: SparkSession, docs: DataFrame) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # the term filter comes BEFORE the tf groupBy: only query-term
+    # hits enter the wide (doc, term) shuffle — at 100 TB the
+    # difference between shuffling the full postings table and
+    # shuffling the handful of matching postings (grouping the whole
+    # vocabulary and joining the query terms after computes identical
+    # counts, just 10⁴× more of them)
+    qtf = (
+        tok.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n"))
-    q = spark.createDataFrame(
-        [(t,) for t in BM25_QUERY_TERMS], "term string"
-    )
-    qtf = tf.join(F.broadcast(q), "term")
     dfreq = qtf.groupBy("term").agg(F.count_distinct("doc_id").alias("dfq"))
     scored = (
         qtf.join(F.broadcast(dfreq), "term")
