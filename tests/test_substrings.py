@@ -194,6 +194,12 @@ def test_bm25_plan_broadcasts_and_no_python(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "PythonEval" not in plan and "BatchEvalPython" not in plan
+    # the query-term filter must sit UNDER the tf aggregation: the wide
+    # (doc, term) shuffle carries only matching postings, never the
+    # full vocabulary (r8 perf fix — this pins it against regression)
+    import re
+
+    assert re.search(r"IN \(join,merge,window,stream\)", plan), plan[:2000]
 
 
 def test_hybrid_rrf_fusion_semantics(spark):
