@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.blocklists import (
+    bad_word_count,
+    blocked_domain_count,
+    url_domains,
+)
 from ..functions.pii import PII_PATTERNS, PII_TOKENS, pii_counts, redact_pii
 from ..functions.text import STOPWORDS, mean_token_length, quality_score, tokens
 from ..operators.lines import line_dedup_global, line_dedup_intradoc
@@ -432,6 +437,95 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-doc conditional aggregation."""
     aug = _augment_intradoc(load_table(spark, sf_dir, "documents"))
     return repetition_signals(aug, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# lexical blocklist filters (C4/RefinedWeb URL + bad-word screening)
+# ---------------------------------------------------------------------------
+
+def _augment_blocklist(docs: DataFrame) -> DataFrame:
+    """Plant outbound URLs and blocklisted tokens: %3==0 links a
+    blocked spam domain (mixed case — extraction must lower-case),
+    %4==0 links a clean domain, %5==0 mentions a blocklisted word."""
+    did = F.col("doc_id")
+    text = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit("see https://Spam.Example.com/offer now")),
+        F.when(did % 4 == 0, F.lit("docs at https://docs.example.org/guide")),
+        F.when(did % 5 == 0, F.lit("buy CRAPCOIN today")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+_AUG_BLOCKLIST_SQL = """
+    SELECT doc_id,
+           concat_ws(' ', text,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'see https://Spam.Example.com/offer now' END,
+               CASE WHEN doc_id % 4 = 0
+                    THEN 'docs at https://docs.example.org/guide' END,
+               CASE WHEN doc_id % 5 = 0 THEN 'buy CRAPCOIN today' END) AS text
+    FROM documents
+"""
+
+
+@register(
+    "text_blocklist_filter",
+    oracle=f"""
+    WITH aug AS ({_AUG_BLOCKLIST_SQL}),
+    feat AS (
+        SELECT doc_id,
+               list_transform(
+                   regexp_extract_all(text,
+                       'https?://([A-Za-z0-9.-]+)', 1),
+                   d -> lower(d)) AS domains,
+               string_split_regex(lower(text), '\\s+') AS toks
+        FROM aug
+    )
+    SELECT doc_id,
+           len(domains) AS n_urls,
+           coalesce(array_to_string(domains, ','), '') AS domains_csv,
+           CAST(len(list_filter(domains,
+               d -> list_contains(['spam.example.com',
+                                   'tracker.example.net'], d))) AS INT)
+               AS n_blocked_domains,
+           CAST(len(list_filter(toks,
+               t -> list_contains(['crapcoin', 'scamtoken'], t))) AS INT)
+               AS n_bad_words,
+           len(list_filter(domains,
+               d -> list_contains(['spam.example.com',
+                                   'tracker.example.net'], d))) = 0
+           AND len(list_filter(toks,
+               t -> list_contains(['crapcoin', 'scamtoken'], t))) = 0
+               AS keep
+    FROM feat
+    """,
+    tags=("text", "quality", "curation", "extension"),
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb lexical blocklist screening: extract every
+    outbound link host (lower-cased, in appearance order), count hits
+    against a domain blocklist and blocklisted tokens against the
+    word list, and emit the conjunctive ``keep``. One shuffle-free
+    regex projection — blocklist membership compiles into the plan
+    (functions/blocklists.py documents the broadcast-anti-join form
+    for production-size lists)."""
+    aug = _augment_blocklist(load_table(spark, sf_dir, "documents"))
+    domains = url_domains(F.col("text"))
+    return aug.select(
+        "doc_id",
+        F.size(domains).alias("n_urls"),
+        F.array_join(domains, ",").alias("domains_csv"),
+        blocked_domain_count(F.col("text"))
+        .cast("int")
+        .alias("n_blocked_domains"),
+        bad_word_count(F.col("text")).cast("int").alias("n_bad_words"),
+        (
+            (blocked_domain_count(F.col("text")) == 0)
+            & (bad_word_count(F.col("text")) == 0)
+        ).alias("keep"),
+    )
 
 
 # ---------------------------------------------------------------------------

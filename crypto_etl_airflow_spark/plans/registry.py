@@ -92,6 +92,7 @@ _PRIORITY = [
     "similarity_hybrid_rrf_topk",
     "dedup_lines_intradoc",
     "text_repetition_signals",
+    "text_blocklist_filter",
     # (b) latest green driver row is r5 — two full rounds stale
     "agg_approx_percentiles",
     "anomaly_zscore_events",

@@ -260,3 +260,34 @@ def test_repetition_signals_hand_computed(spark):
     assert r2.top_2gram_char_frac == round(7 / 12, 6)
     assert r2.top_3gram_char_frac == round(11 / 12, 6)
     assert r2.dup_5gram_char_frac == 0.0
+
+
+def test_blocklist_url_and_badword_semantics(spark):
+    from crypto_etl_airflow_spark.functions.blocklists import (
+        bad_word_count,
+        blocked_domain_count,
+        url_domains,
+    )
+
+    rows = [
+        (1, "go https://Spam.Example.com/x and https://ok.org/y"),
+        (2, "crapcoin is a scam but crapcoins plural must NOT match"),
+        (3, "no links, no profanity"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in _df(spark, rows)
+        .select(
+            "doc_id",
+            url_domains(F.col("text")).alias("domains"),
+            blocked_domain_count(F.col("text")).alias("nb"),
+            bad_word_count(F.col("text")).alias("nw"),
+        )
+        .collect()
+    }
+    # extraction lower-cases and keeps appearance order
+    assert out[1].domains == ["spam.example.com", "ok.org"]
+    assert out[1].nb == 1 and out[1].nw == 0
+    # exact-token match only — the Scunthorpe guard
+    assert out[2].nw == 1 and out[2].nb == 0
+    assert out[3].domains == [] and out[3].nb == 0 and out[3].nw == 0

@@ -45,6 +45,7 @@ RISKY = [
     "similarity_hybrid_rrf_topk",
     "dedup_substring_spans",
     "dedup_substring_removal",
+    "text_blocklist_filter",
 ]
 
 

@@ -120,7 +120,12 @@ def test_semdedup_broadcasts_centroids(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["text_pii_redact", "text_gopher_filter", "dedup_lines_intradoc"],
+    [
+        "text_pii_redact",
+        "text_gopher_filter",
+        "dedup_lines_intradoc",
+        "text_blocklist_filter",
+    ],
 )
 def test_curation_projections_have_no_exchange(spark, name):
     """PII redaction, the Gopher filter, and intra-document line dedup
