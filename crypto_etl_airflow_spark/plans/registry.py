@@ -18,8 +18,11 @@ state, so any subset of queries can run in any order.
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -76,71 +79,76 @@ def _load_all() -> None:
 # Certification priority: the external driver verifies queries in the
 # order this registry emits them and caps how many it runs per round
 # (50 in every round so far), so ordering IS the rotation policy.
-# Round-8 rotation (VERDICT r7 items 1 and 3): (a) the two substring
-# queries that crashed in r7 (never certified) plus the queries new
-# in r8; then (b) every query whose latest green driver row is r5 —
-# computed from CORRECTNESS_r0{1..7}.json, 40 after deregistering the
-# planes=4 demonstrator. 4 + 40 = 44 ≤ 50, so every broken/new query
-# certifies AND every stale row refreshes, with ~6 slots left for r6
-# refreshes (registration order).
-_PRIORITY = [
-    # (a) broken-in-r7 (TypeError, never certified) or new in r8
-    "dedup_substring_spans",
-    "dedup_substring_removal",
-    "quality_curation_metrics",
-    "text_bpe_token_counts_scaled",
-    "similarity_hybrid_rrf_topk",
-    "dedup_lines_intradoc",
-    "text_repetition_signals",
-    "text_blocklist_filter",
-    # (b) latest green driver row is r5 — two full rounds stale
-    "agg_approx_percentiles",
-    "anomaly_zscore_events",
-    "customer_rfm_segments",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_decontaminate",
-    "dedup_exact_fingerprint",
-    "dedup_keep_best",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_centroids_by_label",
-    "embedding_neardup_pairs",
-    "join_right_segment_orders",
-    "multimodal_audio_windows",
-    "multimodal_binary_stats",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_ppm_features",
-    "multimodal_wav_features",
-    "q13_customer_distribution",
-    "q16_supplier_cnt_by_part",
-    "q17_small_quantity_revenue",
-    "q20_majority_suppliers",
-    "q21_sole_late_supplier",
-    "q22_dormant_rich_customers",
-    "quality_psi_value_drift",
-    "sample_stratified_by_lang",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "similarity_topk_lsh",
-    "split_train_val_test",
-    "streaming_enrich_segment",
-    "text_chunk_windows",
-    "text_language_id",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "vocab_top_terms",
-]
+# Through round 8 this was a hand-maintained list, which VERDICT r7
+# item 3 correctly called structurally unable to keep a growing
+# surface fresh. It is now COMPUTED from the driver's own
+# CORRECTNESS_r*.json artifacts at the repo root:
+#
+#   1. queries with no driver row yet, or whose LATEST row is red
+#      (new or broken — must certify first);
+#   2. everything else by ascending latest-green round (stalest
+#      first), registration order as the tiebreak.
+#
+# Each round's certifications age the freshest queries to the back
+# automatically, so with a 50-slot cap and N queries the maximum
+# staleness is bounded at ceil(N/50) rounds with zero upkeep.
+# `_PIN_FIRST` remains as a manual escape hatch (jump the queue
+# without waiting for a red row to land).
+_PIN_FIRST: list[str] = []
+
+
+def _latest_driver_rows(root: Path) -> dict[str, tuple[int, bool]]:
+    """query name → (round, green) of its most recent driver row.
+    Green = hash match, or rows-only match for queries the driver
+    checks without an oracle."""
+    out: dict[str, tuple[int, bool]] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)$", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("hash_match") is True or (
+                row.get("hash_match") is None
+                and row.get("rows_match") is True
+            )
+            prev = out.get(name)
+            if prev is None or rnd >= prev[0]:
+                out[name] = (rnd, green)
+    return out
+
+
+def certification_order(
+    names: list[str], root: Path | None = None
+) -> list[str]:
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    latest = _latest_driver_rows(Path(root))
+    reg_rank = {n: i for i, n in enumerate(names)}
+    pin = {n: i for i, n in enumerate(_PIN_FIRST)}
+
+    def key(n: str) -> tuple[int, int, int]:
+        if n in pin:
+            return (0, pin[n], 0)
+        row = latest.get(n)
+        if row is None or not row[1]:  # never certified / latest red
+            return (1, 0, reg_rank[n])
+        return (2, row[0], reg_rank[n])  # stalest green first
+
+    return sorted(names, key=key)
 
 
 def all_specs() -> dict[str, QuerySpec]:
     _load_all()
-    rank = {name: i for i, name in enumerate(_PRIORITY)}
-    ordered = sorted(_REGISTRY, key=lambda n: rank.get(n, len(rank)))
+    ordered = certification_order(list(_REGISTRY))
     return {name: _REGISTRY[name] for name in ordered}
 
 
