@@ -144,9 +144,14 @@ def repetition_signals(
     )
 
     def frac(col: str) -> F.Column:
-        return F.round(
-            F.coalesce(F.col(col), F.lit(0)) / F.col("n_chars"), 6
-        )
+        # n_chars = 0 (empty document) would divide by zero under
+        # ANSI mode — hypothesis-found edge, guarded in the oracle too
+        return F.when(
+            F.col("n_chars") > 0,
+            F.round(
+                F.coalesce(F.col(col), F.lit(0)) / F.col("n_chars"), 6
+            ),
+        ).otherwise(F.lit(0.0))
 
     return line_sig.join(ng, id_col, "left").select(
         id_col,

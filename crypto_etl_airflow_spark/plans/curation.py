@@ -417,12 +417,15 @@ def dedup_lines_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN l.total_lc > 0
                 THEN round((l.total_lc - l.first_lc) / l.total_lc, 6)
                 ELSE 0.0 END AS dup_line_char_frac,
-           round(coalesce(g.top2_chars, 0) / l.n_chars, 6)
-               AS top_2gram_char_frac,
-           round(coalesce(g.top3_chars, 0) / l.n_chars, 6)
-               AS top_3gram_char_frac,
-           round(coalesce(g.dup5_chars, 0) / l.n_chars, 6)
-               AS dup_5gram_char_frac
+           CASE WHEN l.n_chars > 0
+                THEN round(coalesce(g.top2_chars, 0) / l.n_chars, 6)
+                ELSE 0.0 END AS top_2gram_char_frac,
+           CASE WHEN l.n_chars > 0
+                THEN round(coalesce(g.top3_chars, 0) / l.n_chars, 6)
+                ELSE 0.0 END AS top_3gram_char_frac,
+           CASE WHEN l.n_chars > 0
+                THEN round(coalesce(g.dup5_chars, 0) / l.n_chars, 6)
+                ELSE 0.0 END AS dup_5gram_char_frac
     FROM line_sig l LEFT JOIN ng g ON l.doc_id = g.doc_id
     """,
     tags=("text", "quality", "curation", "extension"),

@@ -384,3 +384,74 @@ def test_bpe_matches_python_reference(spark, docs):
         for r in bpe_merge_rules(df, n_merges=3).orderBy("merge_rank").collect()
     ]
     assert got == expected, (docs, got, expected)
+
+
+# lines of letters+spaces only: F.trim trims ASCII spaces while
+# Python's strip() also trims tabs/newlines — keeping the alphabet to
+# letters and spaces makes the two models agree exactly
+_line = st.text(alphabet="abAB ", max_size=8)
+_docs_of_lines = st.lists(
+    st.lists(_line, min_size=1, max_size=6), min_size=1, max_size=4
+)
+
+
+@settings(**_SETTINGS)
+@given(docs=_docs_of_lines)
+def test_intradoc_dedup_matches_python_model_and_is_idempotent(
+    spark, docs
+):
+    from crypto_etl_airflow_spark.operators.lines import line_dedup_intradoc
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in line_dedup_intradoc(df, "doc_id", "text").collect()
+    }
+
+    def model(text):
+        seen, kept = set(), []
+        for ln in text.split("\n"):
+            k = ln.strip(" ").lower()
+            if k not in seen:
+                seen.add(k)
+                kept.append(ln)
+        return "\n".join(kept)
+
+    for i, lines in enumerate(docs):
+        text = "\n".join(lines)
+        assert out[i].clean_text == model(text)
+        assert out[i].n_lines == len(lines)
+        assert out[i].n_removed == len(lines) - len(
+            model(text).split("\n")
+        )
+
+    # idempotence: a deduped document has nothing left to remove
+    clean = spark.createDataFrame(
+        [(i, out[i].clean_text) for i in out], "doc_id long, text string"
+    )
+    again = line_dedup_intradoc(clean, "doc_id", "text").collect()
+    assert all(r.n_removed == 0 for r in again)
+    assert {r.doc_id: r.clean_text for r in again} == {
+        i: out[i].clean_text for i in out
+    }
+
+
+@settings(**_SETTINGS)
+@given(docs=_docs_of_lines)
+def test_repetition_signal_bounds(spark, docs):
+    from crypto_etl_airflow_spark.operators.repetition import (
+        repetition_signals,
+    )
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in repetition_signals(df, "doc_id", "text").collect():
+        assert 0.0 <= r.dup_line_frac <= 1.0
+        assert 0.0 <= r.dup_line_char_frac <= 1.0
+        # top-ngram coverage is bounded by total chars; the dup-5gram
+        # form may exceed 1 only through overlap double-counting,
+        # which w=5 grams over <=48-char docs cannot reach here
+        assert r.top_2gram_char_frac >= 0.0
+        assert r.top_3gram_char_frac >= 0.0
+        assert r.dup_5gram_char_frac >= 0.0

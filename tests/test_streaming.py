@@ -335,3 +335,45 @@ def test_streaming_gate_halts_on_pii_poisoned_batch(spark, tmp_path):
     )
     committed = spark.read.parquet(sink)
     assert [r.doc_id for r in committed.collect()] == [1]  # poison absent
+
+
+def test_stateless_curation_projection_runs_on_stream(spark, tmp_path):
+    """Intra-document line dedup is a pure projection, so the SAME
+    operator body runs unchanged on a stream (per-microbatch, no
+    state) — the shape a 100 TB ingest pipeline uses to clean
+    documents on the way in. Streaming output must equal the batch
+    run over the same files."""
+    from crypto_etl_airflow_spark.operators.lines import line_dedup_intradoc
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    rows = [(1, "a\nb\na"), (2, "x\nX \ny"), (3, "solo")]
+    doc_schema = "doc_id long, text string"
+    spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(doc_schema).parquet(str(src))
+    )
+    q = (
+        line_dedup_intradoc(stream, "doc_id", "text")
+        .writeStream.format("memory")
+        .queryName("intradoc_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_intradoc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM intradoc_stream").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            line_dedup_intradoc(
+                spark.createDataFrame(rows, doc_schema), "doc_id", "text"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 3
