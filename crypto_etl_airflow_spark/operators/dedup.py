@@ -282,6 +282,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment: |A∩B| / |A| ≥ threshold flags
+    document A as (near-)contained in B — the quoted-in-full /
+    excerpt case symmetric Jaccard systematically misses (a 50-token
+    quote inside a 5000-token page has Jaccard ≈ 0.01 but containment
+    ≈ 1.0). Used by CCNet-style pipelines to drop pages that are
+    substrings of retained pages.
+
+    Returns ``(contained_id, container_id, containment)`` — one row
+    per DIRECTION that clears the threshold (A⊂B and B⊂A are
+    independent findings; exact duplicates produce both).
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — hashed
+    shingle keys, optional hot-shingle cap broadcast-anti-joined
+    before the self-join, one (id_a, id_b) count — plus one
+    explode-by-2 to emit the two directions from the single unordered
+    pair table (never a second self-join).
+    """
+    sh = _reuse(_hashed_shingles(df, id_col, text_col, n))
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    both = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("contained_id"),
+                        F.col("id_b").alias("container_id"),
+                        F.round(F.col("n_common") / F.col("n_a"), 6).alias(
+                            "containment"
+                        ),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("contained_id"),
+                        F.col("id_a").alias("container_id"),
+                        F.round(F.col("n_common") / F.col("n_b"), 6).alias(
+                            "containment"
+                        ),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    return both.filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -231,6 +231,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000,
+               array_to_string(list_slice(
+                   string_split_regex(text, '\\s+'), 1, 30), ' ')
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM corpus
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    freq AS (SELECT sh, count(*) AS d FROM shingles GROUP BY sh),
+    kept AS (
+        SELECT s.doc_id, s.sh FROM shingles s
+        JOIN freq USING (sh) WHERE freq.d <= {_NGRAM_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT id_a, id_b, c, na.n AS n_a, nb.n AS n_b
+        FROM common
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+    )
+    SELECT contained_id, container_id, containment FROM (
+        SELECT id_a AS contained_id, id_b AS container_id,
+               round(c / n_a, 6) AS containment FROM scored
+        UNION ALL
+        SELECT id_b, id_a, round(c / n_b, 6) FROM scored
+    ) WHERE containment >= 0.9
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: |A∩B|/|A| ≥ 0.9 over word-3-gram
+    shingle sets flags excerpt/quoted-in-full pages that symmetric
+    Jaccard misses. The fixture has no containment pairs, so every
+    10th document is re-injected as its own first-30-token excerpt
+    (id + 2000000) — each excerpt must be flagged as contained in its
+    source (operators/dedup.py::containment_pairs for the 100 TB
+    shape: same hashed-shingle self-join + hot-cap as ngram Jaccard,
+    both directions emitted from ONE unordered pair table)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), r"\s+"), 1, 30), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionAll(excerpts)
+    return dedup.containment_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.9,
+        max_doc_freq=_NGRAM_DF_CAP,
+    )
+
+
 def _minhash_oracle(
     n: int = 3, threshold: float = 0.8, num_hashes: int = 32, bands: int = 8
 ) -> str:

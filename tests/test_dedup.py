@@ -177,3 +177,27 @@ def test_shingle_reuse_point_keeps_lineage(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     assert "ExistingRDD" not in plan  # the old localCheckpoint shape
+
+
+def test_containment_flags_excerpt_not_symmetric(spark):
+    """A 4-token excerpt of a 12-token doc: excerpt⊂doc has
+    containment 1.0 (flagged); doc⊂excerpt is far below threshold
+    (absent). An exact duplicate pair is flagged in BOTH directions."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    rows = [
+        (1, base),
+        (2, "w1 w2 w3 w4"),  # excerpt: 2 shingles, both in doc 1
+        (3, "z1 z2 z3 z4 z5"),
+        (4, "z1 z2 z3 z4 z5"),  # exact dup of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.contained_id, r.container_id): r.containment
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9
+        ).collect()
+    }
+    assert got[(2, 1)] == 1.0
+    assert (1, 2) not in got  # 2/10 shingles — not contained
+    assert got[(3, 4)] == 1.0 and got[(4, 3)] == 1.0
+    assert set(got) == {(2, 1), (3, 4), (4, 3)}

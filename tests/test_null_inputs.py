@@ -46,6 +46,7 @@ RISKY = [
     "dedup_substring_spans",
     "dedup_substring_removal",
     "text_blocklist_filter",
+    "dedup_containment",
 ]
 
 
