@@ -62,6 +62,8 @@ EXTRA_SCALE_QUERIES = (
     # the one new r8 operator whose 10× curve genuinely needs measuring
     "dedup_substring_removal",  # same window table + occurrence ranking
     "similarity_hybrid_rrf_topk",  # two top-N rankings + N×N fusion join
+    "text_repetition_signals",  # explode + (doc, n, gram) count
+    "dedup_containment",  # shingle self-join (hot-capped) + 2-dir explode
     # round-7 curation surface (plans/curation.py):
     "dedup_lines_global",  # the only one with a corpus shuffle
     "text_pii_redact",
