@@ -88,3 +88,33 @@ def read_jsonl_quarantined(
         .json(path)
     )
     return _split(raw)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 100_000,
+    order_by: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """Export as JSON-lines shards — the delivery format training
+    loaders consume (one document per line, shards bounded so a
+    loader can shuffle at shard granularity).
+
+    Spark's native json sink serializes JVM-side (no Python in the
+    row path); ``maxRecordsPerFile`` splits any oversized partition
+    into additional files, so shard size is bounded regardless of
+    upstream partitioning while the partition count still carries
+    write parallelism. ``order_by`` sorts WITHIN partitions only —
+    deterministic shard contents without a global sort (a total order
+    at 100 TB is a full range-shuffle; if a global curriculum order
+    is needed, Z-order/`training_shards_manifest` upstream decide
+    placement instead). Compression note from the module docstring
+    applies doubly here: gzip shards are non-splittable — prefer
+    zstd (splittable-enough via shard granularity) or none.
+    """
+    w = df.sortWithinPartitions(*order_by) if order_by else df
+    writer = w.write.option("maxRecordsPerFile", max_records_per_file)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.mode("overwrite").json(path)
