@@ -102,6 +102,7 @@ def line_dedup_intradoc(
     id_col: str,
     text_col: str,
     sep: str = "\n",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Remove repeated lines WITHIN each document, keeping the first
     occurrence in order (Dolma/RefinedWeb intra-document repetition
@@ -109,8 +110,10 @@ def line_dedup_intradoc(
     state, so a line repeated inside one page goes, while a line
     shared across pages is the global operator's job).
 
-    Returns ``(id_col, clean_text, n_lines, n_removed)``; line
-    identity is ``trim(lower(line))``.
+    Returns ``(id_col, clean_text, n_lines, n_removed, *keep_cols)``;
+    line identity is ``trim(lower(line))``. ``keep_cols`` pass
+    through untouched (the operator is a projection, so carrying
+    them costs nothing — no join-back needed downstream).
 
     Scale shape: pure array expressions in ONE projection — no
     explode, no shuffle, no UDF; at 100 TB this runs at parquet-scan
@@ -134,4 +137,5 @@ def line_dedup_intradoc(
         F.array_join(kept, sep).alias("clean_text"),
         F.size(lines).alias("n_lines"),
         (F.size(lines) - F.size(kept)).cast("int").alias("n_removed"),
+        *[F.col(c) for c in keep_cols],
     )

@@ -29,6 +29,7 @@ from ..functions.blocklists import (
 )
 from ..functions.pii import PII_PATTERNS, PII_TOKENS, pii_counts, redact_pii
 from ..functions.text import STOPWORDS, mean_token_length, quality_score, tokens
+from ..operators import dedup as dedup_ops
 from ..operators.lines import line_dedup_global, line_dedup_intradoc
 from ..operators.repetition import repetition_signals
 from ..sources.tables import load_table
@@ -296,7 +297,11 @@ def _augment_intradoc(docs: DataFrame) -> DataFrame:
         F.when(did % 4 == 0, F.col("text")),
         F.when(did % 5 == 0, F.concat(F.lit("ref "), did.cast("string"))),
     )
-    return docs.select("doc_id", text.alias("text"))
+    return docs.select(
+        "doc_id",
+        text.alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
 
 
 _AUG_INTRADOC_SQL = """
@@ -440,6 +445,108 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-doc conditional aggregation."""
     aug = _augment_intradoc(load_table(spark, sf_dir, "documents"))
     return repetition_signals(aug, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# composed curation pipeline (operators chained end-to-end)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_pipeline_summary",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               concat_ws(chr(10), text,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'Click here to subscribe' END,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '  click HERE to subscribe ' END,
+                   CASE WHEN doc_id % 4 = 0 THEN text END,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'ref ' || CAST(doc_id AS VARCHAR) END) AS text,
+               lang
+        FROM documents
+    ),
+    corpus AS (
+        SELECT * FROM aug
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang FROM aug WHERE doc_id % 10 = 0
+    ),
+    feat AS (
+        SELECT doc_id, lang,
+               string_split(text, chr(10)) AS lines,
+               list_transform(string_split(text, chr(10)),
+                              x -> trim(lower(x))) AS norm
+        FROM corpus
+    ),
+    clean AS (
+        SELECT doc_id, lang,
+               array_to_string({_KEEP_FIRST}, chr(10)) AS clean_text
+        FROM feat
+    ),
+    fp AS (
+        SELECT doc_id, lang, clean_text,
+               md5(trim(regexp_replace(lower(clean_text), '\\s+', ' ',
+                                       'g'))) AS f
+        FROM clean
+    ),
+    flags AS (
+        SELECT doc_id, lang, clean_text,
+               doc_id != min(doc_id) OVER (PARTITION BY f) AS is_duplicate
+        FROM fp
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN NOT is_duplicate THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(sum(CASE WHEN NOT is_duplicate
+                    THEN len(string_split_regex(lower(clean_text), '\\s+'))
+                    ELSE 0 END) AS BIGINT) AS n_tokens_kept
+    FROM flags GROUP BY lang ORDER BY lang
+    """,
+    tags=("dedup", "curation", "pipeline", "extension"),
+)
+def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three certified operators CHAINED end-to-end — the proof the
+    curation surface composes as a pipeline, not just as isolated
+    queries: intra-document line dedup (projection, carries ``lang``
+    through via ``keep_cols``) → exact-duplicate detection over the
+    CLEANED text (the intradoc stage makes the planted byte-identical
+    copies converge to the same fingerprint) → per-language corpus
+    summary (docs in, canonical docs kept, whitespace tokens kept).
+    One window shuffle + one doc-keyed join + one final aggregation
+    beyond the scan; the oracle recomputes the whole chain."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    aug = _augment_intradoc(docs)
+    dups = aug.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    corpus = aug.unionByName(dups)
+    clean = line_dedup_intradoc(
+        corpus, "doc_id", "text", keep_cols=("lang",)
+    )
+    flags = dedup_ops.exact_duplicates(clean, "doc_id", "clean_text").select(
+        "doc_id", "is_duplicate"
+    )
+    joined = clean.join(flags, "doc_id")
+    toks = F.size(tokens(F.col("clean_text")))
+    kept = ~F.col("is_duplicate")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_kept"),
+            F.sum(F.when(kept, toks).otherwise(0))
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+        .orderBy("lang")
+    )
 
 
 # ---------------------------------------------------------------------------
