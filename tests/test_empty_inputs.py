@@ -39,6 +39,7 @@ RISKY = [
     "text_repetition_signals",  # left join of two per-doc aggregates
     "similarity_hybrid_rrf_topk",  # full-outer fusion of two empty top-Ns
     "dedup_substring_spans",    # island merge over empty window table
+    "curation_pipeline_summary",  # chained ops + window over empty corpus
 ]
 
 

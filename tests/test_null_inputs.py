@@ -47,6 +47,7 @@ RISKY = [
     "dedup_substring_removal",
     "text_blocklist_filter",
     "dedup_containment",
+    "curation_pipeline_summary",
 ]
 
 

@@ -64,6 +64,7 @@ EXTRA_SCALE_QUERIES = (
     "similarity_hybrid_rrf_topk",  # two top-N rankings + N×N fusion join
     "text_repetition_signals",  # explode + (doc, n, gram) count
     "dedup_containment",  # shingle self-join (hot-capped) + 2-dir explode
+    "curation_pipeline_summary",  # chained dedup ops + per-lang rollup
     # round-7 curation surface (plans/curation.py):
     "dedup_lines_global",  # the only one with a corpus shuffle
     "text_pii_redact",
