@@ -322,6 +322,56 @@ def low_quality_percent(
     )
 
 
+def blocked_content_percent(
+    text_col: str = "text",
+    warn_when_gt: float | None = None,
+    fail_when_gt: float | None = None,
+) -> Check:
+    """Percent of non-null rows containing a blocklisted link domain
+    or a blocklisted token (functions/blocklists.py) — the C4-style
+    lexical gate a curation pipeline runs AFTER URL/word filtering,
+    where the expected value is 0. Pure regex + array expressions
+    inside the scan's single aggregation job; per-row flag semantics
+    are oracle-certified by `text_blocklist_filter`."""
+    from ..functions.blocklists import bad_word_count, blocked_domain_count
+
+    t = F.col(text_col)
+    hit = (blocked_domain_count(t) > 0) | (bad_word_count(t) > 0)
+    return _percent_check(
+        f"blocked_content_percent({text_col})",
+        f"blk_{text_col}",
+        F.sum(hit.cast("int")),  # NULL text → NULL flag → sum skips
+        F.count(t),
+        warn_when_gt,
+        fail_when_gt,
+    )
+
+
+def high_repetition_percent(
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.3,
+    warn_when_gt: float | None = None,
+    fail_when_gt: float | None = None,
+) -> Check:
+    """Percent of non-null rows whose duplicate-line fraction exceeds
+    ``max_dup_line_frac`` (the Gopher repetition threshold family —
+    per-row signal semantics oracle-certified by
+    `text_repetition_signals`). Shuffle-free array expressions in the
+    single scan job."""
+    lines = F.split(F.col(text_col), "\n")
+    norm = F.transform(lines, lambda x: F.trim(F.lower(x)))
+    frac = 1 - F.size(F.array_distinct(norm)) / F.size(lines)
+    tag = str(max_dup_line_frac).replace(".", "_")
+    return _percent_check(
+        f"high_repetition_percent({text_col}, >{max_dup_line_frac})",
+        f"rep_{text_col}_{tag}",
+        F.sum((frac > max_dup_line_frac).cast("int")),
+        F.count(F.col(text_col)),
+        warn_when_gt,
+        fail_when_gt,
+    )
+
+
 def run_scan(df: DataFrame, checks: list[Check]) -> ScanResult:
     """Compile all measures into one agg job, evaluate all thresholds.
 

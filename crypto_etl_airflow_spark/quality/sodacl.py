@@ -25,7 +25,9 @@ import re
 
 from .checks import (
     Check,
+    blocked_content_percent,
     duplicate_percent,
+    high_repetition_percent,
     freshness,
     low_quality_percent,
     max_value,
@@ -41,7 +43,8 @@ _DUR_UNITS = {"s": "seconds", "m": "minutes", "h": "hours", "d": "days"}
 _HEADER = re.compile(r"^checks for\s+(\w+)\s*:\s*$")
 _BLOCK = re.compile(
     r"^-\s*(min|max|freshness|duplicate_percent|pii_percent"
-    r"|low_quality_percent)\((\w+)\)\s*:\s*$"
+    r"|low_quality_percent|blocked_content_percent"
+    r"|high_repetition_percent)\((\w+)\)\s*:\s*$"
 )
 _THRESH = re.compile(r"^(warn|fail)\s*:\s*when\s*([<>])\s*(\S+)\s*$")
 _ROWCOUNT = re.compile(r"^-\s*row_count\s*>\s*(\d+)\s*$")
@@ -79,7 +82,13 @@ def _build(kind: str, column: str, thresholds: dict[str, tuple[str, str]]) -> Ch
                 raise ValueError(f"freshness({column}): only '>' supported")
             kw[{"warn": "warn_after", "fail": "fail_after"}[sev]] = _duration(val)
         return freshness(column, **kw)
-    if kind in ("duplicate_percent", "pii_percent", "low_quality_percent"):
+    if kind in (
+        "duplicate_percent",
+        "pii_percent",
+        "low_quality_percent",
+        "blocked_content_percent",
+        "high_repetition_percent",
+    ):
         # corpus-health gates (Soda's duplicate_percent vocabulary,
         # extended to the curation metrics): percent thresholds 0-100
         kw = {}
@@ -91,6 +100,8 @@ def _build(kind: str, column: str, thresholds: dict[str, tuple[str, str]]) -> Ch
             "duplicate_percent": duplicate_percent,
             "pii_percent": pii_percent,
             "low_quality_percent": low_quality_percent,
+            "blocked_content_percent": blocked_content_percent,
+            "high_repetition_percent": high_repetition_percent,
         }[kind]
         return builder(column, **kw)
     raise ValueError(f"unknown check kind: {kind}")

@@ -240,3 +240,60 @@ def test_duplicate_percent_ignores_null_text(spark):
     )
     res = run_scan(df, [duplicate_percent("text", fail_when_gt=0.0)])
     assert not res.failed, res.log_text()  # NULL is missing, not duplicate
+
+
+def test_blocked_content_percent_gate(spark):
+    from crypto_etl_airflow_spark.quality.checks import (
+        blocked_content_percent,
+        run_scan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "see https://spam.example.com/x"), (2, "buy crapcoin now"),
+         (3, "clean https://ok.org/page"), (4, "also clean")],
+        "doc_id long, text string",
+    )
+    res = run_scan(df, [blocked_content_percent("text", fail_when_gt=25.0)])
+    assert res.failed and "50.000%" in res.results[0].detail
+    clean = df.filter("doc_id >= 3")
+    assert not run_scan(
+        clean, [blocked_content_percent("text", fail_when_gt=0.0)]
+    ).failed
+
+
+def test_high_repetition_percent_gate(spark):
+    from crypto_etl_airflow_spark.quality.checks import (
+        high_repetition_percent,
+        run_scan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same\nsame\nsame\nother"),  # dup_line_frac = 0.5
+         (2, "a\nb\nc"), (3, "x\ny"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    res = run_scan(
+        df, [high_repetition_percent("text", 0.3, fail_when_gt=20.0)]
+    )
+    assert res.failed and "25.000%" in res.results[0].detail
+    assert not run_scan(
+        df, [high_repetition_percent("text", 0.6, fail_when_gt=20.0)]
+    ).failed
+
+
+def test_sodacl_parses_new_curation_gates(spark):
+    from crypto_etl_airflow_spark.quality.checks import run_scan
+    from crypto_etl_airflow_spark.quality.sodacl import parse_checks
+
+    doc = """checks for documents:
+  - blocked_content_percent(text):
+      fail: when > 0%
+  - high_repetition_percent(text):
+      warn: when > 10%
+"""
+    table, checks = parse_checks(doc)
+    assert table == "documents" and len(checks) == 2
+    df = spark.createDataFrame(
+        [(1, "clean a\nclean b")], "doc_id long, text string"
+    )
+    assert not run_scan(df, checks).failed
