@@ -485,3 +485,133 @@ def quality_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("ts") < "2024-01-16")
     b = ev.filter(F.col("ts") >= "2024-01-16")
     return distribution_psi(a, b, "value", edges=[10.0, 25.0, 50.0, 100.0, 200.0])
+
+
+@register(
+    "analytics_retention_cohorts",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    coh AS (
+        SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+    ),
+    m AS (
+        SELECT u.user_id, c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, u.week) / 7 AS INT)
+                   AS week_offset
+        FROM uw u JOIN coh c USING (user_id)
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM coh GROUP BY 1
+    )
+    SELECT CAST(m.cohort_week AS DATE) AS cohort_week, week_offset,
+           CAST(count(DISTINCT m.user_id) AS BIGINT) AS n_active,
+           s.cohort_size,
+           round(count(DISTINCT m.user_id) / s.cohort_size, 6)
+               AS retention_pct
+    FROM m JOIN sizes s USING (cohort_week)
+    GROUP BY m.cohort_week, week_offset, s.cohort_size
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("analytics", "timeseries", "window", "extension"),
+)
+def analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    then the fraction of each cohort active N weeks later — the
+    standard product-analytics retention triangle. Two user-keyed
+    aggregations and one cohort-keyed rollup; everything shuffles on
+    user_id (the distinct and the first-seen agg share the
+    partitioning) and then on the tiny (cohort, offset) key — nothing
+    is per-user on the driver. Week boundaries are ISO Mondays
+    (``date_trunc('week')``) in both engines, so offsets are exact
+    multiples of 7 days."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    uw = ev.select("user_id", wk.alias("week")).distinct()
+    coh = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    m = uw.join(coh, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+    )
+    sizes = coh.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return (
+        m.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "anomaly_mad_events",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, round(d.value, 6) AS value,
+           round(0.6745 * (d.value - d.med) / m2.mad, 4) AS mad_zscore
+    FROM dev d JOIN mad m2 USING (event_type)
+    WHERE abs(0.6745 * (d.value - d.med) / m2.mad) > 3.5
+    """,
+    tags=("agg", "stats", "quality", "timeseries", "extension"),
+)
+def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers via the modified z-score (Iglewicz–Hoaglin:
+    0.6745·(x−median)/MAD > 3.5) — the companion to
+    ``anomaly_zscore_events`` that heavy-tailed metrics need: mean
+    and stddev are themselves dragged by the outliers they're meant
+    to flag, median/MAD are not. Two grouped exact percentiles
+    (per-type partitions, bounded by type cardinality — at true
+    100 TB per-type volume, swap in ``approx_percentile`` like the
+    quantile gate documents) with the tiny per-type stats broadcast
+    back; both engines interpolate percentiles identically."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rz) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(rz, 4).alias("mad_zscore"),
+        )
+    )
