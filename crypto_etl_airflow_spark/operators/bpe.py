@@ -283,7 +283,7 @@ def apply_bpe_rules(
             for did, text in zip(pdf[id_name], pdf[text_name]):
                 if not isinstance(text, str):
                     continue  # NULL text: no words, row dropped
-                words = [w for w in ws.split(text.lower()) if w]
+                words = [w for w in ws.split(text) if w]
                 if not words:
                     continue
                 ids.append(did)
@@ -299,7 +299,13 @@ def apply_bpe_rules(
                 }
             )
 
-    counted = df.select(id_col, text_col).mapInPandas(
+    # lowercase JVM-SIDE (ADVICE r8): Python str.lower() and Spark's
+    # lower() can disagree on some non-ASCII code points (Unicode
+    # version / special-casing differences), which would break the
+    # claimed row-identical equivalence with the dataflow twin on
+    # non-ASCII corpora. Using F.lower here makes both paths share the
+    # exact same casing implementation.
+    counted = df.select(id_col, F.lower(F.col(text_col)).alias(text_col)).mapInPandas(
         _tokenize,
         schema=f"{id_col} long, n_words long, n_chars long, "
         "n_bpe_tokens long",

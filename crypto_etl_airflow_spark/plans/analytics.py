@@ -573,13 +573,22 @@ def analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mad AS (
         SELECT event_type,
-               percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad,
+               avg(adev) AS meanad
         FROM dev GROUP BY 1
+    ),
+    z AS (
+        SELECT d.event_id, d.event_type, d.value,
+               CASE WHEN m2.mad != 0
+                    THEN 0.6745 * (d.value - d.med) / m2.mad
+                    WHEN m2.meanad != 0
+                    THEN (d.value - d.med) / (1.253314 * m2.meanad)
+               END AS mz
+        FROM dev d JOIN mad m2 USING (event_type)
     )
-    SELECT d.event_id, d.event_type, round(d.value, 6) AS value,
-           round(0.6745 * (d.value - d.med) / m2.mad, 4) AS mad_zscore
-    FROM dev d JOIN mad m2 USING (event_type)
-    WHERE abs(0.6745 * (d.value - d.med) / m2.mad) > 3.5
+    SELECT event_id, event_type, round(value, 6) AS value,
+           round(mz, 4) AS mad_zscore
+    FROM z WHERE abs(mz) > 3.5
     """,
     tags=("agg", "stats", "quality", "timeseries", "extension"),
 )
@@ -592,7 +601,14 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-type partitions, bounded by type cardinality — at true
     100 TB per-type volume, swap in ``approx_percentile`` like the
     quantile gate documents) with the tiny per-type stats broadcast
-    back; both engines interpolate percentiles identically."""
+    back; both engines interpolate percentiles identically.
+
+    MAD degeneracy (ADVICE r8): when ≥50% of a group's values equal
+    the median, MAD is 0 and the modified z-score divides by zero —
+    outliers in such groups would go silently unreported. Per
+    Iglewicz–Hoaglin the fallback scale is the MEAN absolute
+    deviation: (x − median)/(1.253314·meanAD). If meanAD is also 0
+    the group is constant and has no outliers (score NULL, filtered)."""
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
         F.percentile(F.col("value"), F.lit(0.5)).alias("med")
@@ -602,9 +618,18 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
     mad = dev.groupBy("event_type").agg(
-        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad"),
+        F.avg("adev").alias("meanad"),
     )
-    rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    rz = (
+        F.when(
+            F.col("mad") != 0,
+            F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"),
+        ).when(
+            F.col("meanad") != 0,
+            (F.col("value") - F.col("med")) / (F.lit(1.253314) * F.col("meanad")),
+        )
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.abs(rz) > 3.5)

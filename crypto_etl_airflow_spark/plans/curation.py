@@ -1617,15 +1617,18 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AFTER the PII arms so the duplicate copies stay byte-identical.
 _DUP_PAGE = "BUY NOW!!! $$$ CLICK HERE limited offer!!!"
 
+# Threshold inputs stay UNROUNDED (ADVICE r8): Spark's quality_score
+# compares the raw ratios, so rounding here could flip a CASE branch
+# for a value within 5e-7 of a boundary and certify red as a flake.
+# Only the final composite quality is rounded, identically to Spark.
 _QUALITY_SQL = f"""
     length(text) AS n,
-    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]',
-                                                '', 'g')))
-          / length(text), 6) AS p_ratio,
-    round(len(list_filter({_EXT_TOKS}, x -> list_contains({_EXT_STOPS}, x)))
-          / len({_EXT_TOKS}), 6) AS s_ratio,
-    round(list_aggregate(list_transform({_EXT_TOKS}, x -> length(x)), 'sum')
-          / len({_EXT_TOKS}), 6) AS mtl
+    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+          / length(text) AS p_ratio,
+    len(list_filter({_EXT_TOKS}, x -> list_contains({_EXT_STOPS}, x)))
+          / len({_EXT_TOKS}) AS s_ratio,
+    list_aggregate(list_transform({_EXT_TOKS}, x -> length(x)), 'sum')
+          / len({_EXT_TOKS}) AS mtl
 """
 
 

@@ -97,12 +97,43 @@ def _load_all() -> None:
 _PIN_FIRST: list[str] = []
 
 
+# cache keyed on (root, artifact paths+mtimes): all_specs() is called
+# by every sweep/bench/driver entry point, and re-globbing + re-parsing
+# every CORRECTNESS_r*.json per call is wasted work (ADVICE r8). A
+# changed/added artifact changes the key, so freshness is preserved.
+_ROWS_CACHE: dict[tuple, dict[str, tuple[int, bool]]] = {}
+
+
 def _latest_driver_rows(root: Path) -> dict[str, tuple[int, bool]]:
     """query name → (round, green) of its most recent driver row.
     Green = hash match, or rows-only match for queries the driver
     checks without an oracle."""
+    paths = sorted(root.glob("CORRECTNESS_r*.json"))
+    if not paths:
+        # installed outside a repo checkout (no artifacts): rotation
+        # degrades to registration order — say so once rather than
+        # silently (ADVICE r8)
+        import warnings
+
+        warnings.warn(
+            f"no CORRECTNESS_r*.json under {root}; certification "
+            "rotation falls back to registration order",
+            stacklevel=2,
+        )
+        return {}
+    key = (str(root), tuple((str(p), p.stat().st_mtime_ns) for p in paths))
+    hit = _ROWS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _scan_driver_rows(paths)
+    _ROWS_CACHE.clear()  # keep at most one entry per process
+    _ROWS_CACHE[key] = out
+    return out
+
+
+def _scan_driver_rows(paths: list[Path]) -> dict[str, tuple[int, bool]]:
     out: dict[str, tuple[int, bool]] = {}
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+    for p in paths:
         m = re.search(r"r(\d+)$", p.stem)
         if not m:
             continue

@@ -96,10 +96,15 @@ def write_jsonl_shards(
     max_records_per_file: int = 100_000,
     order_by: list[str] | None = None,
     compression: str | None = None,
+    mode: str = "error",
 ) -> None:
     """Export as JSON-lines shards — the delivery format training
     loaders consume (one document per line, shards bounded so a
-    loader can shuffle at shard granularity).
+    loader can shuffle at shard granularity). ``mode`` follows
+    ``DataFrameWriter.mode`` and defaults to ``"error"``: exporting
+    onto an existing delivery path FAILS rather than silently
+    destroying prior shards (ADVICE r8) — pass ``mode="overwrite"``
+    to republish deliberately.
 
     Spark's native json sink serializes JVM-side (no Python in the
     row path); ``maxRecordsPerFile`` splits any oversized partition
@@ -117,4 +122,4 @@ def write_jsonl_shards(
     writer = w.write.option("maxRecordsPerFile", max_records_per_file)
     if compression is not None:
         writer = writer.option("compression", compression)
-    writer.mode("overwrite").json(path)
+    writer.mode(mode).json(path)

@@ -97,6 +97,9 @@ def test_collected_rules_path_equals_dataflow(spark):
     corpora = [
         ["abab abab cd", "cd cd abab", "aaab ab a"],
         ["the cat sat", "the cat", "a dog sat on the mat", "  ", "x"],
+        # non-ASCII (ADVICE r8): casing now happens JVM-side in BOTH
+        # paths, so accented/Greek/dotted-İ text must agree too
+        ["Ünïcödé ÜNÏCÖDÉ tëst", "ΣΊΣΥΦΟΣ σίσυφος", "İstanbul ıı İİ"],
     ]
     for texts in corpora:
         df = _df(spark, texts)

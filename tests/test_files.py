@@ -78,3 +78,22 @@ def test_write_jsonl_shards_roundtrip_and_shard_bound(spark, tmp_path):
         back.extend(lines)
     assert sorted(r["doc_id"] for r in back) == list(range(100))
     assert all(set(r) == {"doc_id", "text", "lang"} for r in back)
+
+
+def test_write_jsonl_shards_refuses_existing_path_by_default(spark, tmp_path):
+    """ADVICE r8: the default must not silently destroy a prior
+    delivery; republishing requires an explicit mode='overwrite'."""
+    import glob
+
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from crypto_etl_airflow_spark.sources.files import write_jsonl_shards
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    out = str(tmp_path / "delivery")
+    write_jsonl_shards(df, out)
+    with pytest.raises(AnalysisException):
+        write_jsonl_shards(df, out)  # default mode='error'
+    write_jsonl_shards(df, out, mode="overwrite")  # explicit republish
+    assert glob.glob(f"{out}/part-*")
