@@ -659,6 +659,34 @@ def _simhash(df: DataFrame, id_col: str, text_col: str, bits: int) -> DataFrame:
     return per_doc.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_band_rows(
+    sims: DataFrame, id_col: str, bits: int
+) -> DataFrame:
+    """4 equal-width band rows per (id, simhash) row — the pigeonhole
+    candidate key shared by the batch operator
+    (:func:`simhash_neardup_pairs`) and the incremental store
+    (operators/dedup_store.py): a Hamming distance ≤ 3 guarantees at
+    least one of the 4 bands is untouched, so band equality is a
+    recall-complete candidate filter. Returns
+    (id, simhash, band, bucket)."""
+    band_bits = bits // 4
+    bands = [
+        sims.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(bi).alias("band"),
+            F.shiftrightunsigned("simhash", bi * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("bucket"),
+        )
+        for bi in range(4)
+    ]
+    out = bands[0]
+    for extra in bands[1:]:
+        out = out.unionAll(extra)
+    return out
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -677,23 +705,7 @@ def simhash_neardup_pairs(
     sims = simhash64(df, id_col, text_col) if bits == 64 else simhash32(
         df, id_col, text_col
     )
-    band_bits = bits // 4
-
-    bands = []
-    for bi in range(4):
-        bands.append(
-            sims.select(
-                F.col(id_col),
-                F.col("simhash"),
-                F.lit(bi).alias("band"),
-                F.shiftrightunsigned("simhash", bi * band_bits)
-                .bitwiseAND(F.lit((1 << band_bits) - 1))
-                .alias("bucket"),
-            )
-        )
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionAll(extra)
+    all_bands = simhash_band_rows(sims, id_col, bits)
 
     left = all_bands.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "bucket"

@@ -1,4 +1,6 @@
-"""Incremental dedup against a PERSISTED MinHash signature store.
+"""Incremental dedup against PERSISTED signature stores — MinHash
+(near-dup by Jaccard), exact fingerprint (md5 of normalized text),
+and SimHash (near-dup by Hamming distance).
 
 The batch-recompute dedup family (operators/dedup.py) signatures the
 whole corpus every run — right for a one-shot sweep, wrong for the
@@ -35,6 +37,9 @@ from .dedup import (
     _reuse,
     band_bucket_rows,
     minhash_signatures,
+    simhash32,
+    simhash64,
+    simhash_band_rows,
     verify_pairs_exact_jaccard,
 )
 
@@ -65,40 +70,45 @@ def write_minhash_store(
     return written
 
 
-def _sidecar(path: str) -> str:
+def _sidecar(path: str, name: str = "_minhash_store_params.json") -> str:
     import os
 
     # underscore-prefixed so Spark's parquet reader ignores it
-    return os.path.join(path, "_minhash_store_params.json")
+    return os.path.join(path, name)
 
 
-def _validate_store_params(path: str, params: dict) -> None:
+def _validate_store_params(
+    path: str, params: dict, name: str = "_minhash_store_params.json"
+) -> None:
     """Refuse to mix hash families in one store: signatures built with
-    a different (n, num_hashes, portable) are schema-compatible with
-    an existing store but NEVER agree with it, so an append would
-    silently turn agreement scores into noise."""
+    different parameters (MinHash (n, num_hashes, portable); SimHash
+    bits) are schema-compatible with an existing store but NEVER agree
+    with it, so an append would silently turn agreement scores into
+    noise."""
     import json
     import os
 
-    if os.path.exists(_sidecar(path)):
-        with open(_sidecar(path)) as f:
+    if os.path.exists(_sidecar(path, name)):
+        with open(_sidecar(path, name)) as f:
             existing = json.load(f)
         if existing != params:
             raise ValueError(
-                f"minhash store {path} was built with {existing}; "
+                f"signature store {path} was built with {existing}; "
                 f"refusing to append signatures built with {params}"
             )
 
 
-def _record_store_params(path: str, params: dict) -> None:
+def _record_store_params(
+    path: str, params: dict, name: str = "_minhash_store_params.json"
+) -> None:
     # written AFTER the first append (the store dir must not exist
     # before upsert_append creates it — an empty dir with only the
     # sidecar would read as an existing-but-parquet-less table)
     import json
     import os
 
-    if os.path.isdir(path) and not os.path.exists(_sidecar(path)):
-        with open(_sidecar(path), "w") as f:
+    if os.path.isdir(path) and not os.path.exists(_sidecar(path, name)):
+        with open(_sidecar(path, name), "w") as f:
             json.dump(params, f)
 
 
@@ -186,4 +196,160 @@ def incremental_minhash_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(est, 6).alias("score"))
         .filter(F.col("score") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-fingerprint store (VERDICT r8 item 2): the incremental form of
+# operators/dedup.py::exact_duplicates
+# ---------------------------------------------------------------------------
+
+
+def write_fingerprint_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Fingerprint ``docs`` (md5 of whitespace-normalized lowercased
+    text — functions/text.py::fingerprint, the exact-dedup key) and
+    APPEND to the parquet store at ``path``, idempotently per id.
+    16 bytes/doc: the store is ~10⁻⁵ of corpus bytes, so the 100 TB
+    steady state keeps NO text around for exact dedup. No parameter
+    sidecar: the fingerprint definition has no tunables."""
+    from ..functions.text import fingerprint
+    from .upsert import upsert_append
+
+    fps = docs.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    return upsert_append(
+        docs.sparkSession, fps, path, keys=[id_col], allow_empty=True
+    )
+
+
+def read_fingerprint_store(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def incremental_fingerprint_matches(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-duplicate pairs INVOLVING the new batch: batch×store and
+    batch×batch, never store×store. Returns
+    ``(id_a, id_b, fingerprint)`` with ``id_a < id_b``. Ids must be
+    disjoint between batch and store (``write_fingerprint_store`` is
+    idempotent per id).
+
+    Scale shape: ONE equality join on the 16-byte fingerprint with
+    the batch side small — AQE broadcasts it against the store scan;
+    candidate volume ∝ fingerprint collisions with the batch,
+    independent of |store|²."""
+    from ..functions.text import fingerprint
+
+    new_fps = new_docs.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    all_fps = store.select(*new_fps.columns).unionByName(new_fps)
+    left = all_fps.withColumnRenamed(id_col, "__ida")
+    right = new_fps.withColumnRenamed(id_col, "__idb")
+    return (
+        left.join(right, "fingerprint")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "fingerprint",
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash store (VERDICT r8 item 2): the incremental form of
+# operators/dedup.py::simhash_neardup_pairs
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SIDECAR = "_simhash_store_params.json"
+
+
+def write_simhash_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> int:
+    """SimHash ``docs`` (8 bytes/doc) and APPEND to the parquet store
+    at ``path``, idempotently per id. The ``bits`` family (64 =
+    xxhash64 production, 32 = md5-portable) is pinned by a sidecar —
+    mixed-family stores would turn Hamming distances into noise, the
+    same guard :func:`write_minhash_store` applies to (n, num_hashes,
+    portable)."""
+    from .upsert import upsert_append
+
+    params = {"bits": bits}
+    _validate_store_params(path, params, _SIMHASH_SIDECAR)
+    sims = (simhash64 if bits == 64 else simhash32)(docs, id_col, text_col)
+    written = upsert_append(
+        docs.sparkSession, sims, path, keys=[id_col], allow_empty=True
+    )
+    _record_store_params(path, params, _SIMHASH_SIDECAR)
+    return written
+
+
+def read_simhash_store(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def incremental_simhash_pairs(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash near-dup pairs INVOLVING the new batch (Hamming ≤
+    ``max_hamming``): batch×store and batch×batch, never store×store.
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    Candidates via the same 4-band pigeonhole as the batch operator
+    (recall-complete for distance ≤ 3), verified with
+    ``bit_count(a XOR b)``. The batch's band rows are the SMALL side
+    of the one join (AQE broadcasts them against the store scan); the
+    store retains no text — only the 8-byte fingerprints are read."""
+    new_sims = _reuse(
+        (simhash64 if bits == 64 else simhash32)(new_docs, id_col, text_col)
+    )
+    all_sims = store.select(*new_sims.columns).unionByName(new_sims)
+
+    left = simhash_band_rows(all_sims, id_col, bits).select(
+        F.col(id_col).alias("__ida"),
+        F.col("simhash").alias("sim_a"),
+        "band",
+        "bucket",
+    )
+    right = simhash_band_rows(new_sims, id_col, bits).select(
+        F.col(id_col).alias("__idb"),
+        F.col("simhash").alias("sim_b"),
+        "band",
+        "bucket",
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast(
+        "int"
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )

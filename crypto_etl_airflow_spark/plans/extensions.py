@@ -510,17 +510,95 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
-def _simhash_oracle(max_hamming: int = 3) -> str:
+# The fingerprint-store fixture needs exact duplicates the plain
+# corpus doesn't have (500 docs, 500 distinct fingerprints at sf0.01),
+# so the BATCH is built from verbatim copies of corpus documents:
+# +10000 ids copy every doc_id % 5 = 0 document, +20000 ids copy every
+# doc_id % 25 = 0 document — giving batch×store matches AND
+# batch×batch matches (the +10000/+20000 copies of the same source
+# collide with each other).
+_FP_STORE_SQL = """
+    batch AS (
+        SELECT doc_id + 10000 AS doc_id, text FROM documents
+        WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id, text FROM documents
+        WHERE doc_id % 25 = 0
+    ),
+    allfp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM (SELECT doc_id, text FROM documents UNION ALL
+              SELECT doc_id, text FROM batch)
+    )
+"""
+
+
+@register(
+    "dedup_incremental_fingerprint",
+    oracle=f"""
+    WITH {_FP_STORE_SQL}
+    SELECT DISTINCT least(l.doc_id, r.doc_id) AS id_a,
+           greatest(l.doc_id, r.doc_id) AS id_b, l.fingerprint
+    FROM allfp l
+    JOIN (SELECT * FROM allfp WHERE doc_id >= 10000) r
+      ON l.fingerprint = r.fingerprint AND l.doc_id <> r.doc_id
+    """,
+    tags=("dedup", "extension", "incremental"),
+)
+def dedup_incremental_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup against a persisted fingerprint store
+    (operators/dedup_store.py::incremental_fingerprint_matches) — the
+    steady-state ingest twin of ``dedup_exact_rows``: the corpus is
+    fingerprinted ONCE into a 16-bytes/doc parquet store; the ingest
+    batch (verbatim copies of corpus docs, see ``_FP_STORE_SQL``)
+    fingerprints only itself and joins against the store — one
+    equality join, batch side broadcast, no text retained. The store
+    write + idempotent append + readback are inside this certified
+    path."""
+    import os
+    import tempfile
+
+    from ..operators import dedup_store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    batch = (
+        docs.filter(did % 5 == 0).select((did + 10000).alias("doc_id"), "text")
+    ).unionByName(
+        docs.filter(did % 25 == 0).select((did + 20000).alias("doc_id"), "text")
+    )
+    with tempfile.TemporaryDirectory(prefix="fp_store_") as tmp:
+        path = os.path.join(tmp, "fps")
+        dedup_store.write_fingerprint_store(docs, path)
+        store = dedup_store.read_fingerprint_store(spark, path)
+        out = dedup_store.incremental_fingerprint_matches(batch, store)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+
+
+def _simhash_oracle(max_hamming: int = 3, batch_mod: int | None = None) -> str:
     """DuckDB mirror of the portable 32-bit SimHash pipeline
     (operators/dedup.py::simhash_neardup_pairs(bits=32)): md5-32
     token hashes, per-bit ±1 votes, sign fold, 4×8-bit pigeonhole
-    bands, bit_count(xor) verification."""
+    bands, bit_count(xor) verification. ``batch_mod`` restricts the
+    pair set to pairs INVOLVING the batch (doc_id % batch_mod = 0) —
+    the incremental-store contract (operators/dedup_store.py)."""
     votes = ",\n               ".join(
         f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v_{i}"
         for i in range(32)
     )
     fold = "\n                 + ".join(
         f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    batch_clause = (
+        f"\n              AND (l.doc_id % {batch_mod} = 0"
+        f" OR rr.doc_id % {batch_mod} = 0)"
+        if batch_mod is not None
+        else ""
     )
     return f"""
     WITH tok AS (
@@ -552,7 +630,7 @@ def _simhash_oracle(max_hamming: int = 3) -> str:
                CAST(bit_count(xor(l.simhash, rr.simhash)) AS INT) AS hamming
         FROM bands l
         JOIN bands rr ON l.band = rr.band AND l.bucket = rr.bucket
-        WHERE l.doc_id < rr.doc_id
+        WHERE l.doc_id < rr.doc_id{batch_clause}
     )
     SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
     """
@@ -574,6 +652,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(
         docs, "doc_id", "text", max_hamming=1, bits=32
     )
+
+
+@register(
+    "dedup_incremental_simhash",
+    oracle=_simhash_oracle(max_hamming=1, batch_mod=4),
+    tags=("dedup", "extension", "incremental", "approx"),
+)
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash near-dup against a persisted 8-bytes/doc
+    fingerprint store (operators/dedup_store.py::
+    incremental_simhash_pairs) — the steady-state ingest twin of
+    ``dedup_simhash``: the corpus (doc_id % 4 != 0) is SimHashed ONCE
+    into the store; the batch (doc_id % 4 = 0) hashes only itself,
+    bands 4-way, joins its band rows against the store's, and
+    verifies bit_count(xor) ≤ 1. Runs the md5-portable 32-bit family
+    so the oracle recomputes every stage; the sidecar pins ``bits``
+    per store."""
+    import os
+    import tempfile
+
+    from ..operators import dedup_store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    with tempfile.TemporaryDirectory(prefix="sh_store_") as tmp:
+        path = os.path.join(tmp, "sims")
+        dedup_store.write_simhash_store(store_docs, path, bits=32)
+        store = dedup_store.read_simhash_store(spark, path)
+        out = dedup_store.incremental_simhash_pairs(
+            batch, store, max_hamming=1, bits=32
+        )
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 _COSINE_ORACLE_BASE = """

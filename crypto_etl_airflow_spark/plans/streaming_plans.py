@@ -27,7 +27,7 @@ from ..sources.tables import load_table
 # the streaming incremental dedup certifies against the SAME oracle
 # family as the batch incremental query (no import cycle: extensions
 # does not import this module)
-from .extensions import _incremental_minhash_oracle
+from .extensions import _FP_STORE_SQL, _incremental_minhash_oracle
 from ..streaming.ingest import ingest_events_stream
 from ..streaming.runner import run_append_to_memory, run_complete_to_memory
 from ..streaming.sources import stream_events
@@ -315,6 +315,98 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         out = spark.read.parquet(sink_path).select("id_a", "id_b", "score")
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "streaming_dedup_incremental_fingerprint",
+    # every pair is discovered exactly once — when its LATER member's
+    # micro-batch runs against the store of earlier docs (same-wave
+    # pairs via the batch×batch leg) — so the drained sink equals the
+    # FULL exact-duplicate pair set over the augmented corpus: the
+    # batch restriction of dedup_incremental_fingerprint's oracle
+    # dissolved, arrival-order-INVARIANT.
+    oracle=f"""
+    WITH {_FP_STORE_SQL}
+    SELECT DISTINCT least(l.doc_id, r.doc_id) AS id_a,
+           greatest(l.doc_id, r.doc_id) AS id_b, l.fingerprint
+    FROM allfp l JOIN allfp r
+      ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+    """,
+    tags=("streaming", "dedup", "incremental"),
+)
+def streaming_dedup_incremental_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming EXACT dedup against a persisted fingerprint store —
+    the steady-state exact-dedup ingest shape as a real Structured
+    Streaming query (file source, maxFilesPerTrigger=1, availableNow):
+    each micro-batch fingerprints ONLY itself inside ``foreachBatch``,
+    joins against the store of everything that arrived before (plus
+    its own batch×batch leg), appends matches to the sink, and
+    idempotently registers its own fingerprints. The corpus is the
+    same duplicate-planted augmentation as
+    ``dedup_incremental_fingerprint`` (verbatim +10000/+20000 copies),
+    split into 3 arrival waves by doc_id % 3 — so copies land in
+    DIFFERENT waves and the cross-wave store join is exercised."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.text import fingerprint
+    from ..operators import dedup_store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    aug = docs.unionByName(
+        docs.filter(did % 5 == 0).select((did + 10000).alias("doc_id"), "text")
+    ).unionByName(
+        docs.filter(did % 25 == 0).select((did + 20000).alias("doc_id"), "text")
+    )
+    with tempfile.TemporaryDirectory(prefix="stream_fp_") as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for k in range(3):
+            staging = os.path.join(tmp, f"stage{k}")
+            aug.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
+                staging
+            )
+            part = globmod.glob(f"{staging}/part-*.parquet")[0]
+            shutil.copy(part, os.path.join(src, f"wave{k}.parquet"))
+
+        store_path = os.path.join(tmp, "fp_store")
+        sink_path = os.path.join(tmp, "pairs")
+
+        def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            s = batch_df.sparkSession
+            if os.path.exists(store_path):
+                store = dedup_store.read_fingerprint_store(s, store_path)
+            else:  # first wave: empty store with the fingerprint schema
+                store = batch_df.limit(0).select(
+                    "doc_id", fingerprint(F.col("text")).alias("fingerprint")
+                )
+            matches = dedup_store.incremental_fingerprint_matches(
+                batch_df, store
+            )
+            matches.write.mode("append").parquet(sink_path)
+            dedup_store.write_fingerprint_store(batch_df, store_path)
+
+        q = (
+            spark.readStream.schema(aug.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(src)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(sink_path).select(
+            "id_a", "id_b", "fingerprint"
+        )
         rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
 

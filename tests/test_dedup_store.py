@@ -117,6 +117,160 @@ def test_store_refuses_mixed_hash_families(spark, tmp_path):
     dedup_store.write_minhash_store(docs, path, portable=True)
 
 
+# ---------------------------------------------------------------------------
+# exact-fingerprint store (VERDICT r8 item 2)
+# ---------------------------------------------------------------------------
+
+FP_DOCS = [
+    (1, "alpha beta gamma"),
+    (2, "ALPHA   beta GAMMA"),  # normalizes equal to doc 1
+    (3, "something else entirely"),
+    (4, "alpha beta gamma"),  # equal to 1 and 2
+    (5, "unique content five"),
+]
+
+
+def test_fingerprint_store_roundtrip_and_idempotence(spark, tmp_path):
+    path = str(tmp_path / "fps")
+    docs = _df(spark, FP_DOCS)
+    assert dedup_store.write_fingerprint_store(docs, path) == len(FP_DOCS)
+    assert dedup_store.write_fingerprint_store(docs, path) == 0  # retry-safe
+    store = dedup_store.read_fingerprint_store(spark, path)
+    assert sorted(store.columns) == ["doc_id", "fingerprint"]
+    assert store.count() == len(FP_DOCS)
+
+
+def test_incremental_fingerprint_matches_batch_only(spark, tmp_path):
+    path = str(tmp_path / "fps")
+    docs = _df(spark, FP_DOCS)
+    store_docs = docs.filter(docs.doc_id < 4)
+    batch = docs.filter(docs.doc_id >= 4)
+    dedup_store.write_fingerprint_store(store_docs, path)
+    store = dedup_store.read_fingerprint_store(spark, path)
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup_store.incremental_fingerprint_matches(
+            batch, store
+        ).collect()
+    }
+    # doc 4 matches store docs 1 and 2 (normalized-equal); the 1-2
+    # store×store pair is NEVER emitted
+    assert got == {(1, 4), (2, 4)}
+
+
+def test_fingerprint_store_order_invariance(spark, tmp_path):
+    """The accumulated pair set over all ingest waves is the same for
+    every arrival order — the contract the streaming form relies on."""
+    import itertools
+    import os
+
+    from crypto_etl_airflow_spark.functions.text import fingerprint
+
+    docs = _df(spark, FP_DOCS)
+    waves = [[1, 2], [3, 4], [5]]
+    results = []
+    for wi, perm in enumerate(itertools.permutations(waves)):
+        path = str(tmp_path / f"fps_{wi}")
+        pairs = set()
+        for ids in perm:
+            batch = docs.filter(docs.doc_id.isin(*ids))
+            if os.path.exists(path):
+                store = dedup_store.read_fingerprint_store(spark, path)
+            else:
+                store = docs.limit(0).select(
+                    "doc_id", fingerprint(docs.text).alias("fingerprint")
+                )
+            pairs |= {
+                (r.id_a, r.id_b)
+                for r in dedup_store.incremental_fingerprint_matches(
+                    batch, store
+                ).collect()
+            }
+            dedup_store.write_fingerprint_store(batch, path)
+        results.append(pairs)
+    assert all(p == results[0] for p in results)
+    assert results[0] == {(1, 2), (1, 4), (2, 4)}
+
+
+# ---------------------------------------------------------------------------
+# SimHash store (VERDICT r8 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_store_roundtrip_and_sidecar_guard(spark, tmp_path):
+    path = str(tmp_path / "sims")
+    docs = _df(spark, DOCS)
+    assert dedup_store.write_simhash_store(docs, path, bits=64) == len(DOCS)
+    assert dedup_store.write_simhash_store(docs, path, bits=64) == 0
+    store = dedup_store.read_simhash_store(spark, path)
+    assert sorted(store.columns) == ["doc_id", "simhash"]
+    # mixed bit families are refused: 32-bit hashes never agree with
+    # 64-bit ones, an append would silently poison Hamming distances
+    with pytest.raises(ValueError, match="refusing to append"):
+        dedup_store.write_simhash_store(docs, path, bits=32)
+
+
+def test_incremental_simhash_matches_full_recompute(spark, tmp_path):
+    """Incremental(batch vs store) == full-corpus
+    simhash_neardup_pairs restricted to pairs involving the batch."""
+    from crypto_etl_airflow_spark.operators.dedup import simhash_neardup_pairs
+
+    path = str(tmp_path / "sims")
+    docs = _df(spark, DOCS)
+    batch_ids = {2, 8}
+    store_docs = docs.filter(~docs.doc_id.isin(*batch_ids))
+    batch = docs.filter(docs.doc_id.isin(*batch_ids))
+    dedup_store.write_simhash_store(store_docs, path)
+    store = dedup_store.read_simhash_store(spark, path)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup_store.incremental_simhash_pairs(
+            batch, store, max_hamming=3
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(
+            docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    want = {p for p in full if p[0] in batch_ids or p[1] in batch_ids}
+    assert got == want
+    assert got, "fixture must produce at least one batch-involving pair"
+    assert all(p[0] in batch_ids or p[1] in batch_ids for p in got)
+
+
+def test_simhash_store_order_invariance(spark, tmp_path):
+    """Accumulated simhash pair set is arrival-order-invariant."""
+    import itertools
+    import os
+
+    from crypto_etl_airflow_spark.operators.dedup import simhash64
+
+    docs = _df(spark, DOCS)
+    waves = [[1, 4], [2, 6], [3, 5, 8]]
+    results = []
+    for wi, perm in enumerate(itertools.permutations(waves)):
+        path = str(tmp_path / f"sims_{wi}")
+        pairs = set()
+        for ids in perm:
+            batch = docs.filter(docs.doc_id.isin(*ids))
+            if os.path.exists(path):
+                store = dedup_store.read_simhash_store(spark, path)
+            else:
+                store = simhash64(docs.limit(0), "doc_id", "text")
+            pairs |= {
+                (r.id_a, r.id_b, r.hamming)
+                for r in dedup_store.incremental_simhash_pairs(
+                    batch, store, max_hamming=3
+                ).collect()
+            }
+            dedup_store.write_simhash_store(batch, path)
+        results.append(pairs)
+    assert all(p == results[0] for p in results)
+    assert results[0], "fixture must produce pairs"
+
+
 def test_exact_verify_uses_score_column(spark, tmp_path):
     from pyspark.sql import functions as F
 
