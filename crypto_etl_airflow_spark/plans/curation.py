@@ -984,6 +984,79 @@ def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "export_jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(CAST(CONCAT('0x',
+                substr(md5(CONCAT(CAST(doc_id AS VARCHAR), ':', text)), 1, 8))
+                AS BIGINT)) AS BIGINT) AS content_checksum
+    FROM documents GROUP BY lang
+    """,
+    tags=("layout", "curation", "sources", "extension"),
+)
+def export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-pin of the JSONL DELIVERY path (VERDICT r8 item 7 —
+    sources/files.py::write_jsonl_shards + read_jsonl_quarantined):
+    the corpus is exported as bounded JSON-lines shards into a
+    tempdir, read back with the explicit-schema quarantine reader,
+    and summarized per language with an order-insensitive content
+    checksum (sum of per-doc md5 prefixes over ``doc_id:text``).
+    Matching the oracle — which computes the same stats straight off
+    the parquet table — proves the JSON encode → shard → decode
+    roundtrip is LOSSLESS for every document, the same way
+    ``training_shards_manifest`` pins the parquet layout. The shard
+    bound (max_records_per_file=50) forces a multi-file delivery so
+    the check covers shard splitting, not just one file."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.files import read_jsonl_quarantined, write_jsonl_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    checksum = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    with tempfile.TemporaryDirectory(prefix="jsonl_delivery_") as tmp:
+        path = f"{tmp}/shards"
+        write_jsonl_shards(
+            docs, path, max_records_per_file=50, order_by=["doc_id"]
+        )
+        back, quarantine = read_jsonl_quarantined(spark, path, schema)
+        out = back.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.sum(checksum).cast("long").alias("content_checksum"),
+        )
+        rows = out.collect()
+        n_bad = quarantine.count()
+    if n_bad:
+        raise ValueError(f"jsonl roundtrip quarantined {n_bad} rows")
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "text_novelty_score",
     oracle=f"""
     WITH sh AS ({_shingle3_sql('documents')}),

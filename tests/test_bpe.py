@@ -136,3 +136,91 @@ def test_collected_rules_path_on_fixture(spark):
     # empty rule list: every word stays fully character-split
     base = apply_bpe_rules(docs, []).collect()
     assert all(r.n_bpe_tokens == r.n_chars for r in base)
+
+
+def test_scalable_learner_production_merge_count(spark):
+    """VERDICT r8 item 3: learn >=256 merges with the lineage-truncated
+    learner, apply with apply_bpe_rules, and pin the two scale claims —
+    constant apply-plan depth and constant per-round learner cost.
+
+    The sf0.001 fixture alone tops out at 107 possible merges (31
+    distinct words, sum(len-1) = 107), so the corpus is augmented with
+    a deterministic synthetic vocabulary to make 256 rounds reachable."""
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+    from crypto_etl_airflow_spark.operators.bpe import (
+        apply_bpe_rules,
+        bpe_merge_rules,
+        learn_bpe_rules_scalable,
+    )
+
+    fixture = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    synth = spark.range(400).select(
+        (F.col("id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("corpus"), F.col("id").cast("string"),
+            F.lit("x demonstration"), F.col("id").cast("string"),
+            F.lit("y vocabulary"), (F.col("id") * 7).cast("string"),
+        ).alias("text"),
+    )
+    docs = fixture.unionByName(synth)
+
+    timings = []
+    rules = learn_bpe_rules_scalable(
+        docs, n_merges=256, timings_out=timings
+    )
+    assert len(rules) == 256
+    assert [r.merge_rank for r in rules] == list(range(256))
+
+    # parity: first 8 merges equal the chained dataflow learner's
+    small = bpe_merge_rules(docs, n_merges=8).orderBy("merge_rank").collect()
+    assert [(r.left_sym, r.right_sym, r.pair_count) for r in rules[:8]] == [
+        (r.left_sym, r.right_sym, r.pair_count) for r in small
+    ]
+
+    # constant-depth apply: the optimized plan must not grow with the
+    # rule count (rules live in the UDF closure, not the plan)
+    def plan_lines(df):
+        return len(
+            df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        )
+
+    few, many = apply_bpe_rules(docs, rules[:4]), apply_bpe_rules(docs, rules)
+    assert plan_lines(many) == plan_lines(few)
+
+    # constant per-round learner cost: the last rounds must not cost
+    # materially more than the first (3x bound absorbs host noise;
+    # the chained learner's growing analysis time would blow past it)
+    first, last = timings[:64], timings[-64:]
+    assert sum(last) / len(last) < 3 * (sum(first) / len(first)), (
+        sum(first) / 64, sum(last) / 64,
+    )
+
+    # spot-value parity on sampled documents vs an independent fold
+    merges = [(r.left_sym, r.right_sym) for r in rules]
+
+    def encode_len(word):
+        syms = list(word)
+        for left, right in merges:
+            out = [syms[0]]
+            for s in syms[1:]:
+                if out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    sample = {r.doc_id: r for r in many.filter(
+        F.col("doc_id").isin(0, 1, 100005, 100399)
+    ).collect()}
+    texts = {r.doc_id: r.text for r in docs.filter(
+        F.col("doc_id").isin(0, 1, 100005, 100399)
+    ).collect()}
+    assert len(sample) == 4
+    for did, row in sample.items():
+        words = [w for w in texts[did].lower().split() if w]
+        assert row.n_bpe_tokens == sum(encode_len(w) for w in words), did

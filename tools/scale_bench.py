@@ -75,6 +75,15 @@ EXTRA_SCALE_QUERIES = (
     "training_shards_manifest",
     "vocab_bpe_merge_rules",  # vocabulary-bound, not corpus-bound
     "text_bpe_token_counts",
+    # round-8 late additions + round-9 surface (VERDICT r8 item 4):
+    "analytics_retention_cohorts",
+    "anomaly_mad_events",
+    "text_blocklist_filter",
+    "quality_curation_metrics",
+    "dedup_lines_intradoc",
+    "dedup_incremental_fingerprint",
+    "dedup_incremental_simhash",
+    "export_jsonl_roundtrip",
     # embedding_semdedup_* are deliberately NOT here: their registered
     # nlist=16 is sized for the certification fixture, and SemDeDup's
     # scale contract is nlist ∝ corpus size (clusters stay constant-
@@ -145,23 +154,41 @@ def build_scaled_dir(spark, src: str, out: str, factor: int) -> None:
             "circular-shift construction needs one shift modulus"
         )
     dim = dims.lo
-    if factor > dim:
+    if factor > dim * 2:
         raise ValueError(
-            f"factor {factor} > dim {dim}: circular shifts would repeat, "
-            "creating cosine-1 cross-copy duplicates that break the "
-            "linear-near-dup-growth construction"
+            f"factor {factor} > 2*dim {2 * dim}: the shift × sign-flip "
+            "transform family below would repeat, creating cosine-1 "
+            "cross-copy duplicates that break the linear-near-dup-growth "
+            "construction (add more flip masks to go further)"
         )
+
+    def _copy_embedding(k: int):
+        # Copy k's transform: circular shift by (k % dim) composed with
+        # a sign-flip of odd coordinates for k >= dim. BOTH are
+        # orthogonal, so every within-copy cosine is preserved exactly;
+        # distinct transforms decorrelate cross-copy directions (two
+        # copies differing only in the flip disagree on exactly half
+        # the coordinate signs — their cross dot-products cancel to
+        # noise rather than collapsing into duplicates).
+        shift = k % dim
+        col = (
+            F.col("embedding")
+            if shift == 0
+            else F.concat(
+                F.slice("embedding", shift + 1, dim - shift),
+                F.slice("embedding", 1, shift),
+            )
+        )
+        if k >= dim:
+            col = F.transform(
+                col, lambda x, i: F.when(i % 2 == 1, -x).otherwise(x)
+            )
+        return col.alias("embedding")
+
     emb_copies = [
         emb.select(
             (F.col("vec_id") + F.lit(k * 10**7)).alias("vec_id"),
-            (
-                F.col("embedding")
-                if k == 0
-                else F.concat(
-                    F.slice("embedding", k + 1, dim - k),
-                    F.slice("embedding", 1, k),
-                )
-            ).alias("embedding"),
+            _copy_embedding(k),
             *[c for c in emb.columns if c not in ("vec_id", "embedding")],
         ).select(*emb.columns)
         for k in range(factor)
