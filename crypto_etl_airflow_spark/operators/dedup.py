@@ -326,6 +326,18 @@ def containment_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
+    return containment_directions(common, sizes, id_col, threshold)
+
+
+def containment_directions(
+    common: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Score both containment directions from ONE unordered pair-count
+    table: ``common`` is ``(id_a, id_b, n_common)``, ``sizes`` is
+    ``(id_col, n_shingles)``; emits ``(contained_id, container_id,
+    containment)`` rows ≥ threshold. Shared by the batch operator and
+    the incremental store (operators/dedup_store.py) — the explode
+    avoids a second self-join for the reverse direction."""
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     both = (

@@ -34,8 +34,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import (
+    _hashed_shingles,
     _reuse,
     band_bucket_rows,
+    containment_directions,
     minhash_signatures,
     simhash32,
     simhash64,
@@ -353,3 +355,125 @@ def incremental_simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed-shingle store + incremental containment (VERDICT r8 item 2,
+# completing the fingerprint/SimHash/MinHash family)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SIDECAR = "_shingle_store_params.json"
+
+
+def _append_rows_idempotent_per_id(
+    spark: SparkSession, rows: DataFrame, path: str, id_col: str
+) -> int:
+    """Multi-row-per-id form of ``upsert_append``'s anti-join
+    discipline: append ALL rows of ids not yet in the store, skip
+    every row of ids already registered (retry-safe; a doc's shingle
+    set is all-or-nothing). ``upsert_append`` itself can't serve
+    here — its ``dropDuplicates(keys)`` keeps one row per key."""
+    from .upsert import _lineage_barrier, table_exists
+
+    if table_exists(spark, path):
+        existing = spark.read.parquet(path).select(id_col).distinct()
+        rows = rows.join(existing, id_col, "left_anti")
+    # read-before-write barrier: the append must not lazily re-read
+    # the path it writes into
+    rows = _lineage_barrier(spark, rows, None)
+    n = rows.count()
+    if n:
+        rows.write.mode("append").parquet(path)
+    return n
+
+
+def write_shingle_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> int:
+    """Shingle ``docs`` into hashed word-n-gram rows ``(id, sh)`` —
+    8 bytes per distinct shingle per doc, the densest store of the
+    family (≈ token count of the corpus, ~10⁻¹–10⁻² of corpus bytes) —
+    and APPEND to the parquet store at ``path``, idempotently per id.
+    The shingle width ``n`` is pinned by a sidecar: mixed-width stores
+    would silently zero every containment score. Returns rows
+    appended (shingle rows, not docs)."""
+    params = {"n": n}
+    _validate_store_params(path, params, _SHINGLE_SIDECAR)
+    sh = _hashed_shingles(docs, id_col, text_col, n)
+    written = _append_rows_idempotent_per_id(
+        docs.sparkSession, sh, path, id_col
+    )
+    _record_store_params(path, params, _SHINGLE_SIDECAR)
+    return written
+
+
+def read_shingle_store(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def incremental_containment_pairs(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment pairs INVOLVING the new batch
+    (|A∩B| / |A| ≥ threshold in either direction): batch×store and
+    batch×batch, never store×store. Returns ``(contained_id,
+    container_id, containment)`` — the contract of
+    ``dedup.containment_pairs`` restricted to batch-involving pairs.
+    Ids must be disjoint between batch and store.
+
+    Scale shape: the batch's shingle rows are the SMALL side of the
+    one store join (AQE broadcasts them); candidate volume ∝ shingle
+    collisions with the batch, independent of |store|². The hot-cap
+    doc frequency is computed over store∪batch — at a steady-state
+    100 TB deployment maintain the per-shingle doc-frequency table
+    incrementally alongside the store (one grouped count per ingest)
+    instead of re-aggregating the store scan each batch; the cap
+    semantics are identical."""
+    batch_sh = _reuse(_hashed_shingles(new_docs, id_col, text_col, n))
+    store_sh = store.select(*batch_sh.columns)
+    all_sh = _reuse(store_sh.unionByName(batch_sh))
+
+    if max_doc_freq is not None:
+        hot = (
+            all_sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        hot = _reuse(hot)  # consumed by three anti-joins below
+        batch_sh = batch_sh.join(F.broadcast(hot), "sh", "left_anti")
+        store_sh = store_sh.join(F.broadcast(hot), "sh", "left_anti")
+        all_sh = all_sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = all_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+
+    # store×batch rows appear exactly once (ids disjoint by contract);
+    # batch×batch pairs come from the self-join with the a<b filter —
+    # unioning the two legs avoids a distinct over the candidate rows
+    sb_leg = store_sh.select(F.col(id_col).alias("__ida"), "sh").join(
+        batch_sh.select(F.col(id_col).alias("__idb"), "sh"), "sh"
+    )
+    bb_leg = (
+        batch_sh.select(F.col(id_col).alias("__ida"), "sh")
+        .join(batch_sh.select(F.col(id_col).alias("__idb"), "sh"), "sh")
+        .filter(F.col("__ida") < F.col("__idb"))
+    )
+    common = (
+        sb_leg.unionByName(bb_leg)
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return containment_directions(common, sizes, id_col, threshold)

@@ -231,9 +231,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_containment",
-    oracle=f"""
+def _containment_oracle(batch_mod: int | None = None) -> str:
+    """DuckDB mirror of the excerpt-injected containment pipeline;
+    ``batch_mod`` restricts to pairs INVOLVING the batch
+    (doc_id % batch_mod = 0) — the incremental-store contract
+    (operators/dedup_store.py::incremental_containment_pairs)."""
+    batch_clause = (
+        f" AND (a.doc_id % {batch_mod} = 0 OR b.doc_id % {batch_mod} = 0)"
+        if batch_mod is not None
+        else ""
+    )
+    return f"""
     WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -260,6 +268,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
         FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            {batch_clause}
         GROUP BY 1, 2
     ),
     scored AS (
@@ -274,7 +283,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT id_b, id_a, round(c / n_b, 6) FROM scored
     ) WHERE containment >= 0.9
-    """,
+    """
+
+
+@register(
+    "dedup_containment",
+    oracle=_containment_oracle(),
     tags=("dedup", "extension"),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,6 +312,49 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text", n=3, threshold=0.9,
         max_doc_freq=_NGRAM_DF_CAP,
     )
+
+
+@register(
+    "dedup_incremental_containment",
+    oracle=_containment_oracle(batch_mod=4),
+    tags=("dedup", "extension", "incremental"),
+)
+def dedup_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental containment against a persisted hashed-shingle
+    store (operators/dedup_store.py::incremental_containment_pairs) —
+    the steady-state ingest twin of ``dedup_containment``, completing
+    the incremental family (MinHash r7, fingerprint/SimHash r9): the
+    excerpt-injected corpus (same construction as the batch query)
+    splits into a store (doc_id % 4 != 0), shingled ONCE into 8-byte
+    hashed rows, and a batch (doc_id % 4 = 0) that shingles only
+    itself, joins the store's rows, and scores both containment
+    directions. Excerpt ids (+2000000 ≡ 0 mod 4) keep their source's
+    residue, so store-excerpt×batch-source and batch×batch legs are
+    both exercised. The sidecar pins the shingle width n."""
+    import os
+    import tempfile
+
+    from ..operators import dedup_store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), r"\s+"), 1, 30), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionAll(excerpts)
+    store_docs = corpus.filter(F.col("doc_id") % 4 != 0)
+    batch = corpus.filter(F.col("doc_id") % 4 == 0)
+    with tempfile.TemporaryDirectory(prefix="sh_shingles_") as tmp:
+        path = os.path.join(tmp, "shingles")
+        dedup_store.write_shingle_store(store_docs, path, n=3)
+        store = dedup_store.read_shingle_store(spark, path)
+        out = dedup_store.incremental_containment_pairs(
+            batch, store, n=3, threshold=0.9, max_doc_freq=_NGRAM_DF_CAP
+        )
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def _minhash_oracle(

@@ -292,3 +292,96 @@ def test_exact_verify_uses_score_column(spark, tmp_path):
     )
     assert out.columns == ["id_a", "id_b", "score"]  # same contract as estimate
     assert out.first().score == 1.0
+
+
+# ---------------------------------------------------------------------------
+# hashed-shingle store / incremental containment (VERDICT r8 item 2)
+# ---------------------------------------------------------------------------
+
+CONT_DOCS = [
+    # 10 is an excerpt (prefix) of 11; 12 is an exact copy of 11
+    (10, "alpha beta gamma delta epsilon zeta"),
+    (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi"),
+    (12, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi"),
+    (13, "totally unrelated content about something else entirely here"),
+]
+
+
+def test_shingle_store_roundtrip_idempotence_and_sidecar(spark, tmp_path):
+    path = str(tmp_path / "shingles")
+    docs = _df(spark, CONT_DOCS)
+    n1 = dedup_store.write_shingle_store(docs, path, n=3)
+    assert n1 > len(CONT_DOCS)  # multi-row per doc
+    assert dedup_store.write_shingle_store(docs, path, n=3) == 0  # retry-safe
+    store = dedup_store.read_shingle_store(spark, path)
+    assert sorted(store.columns) == ["doc_id", "sh"]
+    with pytest.raises(ValueError, match="refusing to append"):
+        dedup_store.write_shingle_store(docs, path, n=5)  # width pinned
+
+
+def test_incremental_containment_matches_full_recompute(spark, tmp_path):
+    """Incremental(batch vs store) == full-corpus containment_pairs
+    restricted to pairs involving the batch."""
+    from crypto_etl_airflow_spark.operators.dedup import containment_pairs
+
+    path = str(tmp_path / "shingles")
+    docs = _df(spark, CONT_DOCS)
+    batch_ids = {10, 12}
+    store_docs = docs.filter(~docs.doc_id.isin(*batch_ids))
+    batch = docs.filter(docs.doc_id.isin(*batch_ids))
+    dedup_store.write_shingle_store(store_docs, path, n=3)
+    store = dedup_store.read_shingle_store(spark, path)
+    got = {
+        (r.contained_id, r.container_id, r.containment)
+        for r in dedup_store.incremental_containment_pairs(
+            batch, store, n=3, threshold=0.9
+        ).collect()
+    }
+    full = {
+        (r.contained_id, r.container_id, r.containment)
+        for r in containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.9
+        ).collect()
+    }
+    want = {
+        p for p in full if p[0] in batch_ids or p[1] in batch_ids
+    }
+    assert got == want
+    # the excerpt and the exact copy must be found against the store
+    assert (10, 11, 1.0) in got and (11, 12, 1.0) in got and (12, 11, 1.0) in got
+    # batch×batch leg: excerpt 10 is contained in its batch-mate 12
+    assert (10, 12, 1.0) in got
+    assert all(p[0] in batch_ids or p[1] in batch_ids for p in got)
+
+
+def test_shingle_store_order_invariance(spark, tmp_path):
+    """Accumulated containment pair set is arrival-order-invariant."""
+    import itertools
+    import os
+
+    from crypto_etl_airflow_spark.operators.dedup import _hashed_shingles
+
+    docs = _df(spark, CONT_DOCS)
+    waves = [[10], [11, 13], [12]]
+    results = []
+    for wi, perm in enumerate(itertools.permutations(waves)):
+        path = str(tmp_path / f"sh_{wi}")
+        pairs = set()
+        for ids in perm:
+            batch = docs.filter(docs.doc_id.isin(*ids))
+            if os.path.exists(path):
+                store = dedup_store.read_shingle_store(spark, path)
+            else:
+                store = _hashed_shingles(docs.limit(0), "doc_id", "text", 3)
+            pairs |= {
+                (r.contained_id, r.container_id, r.containment)
+                for r in dedup_store.incremental_containment_pairs(
+                    batch, store, n=3, threshold=0.9
+                ).collect()
+            }
+            dedup_store.write_shingle_store(batch, path, n=3)
+        results.append(pairs)
+    assert all(p == results[0] for p in results)
+    assert (10, 11, 1.0) in results[0]
