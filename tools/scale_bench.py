@@ -83,6 +83,7 @@ EXTRA_SCALE_QUERIES = (
     "dedup_lines_intradoc",
     "dedup_incremental_fingerprint",
     "dedup_incremental_simhash",
+    "dedup_incremental_containment",
     "export_jsonl_roundtrip",
     # embedding_semdedup_* are deliberately NOT here: their registered
     # nlist=16 is sized for the certification fixture, and SemDeDup's
