@@ -68,8 +68,21 @@ def write_minhash_store(
     written = upsert_append(
         docs.sparkSession, sigs, path, keys=[id_col], allow_empty=True
     )
+    _ensure_store_exists(sigs, path)
     _record_store_params(path, params)
     return written
+
+
+def _ensure_store_exists(df_like: DataFrame, path: str) -> None:
+    """A first write with an EMPTY batch must still CREATE the store
+    (schema'd, zero rows) — otherwise the empty-corpus case (a fresh
+    warehouse, an hour with no documents) leaves no parquet dir and
+    every subsequent ``read_*_store`` fails with PATH_NOT_FOUND
+    instead of degrading to an empty join."""
+    import os
+
+    if not os.path.isdir(path):
+        df_like.limit(0).write.mode("append").parquet(path)
 
 
 def _sidecar(path: str, name: str = "_minhash_store_params.json") -> str:
@@ -225,9 +238,11 @@ def write_fingerprint_store(
     fps = docs.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
     )
-    return upsert_append(
+    written = upsert_append(
         docs.sparkSession, fps, path, keys=[id_col], allow_empty=True
     )
+    _ensure_store_exists(fps, path)
+    return written
 
 
 def read_fingerprint_store(spark: SparkSession, path: str) -> DataFrame:
@@ -299,6 +314,7 @@ def write_simhash_store(
     written = upsert_append(
         docs.sparkSession, sims, path, keys=[id_col], allow_empty=True
     )
+    _ensure_store_exists(sims, path)
     _record_store_params(path, params, _SIMHASH_SIDECAR)
     return written
 
@@ -407,6 +423,7 @@ def write_shingle_store(
     written = _append_rows_idempotent_per_id(
         docs.sparkSession, sh, path, id_col
     )
+    _ensure_store_exists(sh, path)
     _record_store_params(path, params, _SHINGLE_SIDECAR)
     return written
 

@@ -40,6 +40,15 @@ RISKY = [
     "similarity_hybrid_rrf_topk",  # full-outer fusion of two empty top-Ns
     "dedup_substring_spans",    # island merge over empty window table
     "curation_pipeline_summary",  # chained ops + window over empty corpus
+    # round-9 additions: the store roundtrips pin the empty-first-write
+    # contract (an empty write must still CREATE a schema'd store —
+    # regression: PATH_NOT_FOUND on readback, fixed in dedup_store.py)
+    "dedup_incremental_fingerprint",
+    "dedup_incremental_simhash",
+    "dedup_incremental_containment",
+    "anomaly_mad_events",       # two grouped percentiles + division
+    "analytics_retention_cohorts",  # datediff offsets over no users
+    "export_jsonl_roundtrip",   # JSONL write/readback of zero rows
 ]
 
 

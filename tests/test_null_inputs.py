@@ -48,6 +48,13 @@ RISKY = [
     "text_blocklist_filter",
     "dedup_containment",
     "curation_pipeline_summary",
+    # round-9 additions (null text must be skipped by every store's
+    # signature stage; null event values by the MAD percentiles)
+    "dedup_incremental_fingerprint",
+    "dedup_incremental_simhash",
+    "dedup_incremental_containment",
+    "export_jsonl_roundtrip",
+    "anomaly_mad_events",
 ]
 
 
@@ -76,6 +83,14 @@ def nulls_sf(spark, tmp_path_factory):
                 (F.col("vec_id") + 900000).alias("vec_id"),
                 F.lit(None).cast("array<float>").alias("embedding"),
                 *[c for c in df.columns if c not in ("vec_id", "embedding")],
+            ).select(*df.columns)
+            df = df.unionByName(extra)
+        if t == "events":
+            # null measures must not break the MAD percentiles
+            extra = df.limit(3).select(
+                (F.col("event_id") + 900000).alias("event_id"),
+                *[c for c in df.columns if c not in ("event_id", "value")],
+                F.lit(None).cast("double").alias("value"),
             ).select(*df.columns)
             df = df.unionByName(extra)
         df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
