@@ -383,12 +383,15 @@ _SHINGLE_SIDECAR = "_shingle_store_params.json"
 
 def _append_rows_idempotent_per_id(
     spark: SparkSession, rows: DataFrame, path: str, id_col: str
-) -> int:
+) -> tuple[int, DataFrame]:
     """Multi-row-per-id form of ``upsert_append``'s anti-join
     discipline: append ALL rows of ids not yet in the store, skip
     every row of ids already registered (retry-safe; a doc's shingle
     set is all-or-nothing). ``upsert_append`` itself can't serve
-    here — its ``dropDuplicates(keys)`` keeps one row per key."""
+    here — its ``dropDuplicates(keys)`` keeps one row per key.
+    Returns ``(n, fresh)`` where ``fresh`` is the materialized frame
+    of rows actually appended — the exact delta sidecar maintenance
+    needs (a retried batch yields an EMPTY delta)."""
     from .upsert import _lineage_barrier, table_exists
 
     if table_exists(spark, path):
@@ -400,7 +403,51 @@ def _append_rows_idempotent_per_id(
     n = rows.count()
     if n:
         rows.write.mode("append").parquet(path)
-    return n
+    return n, rows
+
+
+def _df_path(path: str) -> str:
+    import os
+
+    # underscore-prefixed SUBDIR of the store: Spark's parquet reader
+    # ignores it, so reading the store never sees sidecar rows
+    return os.path.join(path, "_df")
+
+
+def _merge_df_counts(
+    spark: SparkSession, fresh_sh: DataFrame, df_path: str
+) -> None:
+    """Merge the freshly-appended rows' per-shingle doc counts into
+    the doc-frequency sidecar table ``(sh, df)`` — crash-safe
+    staging-dir swap, idempotent because ``fresh_sh`` is the
+    anti-joined delta (a retry contributes nothing)."""
+    import os
+    import tempfile
+
+    from .compact import swap_directory
+
+    new = fresh_sh.groupBy("sh").agg(F.count("*").cast("long").alias("df"))
+    if not os.path.isdir(df_path):
+        new.write.parquet(df_path)
+        return
+    if fresh_sh.isEmpty():
+        return
+    merged = (
+        spark.read.parquet(df_path)
+        .unionByName(new)
+        .groupBy("sh")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    staging = tempfile.mkdtemp(prefix="df_staging_")
+    os.rmdir(staging)  # parquet writer wants to create it
+    merged.write.parquet(staging)  # staging fully written BEFORE swap
+    swap_directory(staging, df_path)
+
+
+def read_shingle_df(spark: SparkSession, path: str) -> DataFrame:
+    """The maintained per-shingle doc-frequency table ``(sh, df)`` of
+    the shingle store at ``path``."""
+    return spark.read.parquet(_df_path(path))
 
 
 def write_shingle_store(
@@ -416,14 +463,24 @@ def write_shingle_store(
     and APPEND to the parquet store at ``path``, idempotently per id.
     The shingle width ``n`` is pinned by a sidecar: mixed-width stores
     would silently zero every containment score. Returns rows
-    appended (shingle rows, not docs)."""
+    appended (shingle rows, not docs).
+
+    The store also MAINTAINS a per-shingle doc-frequency sidecar
+    (``_df`` subdir, read via :func:`read_shingle_df`) merged from
+    exactly the freshly-appended delta — so the hot-shingle cap of
+    :func:`incremental_containment_pairs` can come from a
+    vocabulary-sized table instead of re-aggregating the store's
+    shingle rows on every ingest batch (the 100 TB steady-state
+    shape). Idempotent: a retried batch appends nothing, so it merges
+    nothing."""
     params = {"n": n}
     _validate_store_params(path, params, _SHINGLE_SIDECAR)
     sh = _hashed_shingles(docs, id_col, text_col, n)
-    written = _append_rows_idempotent_per_id(
+    written, fresh = _append_rows_idempotent_per_id(
         docs.sparkSession, sh, path, id_col
     )
     _ensure_store_exists(sh, path)
+    _merge_df_counts(docs.sparkSession, fresh, _df_path(path))
     _record_store_params(path, params, _SHINGLE_SIDECAR)
     return written
 
@@ -440,6 +497,7 @@ def incremental_containment_pairs(
     n: int = 3,
     threshold: float = 0.9,
     max_doc_freq: int | None = None,
+    df_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric containment pairs INVOLVING the new batch
     (|A∩B| / |A| ≥ threshold in either direction): batch×store and
@@ -450,28 +508,44 @@ def incremental_containment_pairs(
 
     Scale shape: the batch's shingle rows are the SMALL side of the
     one store join (AQE broadcasts them); candidate volume ∝ shingle
-    collisions with the batch, independent of |store|². The hot-cap
-    doc frequency is computed over store∪batch — at a steady-state
-    100 TB deployment maintain the per-shingle doc-frequency table
-    incrementally alongside the store (one grouped count per ingest)
-    instead of re-aggregating the store scan each batch; the cap
-    semantics are identical."""
+    collisions with the batch, independent of |store|². Per-doc sizes
+    (the containment denominators) are aggregated ONLY for docs that
+    appear in a candidate pair (semi-join restriction) — never a
+    corpus-wide size table. The hot-shingle cap comes from
+    ``df_counts`` when given — the store's maintained doc-frequency
+    sidecar (:func:`read_shingle_df`), a vocabulary-sized table the
+    operator tops up with the batch's own counts, avoiding any
+    store-wide re-aggregation — else it is computed over store∪batch
+    (identical semantics, one extra store scan)."""
     batch_sh = _reuse(_hashed_shingles(new_docs, id_col, text_col, n))
     store_sh = store.select(*batch_sh.columns)
-    all_sh = _reuse(store_sh.unionByName(batch_sh))
+    all_sh = store_sh.unionByName(batch_sh)
 
     if max_doc_freq is not None:
-        hot = (
-            all_sh.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("sh")
-        )
+        if df_counts is not None:
+            # sidecar covers the STORE; add the batch's own counts so
+            # the cap sees store∪batch — the batch-recompute semantics
+            batch_counts = batch_sh.groupBy("sh").agg(
+                F.count("*").cast("long").alias("df")
+            )
+            total = (
+                df_counts.select("sh", "df")
+                .unionByName(batch_counts)
+                .groupBy("sh")
+                .agg(F.sum("df").alias("df"))
+            )
+            hot = total.filter(F.col("df") > max_doc_freq).select("sh")
+        else:
+            hot = (
+                all_sh.groupBy("sh")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") > max_doc_freq)
+                .select("sh")
+            )
         hot = _reuse(hot)  # consumed by three anti-joins below
         batch_sh = batch_sh.join(F.broadcast(hot), "sh", "left_anti")
         store_sh = store_sh.join(F.broadcast(hot), "sh", "left_anti")
         all_sh = all_sh.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = all_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
     # store×batch rows appear exactly once (ids disjoint by contract);
     # batch×batch pairs come from the self-join with the a<b filter —
@@ -484,7 +558,7 @@ def incremental_containment_pairs(
         .join(batch_sh.select(F.col(id_col).alias("__idb"), "sh"), "sh")
         .filter(F.col("__ida") < F.col("__idb"))
     )
-    common = (
+    common = _reuse(
         sb_leg.unionByName(bb_leg)
         .select(
             F.least("__ida", "__idb").alias("id_a"),
@@ -492,5 +566,18 @@ def incremental_containment_pairs(
         )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
+    )
+    # candidate-restricted sizes: |kept shingles| only for docs that
+    # appear in some pair — candidates are sparse, so the agg state is
+    # bounded by candidate count, not corpus size
+    involved = (
+        common.select(F.col("id_a").alias(id_col))
+        .unionByName(common.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sizes = (
+        all_sh.join(involved, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shingles"))
     )
     return containment_directions(common, sizes, id_col, threshold)

@@ -330,7 +330,11 @@ def dedup_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame
     itself, joins the store's rows, and scores both containment
     directions. Excerpt ids (+2000000 ≡ 0 mod 4) keep their source's
     residue, so store-excerpt×batch-source and batch×batch legs are
-    both exercised. The sidecar pins the shingle width n."""
+    both exercised. The sidecar pins the shingle width n; the
+    hot-shingle cap reads the store's MAINTAINED doc-frequency
+    sidecar (read_shingle_df) — the steady-state path that never
+    re-aggregates the store's shingle rows — so the sidecar
+    maintenance itself is inside the certified pipeline."""
     import os
     import tempfile
 
@@ -351,7 +355,8 @@ def dedup_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame
         dedup_store.write_shingle_store(store_docs, path, n=3)
         store = dedup_store.read_shingle_store(spark, path)
         out = dedup_store.incremental_containment_pairs(
-            batch, store, n=3, threshold=0.9, max_doc_freq=_NGRAM_DF_CAP
+            batch, store, n=3, threshold=0.9, max_doc_freq=_NGRAM_DF_CAP,
+            df_counts=dedup_store.read_shingle_df(spark, path),
         )
         rows = out.collect()
     return spark.createDataFrame(rows, out.schema)

@@ -385,3 +385,63 @@ def test_shingle_store_order_invariance(spark, tmp_path):
         results.append(pairs)
     assert all(p == results[0] for p in results)
     assert (10, 11, 1.0) in results[0]
+
+
+def test_shingle_df_sidecar_matches_recompute(spark, tmp_path):
+    """The maintained doc-frequency sidecar must equal a from-scratch
+    aggregation of the store's shingle rows after ANY append sequence,
+    and a retried batch must not double-count."""
+    path = str(tmp_path / "shingles")
+    docs = _df(spark, CONT_DOCS)
+    for ids in ([10], [11, 13], [12]):
+        dedup_store.write_shingle_store(
+            docs.filter(docs.doc_id.isin(*ids)), path, n=3
+        )
+    # retry the middle wave: appends nothing, merges nothing
+    dedup_store.write_shingle_store(
+        docs.filter(docs.doc_id.isin(11, 13)), path, n=3
+    )
+    maintained = {
+        (r.sh, r.df)
+        for r in dedup_store.read_shingle_df(spark, path).collect()
+    }
+    from pyspark.sql import functions as F
+
+    recomputed = {
+        (r.sh, r.df)
+        for r in dedup_store.read_shingle_store(spark, path)
+        .groupBy("sh")
+        .agg(F.count("*").cast("long").alias("df"))
+        .collect()
+    }
+    assert maintained == recomputed
+    assert maintained  # non-trivial
+
+
+def test_incremental_containment_df_sidecar_path_equal(spark, tmp_path):
+    """df_counts (sidecar) and recompute paths must produce identical
+    pairs — the property that licenses the no-store-reaggregation
+    fast path."""
+    path = str(tmp_path / "shingles")
+    docs = _df(spark, CONT_DOCS)
+    batch_ids = {10, 12}
+    store_docs = docs.filter(~docs.doc_id.isin(*batch_ids))
+    batch = docs.filter(docs.doc_id.isin(*batch_ids))
+    dedup_store.write_shingle_store(store_docs, path, n=3)
+    store = dedup_store.read_shingle_store(spark, path)
+    kw = dict(n=3, threshold=0.5, max_doc_freq=2)  # cap actually bites
+    a = {
+        tuple(r)
+        for r in dedup_store.incremental_containment_pairs(
+            batch, store, **kw
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in dedup_store.incremental_containment_pairs(
+            batch, store,
+            df_counts=dedup_store.read_shingle_df(spark, path), **kw
+        ).collect()
+    }
+    assert a == b
+    assert a  # the cap at 2 must still leave pairs
