@@ -1,0 +1,200 @@
+"""Persisted IVF-flat ANN index — the similarity-search analogue of
+the dedup signature stores (operators/dedup_store.py).
+
+The batch operator (operators/similarity.py::cosine_topk_ivf) re-trains
+the coarse quantizer and re-assigns the whole corpus on every call —
+right for a one-shot sweep, wrong for the steady state: a query
+workload against a 100 TB embedding corpus must not re-cluster 100 TB
+per query batch, and an hourly ingest must not either. The standard
+production shape (FAISS/Milvus IVF semantics, re-expressed as parquet +
+DataFrame ops):
+
+1. ``build_ivf_index`` trains the deterministic quantizer ONCE and
+   persists two tables: ``centroids`` (nlist rows, kilobytes) and
+   ``lists`` — every corpus vector under its nearest centroid,
+   **partitioned by centroid_id**, so each inverted list is a
+   physically co-located parquet partition;
+2. ``add_to_ivf_index`` assigns an ingest batch with the FROZEN
+   quantizer (standard IVF practice — retrain = rebuild) and appends
+   only the batch's rows, idempotently per id;
+3. ``query_ivf_index`` probes the ``nprobe`` nearest lists per query
+   vector; the centroid→list join prunes the ``lists`` scan to the
+   probed partitions (partition pruning / DPP — at nprobe=4,
+   nlist=1024 a query batch reads ~0.4% of the index).
+
+The quantizer is deterministic (lowest-id seeds + one rounded
+refinement, operators/similarity.py::ivf_centroids), so the whole
+index — build, add, query — is recomputable in ANSI SQL and certified
+value-for-value by the driver oracle
+(plans/extensions.py::similarity_topk_ivf_indexed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot as _dot, norm as _norm
+from .similarity import _nearest_centroid, ivf_centroids
+
+_PARAMS_SIDECAR = "_ivf_index_params.json"
+
+
+def _sidecar(path: str) -> str:
+    import os
+
+    return os.path.join(path, _PARAMS_SIDECAR)
+
+
+def _validate_params(path: str, params: dict) -> None:
+    """One quantizer per index: vectors assigned under a different
+    (nlist, dim) regime would silently corrupt recall."""
+    import json
+    import os
+
+    if os.path.exists(_sidecar(path)):
+        with open(_sidecar(path)) as f:
+            existing = json.load(f)
+        if existing != params:
+            raise ValueError(
+                f"ivf index {path} was built with {existing}; "
+                f"refusing to mix with {params}"
+            )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+) -> None:
+    """Train the deterministic quantizer on ``corpus`` and persist the
+    index: ``{path}/centroids`` (centroid_id, c_vec, c_norm — nlist
+    rows) and ``{path}/lists`` (neighbor_id, c_v, c_nrm) PARTITIONED
+    BY centroid_id — one co-located parquet partition per inverted
+    list, the layout that lets a query read only its probed lists."""
+    import json
+    import os
+
+    params = {"nlist": nlist}
+    _validate_params(path, params)
+    cents = ivf_centroids(corpus, id_col, vec_col, nlist)
+    cents.write.mode("error").parquet(f"{path}/centroids")
+    lists = _nearest_centroid(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_v"),
+        ),
+        cents,
+        "neighbor_id",
+        "c_v",
+    ).withColumn("c_nrm", _norm(F.col("c_v")))
+    lists.write.mode("error").partitionBy("centroid_id").parquet(
+        f"{path}/lists"
+    )
+    with open(_sidecar(path), "w") as f:
+        json.dump(params, f)
+
+
+def read_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/centroids")
+
+
+def read_ivf_lists(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/lists")
+
+
+def add_to_ivf_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Assign ``new_vecs`` with the index's FROZEN quantizer and
+    append them to their lists, idempotently per id (the signature-
+    store anti-join discipline). The quantizer never retrains on add —
+    identical to FAISS ``add`` semantics; rebuild when drift warrants.
+    Returns vectors appended."""
+    from .upsert import _lineage_barrier
+
+    spark = new_vecs.sparkSession
+    cents = read_ivf_centroids(spark, path)
+    existing = read_ivf_lists(spark, path).select(
+        F.col("neighbor_id").alias(id_col)
+    )
+    fresh = new_vecs.join(existing, id_col, "left_anti")
+    assigned = _nearest_centroid(
+        fresh.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_v"),
+        ),
+        cents,
+        "neighbor_id",
+        "c_v",
+    ).withColumn("c_nrm", _norm(F.col("c_v")))
+    assigned = _lineage_barrier(spark, assigned, None)
+    n = assigned.count()
+    if n:
+        assigned.write.mode("append").partitionBy("centroid_id").parquet(
+            f"{path}/lists"
+        )
+    return n
+
+
+def query_ivf_index(
+    probes: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Cosine top-k against the persisted index: probes score only the
+    vectors of their ``nprobe`` nearest lists. Same output schema as
+    ``cosine_topk_ivf`` (probe_id, neighbor_id, cosine_sim, rank).
+
+    Scale shape: centroids broadcast (nlist rows); the probe-lists →
+    lists join carries the partition column, so the ``lists`` scan
+    prunes to the probed centroid partitions (dynamic partition
+    pruning) — per-query-batch reads are ~nprobe/nlist of the index,
+    never a full scan."""
+    spark = probes.sparkSession
+    cents = read_ivf_centroids(spark, path)
+    lists = read_ivf_lists(spark, path)
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("p_v"),
+    ).withColumn("p_nrm", _norm(F.col("p_v")))
+    p_scored = p.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", _dot(F.col("p_v"), F.col("c_vec")) / F.col("c_norm")
+    )
+    wp = W.partitionBy("probe_id").orderBy(
+        F.desc("__sim"), F.asc("centroid_id")
+    )
+    p_lists = (
+        p_scored.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("probe_id", "p_v", "p_nrm", "centroid_id")
+    )
+    scored = (
+        p_lists.join(lists, "centroid_id")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("p_v"), F.col("c_v"))
+                / (F.col("p_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1676,18 +1676,31 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(k: int = 5, nlist: int = 16, nprobe: int = 4) -> str:
+def _ivf_oracle(
+    k: int = 5, nlist: int = 16, nprobe: int = 4,
+    train_mod: int | None = None,
+) -> str:
     """DuckDB mirror of the FULL deterministic IVF-flat pipeline
     (operators/similarity.py::cosine_topk_ivf): lowest-id seed
     centroids, one k-means refinement whose per-component means are
     rounded to 6 decimals in BOTH engines (identical doubles from
     then on), nearest-list assignment with lowest-centroid tiebreak,
-    nprobe search, scoring, ranking — value-for-value."""
+    nprobe search, scoring, ranking — value-for-value. ``train_mod``
+    restricts quantizer TRAINING to vec_id % train_mod != 0 while
+    assignment covers every vector — the frozen-quantizer
+    build+add contract of the persisted index
+    (operators/ann_index.py)."""
+    train = (
+        f"WHERE vec_id % {train_mod} != 0" if train_mod is not None else ""
+    )
+    train_and = (
+        f"WHERE v.vec_id % {train_mod} != 0" if train_mod is not None else ""
+    )
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     seeds AS (
         SELECT vec_id AS centroid_id, e AS c_vec
-        FROM v ORDER BY vec_id LIMIT {nlist}
+        FROM v {train} ORDER BY vec_id LIMIT {nlist}
     ),
     assign0 AS (
         SELECT vec_id, centroid_id FROM (
@@ -1697,7 +1710,7 @@ def _ivf_oracle(k: int = 5, nlist: int = 16, nprobe: int = 4) -> str:
                        ORDER BY list_dot_product(v.e, s.c_vec)
                                 / sqrt(list_dot_product(s.c_vec, s.c_vec)) DESC,
                                 s.centroid_id) AS rn
-            FROM v, seeds s
+            FROM v, seeds s {train_and}
         ) WHERE rn = 1
     ),
     comp AS (
@@ -1766,6 +1779,39 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 50)
     return similarity.cosine_topk_ivf(probes, emb, k=5, nlist=16, nprobe=4)
+
+
+@register(
+    "similarity_topk_ivf_indexed",
+    oracle=_ivf_oracle(train_mod=4),
+    tags=("similarity", "extension", "approx", "incremental"),
+)
+def similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search against a PERSISTED IVF index
+    (operators/ann_index.py) — the steady-state form of
+    ``similarity_topk_ivf``: the quantizer trains ONCE on the store
+    slice (vec_id % 4 != 0) and the index persists as centroids +
+    per-centroid-partitioned inverted lists; the ingest batch
+    (vec_id % 4 = 0) is ADDED with the frozen quantizer (no retrain —
+    FAISS add semantics); queries probe 4 of 16 lists with the lists
+    scan pruned to the probed partitions. Build + idempotent add +
+    partition-pruned query are all inside this certified path."""
+    import os
+    import tempfile
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store_vecs = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    probes = emb.filter(F.col("vec_id") < 50)
+    with tempfile.TemporaryDirectory(prefix="ivf_index_") as tmp:
+        path = os.path.join(tmp, "index")
+        ann_index.build_ivf_index(store_vecs, path, nlist=16)
+        ann_index.add_to_ivf_index(batch, path)
+        out = ann_index.query_ivf_index(probes, path, k=5, nprobe=4)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(

@@ -1,0 +1,94 @@
+"""Persisted IVF index (operators/ann_index.py): build/add/query
+roundtrip equality with the batch operator, idempotent add, frozen
+quantizer, partition layout, params guard."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_etl_airflow_spark.operators import ann_index
+from crypto_etl_airflow_spark.operators.similarity import cosine_topk_ivf
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_index_query_equals_batch_operator(spark, emb, tmp_path):
+    """Built on the FULL corpus, the persisted index must answer
+    exactly like the one-shot operator (same quantizer, same lists)."""
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(emb, path, nlist=8)
+    probes = emb.filter(F.col("vec_id") < 20)
+    got = sorted(
+        tuple(r)
+        for r in ann_index.query_ivf_index(
+            probes, path, k=3, nprobe=2
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in cosine_topk_ivf(probes, emb, k=3, nlist=8, nprobe=2).collect()
+    )
+    assert got == want and got
+
+
+def test_lists_are_partitioned_by_centroid(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(emb, path, nlist=8)
+    parts = glob.glob(f"{path}/lists/centroid_id=*")
+    assert len(parts) >= 2  # physically co-located inverted lists
+    # every corpus vector is in exactly one list
+    n = ann_index.read_ivf_lists(spark, path).count()
+    assert n == emb.count()
+
+
+def test_add_is_idempotent_and_quantizer_frozen(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    store = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    ann_index.build_ivf_index(store, path, nlist=8)
+    cents_before = sorted(
+        tuple(r) for r in ann_index.read_ivf_centroids(spark, path).collect()
+    )
+    n1 = ann_index.add_to_ivf_index(batch, path)
+    assert n1 == batch.count()
+    assert ann_index.add_to_ivf_index(batch, path) == 0  # retry-safe
+    # add never retrains: centroids byte-identical
+    cents_after = sorted(
+        tuple(r) for r in ann_index.read_ivf_centroids(spark, path).collect()
+    )
+    assert cents_before == cents_after
+    assert ann_index.read_ivf_lists(spark, path).count() == emb.count()
+    # added vectors landed in their frozen-quantizer-nearest list:
+    # querying an added vector as its own probe finds it impossible
+    # (self excluded) but its exact duplicates/neighbors still rank
+    out = ann_index.query_ivf_index(
+        emb.filter(F.col("vec_id") < 10), path, k=3, nprobe=2
+    )
+    assert out.count() > 0
+    assert out.filter(F.col("probe_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_index_params_guard(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(emb, path, nlist=8)
+    with pytest.raises(ValueError, match="refusing to mix"):
+        ann_index.build_ivf_index(emb, path, nlist=16)
+
+
+def test_query_plan_prunes_list_partitions(spark, emb, tmp_path):
+    """The lists scan must carry a dynamic-partition-pruning filter on
+    centroid_id — the property that makes per-query reads
+    ~nprobe/nlist of the index instead of a full scan."""
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(emb, path, nlist=8)
+    probes = emb.filter(F.col("vec_id") < 5)
+    out = ann_index.query_ivf_index(probes, path, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
