@@ -84,6 +84,7 @@ EXTRA_SCALE_QUERIES = (
     "dedup_incremental_fingerprint",
     "dedup_incremental_simhash",
     "dedup_incremental_containment",
+    "similarity_topk_ivf_indexed",
     "export_jsonl_roundtrip",
     # embedding_semdedup_* are deliberately NOT here: their registered
     # nlist=16 is sized for the certification fixture, and SemDeDup's
