@@ -143,6 +143,35 @@ def add_to_ivf_index(
     return n
 
 
+def compact_ivf_lists(spark: SparkSession, path: str) -> int:
+    """Rewrite the ``lists`` table into one file per inverted list,
+    PRESERVING the centroid_id partition layout (the generic
+    ``operators/compact.py::compact`` would flatten it, breaking
+    partition pruning). Every ``add_to_ivf_index`` appends one small
+    file per touched partition, so a steady ingest accretes
+    task-per-tiny-file overhead — compaction is the standard index
+    maintenance step (FAISS has no analogue because it rewrites
+    in-memory; OPTIMIZE on a lakehouse table is the same move).
+    Crash-safe via the staging-dir swap. Returns the new parquet file
+    count."""
+    from .compact import parquet_file_count, recover_tree, swap_directory
+
+    lists_path = f"{path.rstrip('/')}/lists"
+    recover_tree(lists_path)
+    df = spark.read.parquet(lists_path)
+    staging = lists_path + ".__compact_tmp"
+    # hash-repartition on the partition column: each centroid's rows
+    # land in exactly one task, so each partition dir gets ONE file
+    (
+        df.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(staging)
+    )
+    swap_directory(staging, lists_path)
+    return parquet_file_count(lists_path)
+
+
 def query_ivf_index(
     probes: DataFrame,
     path: str,

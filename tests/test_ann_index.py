@@ -92,3 +92,36 @@ def test_query_plan_prunes_list_partitions(spark, emb, tmp_path):
     out = ann_index.query_ivf_index(probes, path, k=3, nprobe=2)
     plan = out._jdf.queryExecution().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_compact_preserves_layout_and_results(spark, emb, tmp_path):
+    """Compaction must collapse per-add file accretion to one file per
+    inverted list WITHOUT flattening the partition layout or changing
+    query answers."""
+    from crypto_etl_airflow_spark.operators.compact import (
+        parquet_file_count,
+    )
+
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(emb.filter(F.col("vec_id") % 4 == 1), path,
+                              nlist=8)
+    for r in (2, 3, 0):
+        ann_index.add_to_ivf_index(emb.filter(F.col("vec_id") % 4 == r), path)
+    probes = emb.filter(F.col("vec_id") < 10)
+    before = sorted(
+        tuple(r)
+        for r in ann_index.query_ivf_index(probes, path, k=3, nprobe=2).collect()
+    )
+    n_before = parquet_file_count(f"{path}/lists")
+    n_after = ann_index.compact_ivf_lists(spark, path)
+    assert n_after < n_before  # the per-add accretion is gone
+    parts = glob.glob(f"{path}/lists/centroid_id=*")
+    assert parts  # layout preserved -> partition pruning still works
+    assert all(
+        len(glob.glob(f"{p}/*.parquet")) == 1 for p in parts
+    )  # one file per inverted list
+    after = sorted(
+        tuple(r)
+        for r in ann_index.query_ivf_index(probes, path, k=3, nprobe=2).collect()
+    )
+    assert after == before
