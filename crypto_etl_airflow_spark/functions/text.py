@@ -126,3 +126,37 @@ def fingerprint(text: Column) -> Column:
     whitespace-normalized, lower-cased text. Exact-dedup key."""
     normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(normalized)
+
+
+# Latin diacritic fold (CCNet-style pre-dedup normalization): an
+# EXPLICIT 1:1 mapping shared with the DuckDB oracles (built from the
+# same constants), NOT a library NFD pass — unicodedata/ICU versions
+# disagree at the margins, an explicit table cannot. Groups are
+# concatenated separately so the FROM/TO alignment is reviewable;
+# tests assert equal lengths.
+ACCENT_FROM = (
+    "àáâãäå" "èéêë" "ìíîï" "òóôõö" "ùúûü" "ç" "ñ" "ýÿ"
+    "ÀÁÂÃÄÅ" "ÈÉÊË" "ÌÍÎÏ" "ÒÓÔÕÖ" "ÙÚÛÜ" "Ç" "Ñ" "Ý"
+)
+ACCENT_TO = (
+    "aaaaaa" "eeee" "iiii" "ooooo" "uuuu" "c" "n" "yy"
+    "AAAAAA" "EEEE" "IIII" "OOOOO" "UUUU" "C" "N" "Y"
+)
+# 1:N expansions translate() can't express
+ACCENT_EXPANSIONS = (("ß", "ss"), ("æ", "ae"), ("œ", "oe"),
+                     ("Æ", "AE"), ("Œ", "OE"))
+
+
+def strip_accents_latin(text: Column) -> Column:
+    """Fold Latin diacritics to their base letters (à→a, Ç→C, ß→ss,
+    œ→oe …) — the normalization step CCNet-style pipelines run before
+    fingerprinting/shingling so 'café' and 'cafe' deduplicate. Pure
+    ``translate`` + a few fixed ``replace``s: codegen-resident, zero
+    shuffle, and byte-reproducible in any engine that shares the
+    mapping table (the DuckDB oracle builds its SQL from these same
+    constants). Scope is the explicit table only — non-Latin scripts
+    pass through untouched by design."""
+    out = F.translate(text, ACCENT_FROM, ACCENT_TO)
+    for src, dst in ACCENT_EXPANSIONS:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out

@@ -69,6 +69,66 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _accent_oracle() -> str:
+    """DuckDB mirror of functions/text.py::strip_accents_latin, built
+    from the SAME mapping constants so the two engines cannot drift."""
+    from ..functions.text import ACCENT_EXPANSIONS, ACCENT_FROM, ACCENT_TO
+
+    expr = f"translate(text, '{ACCENT_FROM}', '{ACCENT_TO}')"
+    for src, dst in ACCENT_EXPANSIONS:
+        expr = f"replace({expr}, '{src}', '{dst}')"
+    return f"""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 2
+                    THEN 'Électricité générale déjà vu: ÀÇÑß æŒ naïveté — '
+                         || text
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id, {expr} AS text_norm,
+           CAST(({expr} != text) AS BOOLEAN) AS changed
+    FROM aug
+    """
+
+
+@register(
+    "text_strip_accents",
+    oracle=_accent_oracle(),
+    tags=("text", "curation", "extension"),
+)
+def text_strip_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latin diacritic folding (functions/text.py::
+    strip_accents_latin) — the CCNet-style normalization run before
+    fingerprinting so 'café'/'cafe' deduplicate. The fixture corpus is
+    pure ASCII, so every 10th document gets an accented banner
+    injected (doc_id % 10 = 2) and the normalized text is certified
+    BYTE-FOR-BYTE against a DuckDB oracle generated from the same
+    mapping constants. Shuffle-free projection; non-Latin scripts
+    (the zh arm) pass through untouched."""
+    from ..functions.text import strip_accents_latin
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 2,
+            F.concat(
+                F.lit("Électricité générale déjà vu: ÀÇÑß æŒ naïveté — "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    norm = strip_accents_latin(F.col("text"))
+    return aug.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
 @register(
     "text_language_id",
     oracle=f"""

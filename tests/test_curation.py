@@ -291,3 +291,29 @@ def test_blocklist_url_and_badword_semantics(spark):
     # exact-token match only — the Scunthorpe guard
     assert out[2].nw == 1 and out[2].nb == 0
     assert out[3].domains == [] and out[3].nb == 0 and out[3].nw == 0
+
+
+def test_strip_accents_latin_known_values(spark):
+    """Byte-exact folds for the explicit mapping table, pass-through
+    for non-Latin scripts, and FROM/TO alignment."""
+    from crypto_etl_airflow_spark.functions.text import (
+        ACCENT_FROM,
+        ACCENT_TO,
+        strip_accents_latin,
+    )
+    from pyspark.sql import functions as F
+
+    assert len(ACCENT_FROM) == len(ACCENT_TO)
+    assert len(set(ACCENT_FROM)) == len(ACCENT_FROM)  # no dup keys
+    cases = [
+        ("café crème brûlée", "cafe creme brulee"),
+        ("ÀÉÎÕÜ çÇ ñÑ ýÿÝ", "AEIOU cC nN yyY"),
+        ("Straße cœur Æther", "Strasse coeur AEther"),
+        ("plain ascii 123", "plain ascii 123"),
+        ("中文不变 русский", "中文不变 русский"),  # out of scope: untouched
+    ]
+    df = spark.createDataFrame(cases, "s string, want string").select(
+        strip_accents_latin(F.col("s")).alias("got"), "want"
+    )
+    for r in df.collect():
+        assert r.got == r.want, (r.got, r.want)
