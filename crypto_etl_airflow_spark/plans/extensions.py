@@ -1739,6 +1739,7 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_oracle(
     k: int = 5, nlist: int = 16, nprobe: int = 4,
     train_mod: int | None = None,
+    train_where: str | None = None,
 ) -> str:
     """DuckDB mirror of the FULL deterministic IVF-flat pipeline
     (operators/similarity.py::cosine_topk_ivf): lowest-id seed
@@ -1749,13 +1750,16 @@ def _ivf_oracle(
     restricts quantizer TRAINING to vec_id % train_mod != 0 while
     assignment covers every vector — the frozen-quantizer
     build+add contract of the persisted index
-    (operators/ann_index.py)."""
-    train = (
-        f"WHERE vec_id % {train_mod} != 0" if train_mod is not None else ""
-    )
-    train_and = (
-        f"WHERE v.vec_id % {train_mod} != 0" if train_mod is not None else ""
-    )
+    (operators/ann_index.py); ``train_where`` takes an arbitrary
+    training predicate instead (e.g. the first arrival wave of the
+    streaming ingest form)."""
+    pred = None
+    if train_mod is not None:
+        pred = f"vec_id % {train_mod} != 0"
+    if train_where is not None:
+        pred = train_where
+    train = f"WHERE {pred}" if pred else ""
+    train_and = f"WHERE v.{pred}" if pred else ""
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     seeds AS (

@@ -27,7 +27,11 @@ from ..sources.tables import load_table
 # the streaming incremental dedup certifies against the SAME oracle
 # family as the batch incremental query (no import cycle: extensions
 # does not import this module)
-from .extensions import _FP_STORE_SQL, _incremental_minhash_oracle
+from .extensions import (
+    _FP_STORE_SQL,
+    _incremental_minhash_oracle,
+    _ivf_oracle,
+)
 from ..streaming.ingest import ingest_events_stream
 from ..streaming.runner import run_append_to_memory, run_complete_to_memory
 from ..streaming.sources import stream_events
@@ -407,6 +411,72 @@ def streaming_dedup_incremental_fingerprint(
         out = spark.read.parquet(sink_path).select(
             "id_a", "id_b", "fingerprint"
         )
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "streaming_ann_index_ingest",
+    # the FIRST arrival wave trains the quantizer (build), later waves
+    # are added frozen — so the drained index equals a batch
+    # build-on-wave0 + add-the-rest, which is what the oracle
+    # recomputes (training restricted to vec_id % 3 = 0, assignment
+    # over everything)
+    oracle=_ivf_oracle(train_where="vec_id % 3 = 0"),
+    tags=("streaming", "similarity", "incremental", "approx"),
+)
+def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN-index ingest (operators/ann_index.py) as a real
+    Structured Streaming query: embeddings arrive in three
+    micro-batches (file source, maxFilesPerTrigger=1, availableNow);
+    inside ``foreachBatch`` the FIRST wave builds the index (trains
+    the deterministic quantizer), every later wave is ADDED with the
+    frozen quantizer — the steady-state vector-ingest shape. After the
+    stream drains, probes (vec_id < 50) query the persisted index with
+    partition-pruned list reads; the result must equal the batch
+    build+add pipeline, which the oracle recomputes in SQL."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    with tempfile.TemporaryDirectory(prefix="stream_ann_") as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for k in range(3):
+            staging = os.path.join(tmp, f"stage{k}")
+            emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(
+                staging
+            )
+            part = globmod.glob(f"{staging}/part-*.parquet")[0]
+            shutil.copy(part, os.path.join(src, f"wave{k}.parquet"))
+
+        index_path = os.path.join(tmp, "index")
+
+        def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            if os.path.isdir(index_path):
+                ann_index.add_to_ivf_index(batch_df, index_path)
+            else:  # first wave trains the quantizer
+                ann_index.build_ivf_index(batch_df, index_path, nlist=16)
+
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(src)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        probes = emb.filter(F.col("vec_id") < 50)
+        out = ann_index.query_ivf_index(probes, index_path, k=5, nprobe=4)
         rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
 
