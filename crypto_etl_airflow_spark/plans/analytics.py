@@ -597,11 +597,17 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.6745·(x−median)/MAD > 3.5) — the companion to
     ``anomaly_zscore_events`` that heavy-tailed metrics need: mean
     and stddev are themselves dragged by the outliers they're meant
-    to flag, median/MAD are not. Two grouped exact percentiles
-    (per-type partitions, bounded by type cardinality — at true
-    100 TB per-type volume, swap in ``approx_percentile`` like the
-    quantile gate documents) with the tiny per-type stats broadcast
-    back; both engines interpolate percentiles identically.
+    to flag, median/MAD are not. Both exact medians are computed in
+    WINDOW form — sort by (event_type, value), pick the middle
+    row(s) by ``row_number`` vs the partition count, average them —
+    instead of a grouped ``percentile`` aggregate: the agg buffers
+    each type's full value list in memory (non-spillable, an OOM at
+    100 TB per-type volume), while WindowExec sorts through
+    ``UnsafeExternalSorter`` and spills. Middle-row selection
+    reproduces ``percentile_cont(0.5)`` exactly (odd n → the middle
+    value, even n → the mean of the two middles), so the DuckDB
+    oracle is unchanged. The residual scale limit is inherent to
+    exact per-group medians: one sorted partition per event_type.
 
     MAD degeneracy (ADVICE r8): when ≥50% of a group's values equal
     the median, MAD is 0 and the modified z-score divides by zero —
@@ -610,16 +616,33 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation: (x − median)/(1.253314·meanAD). If meanAD is also 0
     the group is constant and has no outliers (score NULL, filtered)."""
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
-    )
+
+    def _windowed_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        # Exact percentile_cont(0.5) without a grouped list buffer:
+        # one spillable sort per type, then the middle row(s).
+        df = df.filter(F.col(col).isNotNull())  # percentile/percentile_cont skip nulls
+        wo = W.partitionBy("event_type").orderBy(col)
+        wf = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ranked = df.select(
+            "event_type",
+            col,
+            F.row_number().over(wo).alias("rn"),
+            F.count(F.lit(1)).over(wf).alias("cnt"),
+        )
+        mid = ranked.filter(
+            (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+        )
+        return mid.groupBy("event_type").agg(F.avg(col).alias(out))
+
+    med = _windowed_median(ev, "value", "med")
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_id", "event_type", "value", "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad"),
-        F.avg("adev").alias("meanad"),
+    mad = _windowed_median(dev, "adev", "mad").join(
+        dev.groupBy("event_type").agg(F.avg("adev").alias("meanad")),
+        "event_type",
     )
     rz = (
         F.when(
