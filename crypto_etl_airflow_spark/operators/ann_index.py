@@ -102,8 +102,29 @@ def read_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/centroids")
 
 
+_LISTS_SCHEMA = (
+    "neighbor_id long, c_v array<double>, c_nrm double, centroid_id long"
+)
+
+
 def read_ivf_lists(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(f"{path}/lists")
+    """Read the inverted lists. An index built on an EMPTY corpus is
+    legal (a fresh warehouse): its partitioned zero-row write leaves a
+    lists dir with no parquet footers, so schema inference fails —
+    degrade to the canonical zero-row schema instead of raising. A
+    MISSING dir still raises (wrong path is user error, not an empty
+    index)."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    lists_path = f"{path}/lists"
+    try:
+        return spark.read.parquet(lists_path)
+    except AnalysisException:
+        if os.path.isdir(lists_path):
+            return spark.createDataFrame([], _LISTS_SCHEMA)
+        raise
 
 
 def add_to_ivf_index(

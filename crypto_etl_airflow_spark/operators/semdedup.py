@@ -123,3 +123,82 @@ def semdedup_keep(
         "centroid_id",
         F.coalesce("__dup", F.lit(False)).alias("is_duplicate"),
     )
+
+
+def incremental_semantic_pairs(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup in its steady-state form: within-cluster cosine pairs
+    INVOLVING a new ingest batch, searched against the PERSISTED IVF
+    index (operators/ann_index.py) — batch×store and batch×batch,
+    never store×store. Completes the incremental family alongside the
+    MinHash / fingerprint / SimHash / shingle stores
+    (operators/dedup_store.py): the embedding corpus is signatured
+    (assigned + normed) once into the index; an ingest batch is
+    assigned with the FROZEN quantizer and compared only within its
+    clusters. Run BEFORE ``add_to_ivf_index`` for the batch (ids
+    must be disjoint between batch and store); append after.
+
+    Returns ``(centroid_id, id_a, id_b, cosine_sim)`` with
+    id_a < id_b and cosine_sim ≥ threshold (rounded to 6) — the
+    :func:`semdedup_pairs` contract under the index's frozen
+    quantizer, restricted to batch-involving pairs.
+
+    Scale shape: the store side reads PERSISTED assignments and norms
+    (no re-scoring, no re-clustering of the corpus — the point of the
+    store); the batch's assigned rows are the small side of the one
+    ``centroid_id`` join, so AQE broadcasts them against the lists
+    scan; candidate volume is Σ_c |store_c|·|batch_c| — linear in the
+    store for a fixed batch. The failure mode is the same as batch
+    SemDeDup: a skewed giant cluster (grow nlist; rebuild)."""
+    from .ann_index import read_ivf_centroids, read_ivf_lists
+    from .dedup import _reuse
+
+    spark = new_vecs.sparkSession
+    cents = read_ivf_centroids(spark, path)
+    batch = _reuse(
+        _nearest_centroid(
+            new_vecs.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+            ),
+            cents,
+            id_col,
+            "v",
+        ).withColumn("nrm", _norm(F.col("v")))
+    )
+    b_side = batch.select(
+        "centroid_id", F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    # store×batch rows appear exactly once (ids disjoint by contract);
+    # batch×batch comes from the self-join with the a<b filter — the
+    # two-leg union needs no distinct over candidate rows
+    sb_leg = read_ivf_lists(spark, path).select(
+        "centroid_id", F.col("neighbor_id").alias("id_a"),
+        F.col("c_v").alias("va"), F.col("c_nrm").alias("na"),
+    ).join(b_side, "centroid_id")
+    bb_leg = (
+        batch.select(
+            "centroid_id", F.col(id_col).alias("id_a"),
+            F.col("v").alias("va"), F.col("nrm").alias("na"),
+        )
+        .join(b_side, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        sb_leg.unionByName(bb_leg)
+        .select(
+            "centroid_id",
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

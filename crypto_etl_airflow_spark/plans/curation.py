@@ -1501,12 +1501,17 @@ def filter_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # DuckDB mirror of the deterministic IVF clustering through nearest-
-# centroid assignment (same CTE chain as _ivf_oracle in extensions.py)
-_SEMDEDUP_CLUSTERS_SQL = """
+# centroid assignment (same CTE chain as _ivf_oracle in extensions.py);
+# train_where restricts quantizer TRAINING (seeds + refinement) while
+# assignment covers every vector — the frozen-quantizer store contract
+def _semdedup_clusters_sql(train_where: str | None = None) -> str:
+    train = f"WHERE {train_where}" if train_where else ""
+    train_and = f"WHERE v.{train_where}" if train_where else ""
+    return f"""
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     seeds AS (
         SELECT vec_id AS centroid_id, e AS c_vec
-        FROM v ORDER BY vec_id LIMIT 16
+        FROM v {train} ORDER BY vec_id LIMIT 16
     ),
     assign0 AS (
         SELECT vec_id, centroid_id FROM (
@@ -1516,7 +1521,7 @@ _SEMDEDUP_CLUSTERS_SQL = """
                        ORDER BY list_dot_product(v.e, s.c_vec)
                                 / sqrt(list_dot_product(s.c_vec, s.c_vec)) DESC,
                                 s.centroid_id) AS rn
-            FROM v, seeds s
+            FROM v, seeds s {train_and}
         ) WHERE rn = 1
     ),
     comp AS (
@@ -1551,6 +1556,9 @@ _SEMDEDUP_CLUSTERS_SQL = """
         JOIN v vb ON vb.vec_id = b.vec_id
     )
 """
+
+
+_SEMDEDUP_CLUSTERS_SQL = _semdedup_clusters_sql()
 
 
 @register(
@@ -1593,6 +1601,46 @@ def embedding_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup_keep(emb, "vec_id", "embedding", nlist=16, threshold=0.4)
+
+
+@register(
+    "dedup_incremental_semantic",
+    oracle=f"""
+    WITH {_semdedup_clusters_sql("vec_id % 4 != 0")}
+    SELECT centroid_id, id_a, id_b, cosine_sim
+    FROM pairs
+    WHERE cosine_sim >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)
+    """,
+    tags=("similarity", "dedup", "curation", "extension", "incremental"),
+)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's steady-state form — the FIFTH incremental store
+    identity (MinHash / fingerprint / SimHash / shingle store →
+    embedding index): the quantizer trains once on the store slice
+    (vec_id % 4 != 0) and persists as an IVF index
+    (operators/ann_index.py); the ingest batch (vec_id % 4 = 0) is
+    assigned with the FROZEN quantizer and searched within its
+    clusters against the persisted lists — batch×store ∪ batch×batch,
+    never store×store, so steady-state ingest cost is linear in the
+    store instead of re-clustering the corpus per batch
+    (operators/semdedup.py::incremental_semantic_pairs). The oracle
+    recomputes the frozen-quantizer clustering in SQL and restricts
+    the full pair set to batch-involving pairs."""
+    import os
+    import tempfile
+
+    from ..operators import ann_index
+    from ..operators.semdedup import incremental_semantic_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store_vecs = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    with tempfile.TemporaryDirectory(prefix="ivf_semdedup_") as tmp:
+        path = os.path.join(tmp, "index")
+        ann_index.build_ivf_index(store_vecs, path, nlist=16)
+        out = incremental_semantic_pairs(batch, path, threshold=0.4)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(

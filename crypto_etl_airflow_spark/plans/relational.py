@@ -469,7 +469,14 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "stats"),
 )
 def agg_stddev_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates incl. exact median (percentile 0.5)."""
+    """Statistical aggregates incl. exact median (percentile 0.5).
+
+    Scale note: the grouped exact ``percentile`` buffers each group's
+    full value list in one non-spillable agg buffer — acceptable here
+    as the exact-semantics demonstrator, but at 100 TB per-group
+    volume use either ``approx_percentile`` (the
+    ``agg_approx_percentiles`` sketch path) or the spillable
+    window-form exact median (``anomaly_mad_events``)."""
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.round(F.stddev_samp("o_totalprice"), 6).alias("sd_price"),
@@ -543,7 +550,10 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     path for 100 TB quantiles — verified in-plan against the exact
     interpolated percentile: emits the exact p50/p95 plus booleans
     asserting the sketch lands within 1% relative error (measured
-    ≈0.02% at this accuracy)."""
+    ≈0.02% at this accuracy). The in-plan exact reference shares the
+    grouped-percentile memory caveat noted on
+    ``agg_stddev_percentiles``; the sketch column is the 100 TB
+    path."""
     (li,) = _t(spark, sf_dir, "lineitem")
     within = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.01)

@@ -46,7 +46,8 @@ RISKY = [
     "dedup_incremental_fingerprint",
     "dedup_incremental_simhash",
     "dedup_incremental_containment",
-    "anomaly_mad_events",       # two grouped percentiles + division
+    "dedup_incremental_semantic",  # IVF build on an EMPTY store slice
+    "anomaly_mad_events",       # windowed exact medians + division
     "analytics_retention_cohorts",  # datediff offsets over no users
     "export_jsonl_roundtrip",   # JSONL write/readback of zero rows
 ]

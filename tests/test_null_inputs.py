@@ -55,6 +55,7 @@ RISKY = [
     "dedup_incremental_containment",
     "export_jsonl_roundtrip",
     "anomaly_mad_events",
+    "dedup_incremental_semantic",  # null embeddings through frozen assign
 ]
 
 
