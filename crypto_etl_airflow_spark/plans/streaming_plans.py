@@ -481,6 +481,105 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def _semdedup_stream_oracle() -> str:
+    from .curation import _semdedup_clusters_sql
+
+    return f"""
+    WITH {_semdedup_clusters_sql("vec_id % 3 = 0")}
+    SELECT centroid_id, id_a, id_b, cosine_sim
+    FROM pairs WHERE cosine_sim >= 0.4
+    """
+
+
+@register(
+    "streaming_dedup_incremental_semantic",
+    # every pair is discovered exactly once: wave 0's pairs at build
+    # time (the store holds only wave 0), each later wave's via
+    # batch×store + batch×batch — so the drained sink equals the FULL
+    # within-cluster pair set under the quantizer trained on wave 0,
+    # which the oracle recomputes (training restricted to
+    # vec_id % 3 = 0, assignment over everything).
+    oracle=_semdedup_stream_oracle(),
+    tags=("streaming", "similarity", "dedup", "incremental"),
+)
+def streaming_dedup_incremental_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming SemDeDup against the persisted IVF index — the
+    steady-state SEMANTIC ingest shape as a real Structured Streaming
+    query (file source, maxFilesPerTrigger=1, availableNow):
+    embeddings arrive in three waves; the FIRST wave trains the
+    quantizer, builds the index, and emits its own within-cluster
+    pairs; every later wave runs
+    ``incremental_semantic_pairs`` (batch×store + batch×batch, frozen
+    quantizer) BEFORE being added frozen — dedup-then-append, the
+    same discipline as the fingerprint/MinHash streaming forms."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import ann_index
+    from ..operators.semdedup import (
+        _pairs_from_assigned,
+        incremental_semantic_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    with tempfile.TemporaryDirectory(prefix="stream_semdedup_") as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for k in range(3):
+            staging = os.path.join(tmp, f"stage{k}")
+            emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(
+                staging
+            )
+            part = globmod.glob(f"{staging}/part-*.parquet")[0]
+            shutil.copy(part, os.path.join(src, f"wave{k}.parquet"))
+
+        index_path = os.path.join(tmp, "index")
+        sink_path = os.path.join(tmp, "pairs")
+
+        def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            s = batch_df.sparkSession
+            if os.path.isdir(index_path):
+                pairs = incremental_semantic_pairs(
+                    batch_df, index_path, threshold=0.4
+                )
+                pairs.write.mode("append").parquet(sink_path)
+                ann_index.add_to_ivf_index(batch_df, index_path)
+            else:  # first wave trains the quantizer and seeds the store
+                ann_index.build_ivf_index(batch_df, index_path, nlist=16)
+                seeded = ann_index.read_ivf_lists(s, index_path).select(
+                    "centroid_id",
+                    F.col("neighbor_id").alias("vec_id"),
+                    F.col("c_v").alias("v"),
+                    F.col("c_nrm").alias("nrm"),
+                )
+                _pairs_from_assigned(seeded, "vec_id", 0.4).write.mode(
+                    "append"
+                ).parquet(sink_path)
+
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(src)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(sink_path).select(
+            "centroid_id", "id_a", "id_b", "cosine_sim"
+        )
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 @register(
     "interval_join_click_errors",
     oracle="""

@@ -93,6 +93,12 @@ EXTRA_SCALE_QUERIES = (
     # config the operator's own docstring says not to run — the
     # planes=4 lesson. The nlist dial is measured separately in
     # SCALE.md (1× @ nlist=16 vs 10× @ nlist=160).
+    # dedup_incremental_semantic is excluded for the same reason PLUS
+    # a shape mismatch: this harness scales store AND batch together
+    # (candidates ∝ Σ|store_c|·|batch_c| → ×100 at frozen nlist),
+    # while the operator's steady-state contract is a FIXED batch
+    # against a growing store (linear; rebuild with larger nlist as
+    # the store grows — the index sidecar pins the regime).
 )
 
 
