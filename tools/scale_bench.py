@@ -127,7 +127,7 @@ def build_scaled_dir(spark, src: str, out: str, factor: int) -> None:
         ).select(*ev.columns)
         for k in range(factor)
     ]
-    _union_all(ev_copies).write.parquet(f"{out}/events.parquet")
+    _write_chunked(ev_copies, f"{out}/events.parquet")
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
     doc_copies = [
@@ -144,7 +144,7 @@ def build_scaled_dir(spark, src: str, out: str, factor: int) -> None:
         ).select(*docs.columns)
         for k in range(factor)
     ]
-    _union_all(doc_copies).write.parquet(f"{out}/documents.parquet")
+    _write_chunked(doc_copies, f"{out}/documents.parquet")
 
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     # Shift modulus = the ACTUAL embedding dimension (ADVICE r6: a
@@ -162,23 +162,29 @@ def build_scaled_dir(spark, src: str, out: str, factor: int) -> None:
             "circular-shift construction needs one shift modulus"
         )
     dim = dims.lo
-    if factor > dim * 2:
+    if factor > dim * 65536:
         raise ValueError(
-            f"factor {factor} > 2*dim {2 * dim}: the shift × sign-flip "
-            "transform family below would repeat, creating cosine-1 "
-            "cross-copy duplicates that break the linear-near-dup-growth "
-            "construction (add more flip masks to go further)"
+            f"factor {factor} > dim*65536: the shift × sign-flip mask "
+            "family below would repeat, creating cosine-1 cross-copy "
+            "duplicates that break the linear-near-dup-growth "
+            "construction"
         )
 
     def _copy_embedding(k: int):
         # Copy k's transform: circular shift by (k % dim) composed with
-        # a sign-flip of odd coordinates for k >= dim. BOTH are
+        # a ±1 diagonal (sign-flip) chosen by m = k // dim. BOTH are
         # orthogonal, so every within-copy cosine is preserved exactly;
-        # distinct transforms decorrelate cross-copy directions (two
-        # copies differing only in the flip disagree on exactly half
-        # the coordinate signs — their cross dot-products cancel to
-        # noise rather than collapsing into duplicates).
+        # distinct transforms decorrelate cross-copy directions.
+        # m = 0: no flip; m = 1: flip odd coordinates (kept byte-
+        # identical to the pre-r9 construction so cached ×10/×100 dirs
+        # stay valid); m >= 2 (the third decade and beyond): flip
+        # coordinate i iff bit_count(m & xxhash64(i)) is odd — a
+        # linear-code pattern family where ANY two distinct masks
+        # disagree on ~half the coordinates (the coords where the
+        # differing bits of the two hashes land), so cross-copy
+        # cosines cancel to noise instead of clustering near 1.
         shift = k % dim
+        m = k // dim
         col = (
             F.col("embedding")
             if shift == 0
@@ -187,9 +193,21 @@ def build_scaled_dir(spark, src: str, out: str, factor: int) -> None:
                 F.slice("embedding", 1, shift),
             )
         )
-        if k >= dim:
+        if m == 1:
             col = F.transform(
                 col, lambda x, i: F.when(i % 2 == 1, -x).otherwise(x)
+            )
+        elif m >= 2:
+            col = F.transform(
+                col,
+                lambda x, i: F.when(
+                    F.bit_count(
+                        F.lit(m).cast("long").bitwiseAND(F.xxhash64(i))
+                    )
+                    % 2
+                    == 1,
+                    -x,
+                ).otherwise(x),
             )
         return col.alias("embedding")
 
@@ -201,7 +219,13 @@ def build_scaled_dir(spark, src: str, out: str, factor: int) -> None:
         ).select(*emb.columns)
         for k in range(factor)
     ]
-    _union_all(emb_copies).write.parquet(f"{out}/embeddings.parquet")
+    # embeddings are the build-completion marker (main() keys on their
+    # _SUCCESS), so stage + rename: a chunked append would expose
+    # _SUCCESS after the FIRST chunk and an interrupted build would
+    # masquerade as complete
+    staging = f"{out}/embeddings.parquet.__building"
+    _write_chunked(emb_copies, staging)
+    os.rename(staging, f"{out}/embeddings.parquet")
 
 
 def _union_all(dfs):
@@ -209,6 +233,14 @@ def _union_all(dfs):
     for df in dfs[1:]:
         out = out.unionByName(df)
     return out
+
+
+def _write_chunked(dfs, path: str, chunk: int = 100) -> None:
+    """Append in ≤chunk-way unions: a single 1000-child union is
+    quadratic in Catalyst analysis and needlessly deep; chunking keeps
+    the third-decade build linear in the copy count."""
+    for lo in range(0, len(dfs), chunk):
+        _union_all(dfs[lo : lo + chunk]).write.mode("append").parquet(path)
 
 
 def main() -> None:
