@@ -193,6 +193,77 @@ def compact_ivf_lists(spark: SparkSession, path: str) -> int:
     return parquet_file_count(lists_path)
 
 
+def delete_from_ivf_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Remove vectors by id, rewriting ONLY the inverted-list
+    partitions that contain them — the index-maintenance counterpart
+    of FAISS ``remove_ids`` (there it is an in-memory compaction;
+    here it is a targeted partition rewrite, the same move a
+    lakehouse DELETE performs with partition pruning). The quantizer
+    is untouched — delete never retrains, exactly like add.
+
+    Scale shape: ``ids`` joins the lists once to find the affected
+    centroid partitions (≤ nlist values, collected — a control-path
+    collect of centroid ids, not data); each affected partition is
+    rewritten alone via an anti-join on the id and a crash-safe
+    staging swap (operators/compact.py). Partitions without deleted
+    ids keep their files byte-for-byte — steady-state deletes touch
+    ~|ids|/nlist of the index, never a full rewrite. Idempotent: a
+    retried delete matches nothing and rewrites nothing. Returns the
+    number of vectors removed."""
+    from .compact import recover_tree, swap_directory
+
+    lists_path = f"{path.rstrip('/')}/lists"
+    recover_tree(lists_path)
+    ids_only = ids.select(F.col(id_col).alias("neighbor_id")).distinct()
+    hit = (
+        read_ivf_lists(spark, path)
+        .join(F.broadcast(ids_only), "neighbor_id", "left_semi")
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    removed = 0
+    for row in hit:
+        part_dir = f"{lists_path}/centroid_id={row.centroid_id}"
+        kept = spark.read.parquet(part_dir).join(
+            F.broadcast(ids_only), "neighbor_id", "left_anti"
+        )
+        staging = part_dir + ".__delete_tmp"
+        kept.write.mode("overwrite").parquet(staging)
+        swap_directory(staging, part_dir)
+        removed += row.n
+    return removed
+
+
+def upsert_ivf_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int]:
+    """Replace-or-insert vectors under the frozen quantizer: the
+    re-embedding shape (a document's embedding changes when its text
+    or the encoder revision does). ``add_to_ivf_index`` alone is
+    insert-if-absent — an updated vector would be silently dropped by
+    its idempotence anti-join — so upsert deletes the batch's ids
+    first (touching only their list partitions) and then adds the
+    batch fresh. NOT atomic across the two steps: a crash between
+    them leaves the deleted ids absent until the add is retried —
+    acceptable for an ANN index (a missing vector degrades recall,
+    a stale one corrupts it), and the retry converges. Returns
+    (removed, added)."""
+    removed = delete_from_ivf_index(
+        new_vecs.sparkSession, path, new_vecs.select(id_col), id_col
+    )
+    added = add_to_ivf_index(new_vecs, path, id_col, vec_col)
+    return removed, added
+
+
 def query_ivf_index(
     probes: DataFrame,
     path: str,

@@ -49,16 +49,24 @@ def cosine_topk_bruteforce(
     """Exact top-k cosine neighbors for every probe vector.
 
     Output: (probe_id, neighbor_id, cosine_sim, rank), self-matches
-    excluded. The corpus side is broadcast when it fits (AQE decides);
+    excluded. The PROBE side broadcasts (the operator's regime is few
+    probes × huge corpus — the exact anchor / rerank path) and the
+    corpus streams, scanned ONCE in parallel by its own partitions;
     ranking is deterministic: (rounded sim DESC, neighbor_id ASC).
+
+    The pre-r9 shape streamed the probes and left the corpus to AQE's
+    broadcast decision; once the corpus outgrew the broadcast
+    threshold the plan silently degraded to a CartesianProduct that
+    re-read every corpus partition once per probe partition — caught
+    by the 1000× scale decade (×33.8 for 10× data) and pinned by
+    tests/test_plan_quality.py.
     """
     # norms are per-ROW quantities: compute them once before the
     # pair join instead of once per pair (n+m norms, not 2·n·m) —
     # same expression, same doubles, so oracle exactness is unchanged.
-    # The probe side is the streamed side of the nested-loop join
-    # (corpus broadcasts): widen it so pair scoring parallelizes
-    # instead of running on the scan's single input task
-    probes = _widen(probes)
+    # The corpus is the streamed side: widen it so pair scoring
+    # parallelizes even when the corpus arrives as one small file
+    corpus = _widen(corpus)
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("p_vec"),
@@ -70,7 +78,7 @@ def cosine_topk_bruteforce(
         _norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
-        p.crossJoin(c)
+        c.crossJoin(F.broadcast(p))
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",

@@ -1604,6 +1604,45 @@ def embedding_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_classifier_scores",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               (((CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                  % 4096) * 2654435761) % 2049) / 1024.0 - 1.0 AS w
+        FROM tok WHERE tok != ''
+    ),
+    m AS (
+        SELECT doc_id, avg(w) AS margin,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM w GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           round(1.0 / (1.0 + exp(-m.margin)), 6) AS score,
+           coalesce(m.margin >= 0, FALSE) AS kept,
+           coalesce(m.n_tokens, 0) AS n_tokens
+    FROM documents d LEFT JOIN m USING (doc_id)
+    """,
+    tags=("text", "quality", "curation", "ml", "extension"),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (CCNet/DCLM-style linear classifier
+    over hashed bag-of-words, operators/classify.py): tokenize →
+    portable feature-hash → per-token weight → one grouped avg →
+    sigmoid; kept = margin ≥ 0. Runs the deterministic placeholder
+    weights (dyadic k/1024, so the avg is association-order-exact and
+    the oracle compares bit-for-bit); the learned-weights broadcast
+    path is the same dataflow, pinned equivalent in tests."""
+    from ..operators.classify import classifier_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_scores(docs)
+
+
+@register(
     "dedup_incremental_semantic",
     oracle=f"""
     WITH {_semdedup_clusters_sql("vec_id % 4 != 0")}

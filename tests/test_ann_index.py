@@ -125,3 +125,107 @@ def test_compact_preserves_layout_and_results(spark, emb, tmp_path):
         for r in ann_index.query_ivf_index(probes, path, k=3, nprobe=2).collect()
     )
     assert after == before
+
+
+def test_delete_rewrites_only_affected_partitions(spark, emb, tmp_path):
+    """delete == build(train)+add(batch minus deleted) under the SAME
+    frozen quantizer; untouched inverted-list partitions keep their
+    files byte-for-byte; a retried delete removes nothing."""
+    train = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    doomed = batch.filter(F.col("vec_id") % 8 == 0).select("vec_id")
+
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(train, path, nlist=8)
+    ann_index.add_to_ivf_index(batch, path)
+
+    # partitions that contain no doomed id, with their file listings
+    lists = ann_index.read_ivf_lists(spark, path)
+    doomed_ids = {r.vec_id for r in doomed.collect()}
+    hit_cids = {
+        r.centroid_id
+        for r in lists.filter(F.col("neighbor_id").isin(doomed_ids))
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    }
+    untouched = {
+        p: sorted(os.listdir(p))
+        for p in glob.glob(f"{path}/lists/centroid_id=*")
+        if int(p.rsplit("=", 1)[1]) not in hit_cids
+    }
+    assert untouched  # fixture must leave some partitions alone
+
+    removed = ann_index.delete_from_ivf_index(spark, path, doomed)
+    assert removed == len(doomed_ids)
+    assert ann_index.delete_from_ivf_index(spark, path, doomed) == 0
+
+    for p, files in untouched.items():
+        assert sorted(os.listdir(p)) == files  # byte-for-byte untouched
+
+    # reference: same frozen quantizer, batch minus the deleted ids
+    ref = str(tmp_path / "ref")
+    ann_index.build_ivf_index(train, ref, nlist=8)
+    ann_index.add_to_ivf_index(
+        batch.join(doomed, "vec_id", "left_anti"), ref
+    )
+    probes = emb.filter(F.col("vec_id") < 10)
+    got = sorted(
+        tuple(r)
+        for r in ann_index.query_ivf_index(probes, path, k=3, nprobe=2).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ann_index.query_ivf_index(probes, ref, k=3, nprobe=2).collect()
+    )
+    assert got == want
+    # deleted ids are really gone from the lists
+    remaining = {
+        r.neighbor_id
+        for r in ann_index.read_ivf_lists(spark, path)
+        .select("neighbor_id")
+        .collect()
+    }
+    assert not (remaining & doomed_ids)
+
+
+def test_upsert_replaces_changed_vectors(spark, emb, tmp_path):
+    """Re-embedded vectors must REPLACE their old entries (add alone
+    would drop them via the idempotence anti-join); untouched ids
+    keep their original entries; retry converges."""
+    path = str(tmp_path / "idx")
+    train = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    ann_index.build_ivf_index(train, path, nlist=8)
+    ann_index.add_to_ivf_index(batch, path)
+
+    # re-embed: negate a slice of the batch (valid, distinct vectors)
+    reemb = batch.filter(F.col("vec_id") % 8 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    n_reemb = reemb.count()
+    removed, added = ann_index.upsert_ivf_index(reemb, path)
+    assert removed == n_reemb and added == n_reemb
+    # retry: same batch again -> same result (delete + re-add)
+    removed2, added2 = ann_index.upsert_ivf_index(reemb, path)
+    assert removed2 == n_reemb and added2 == n_reemb
+
+    lists = ann_index.read_ivf_lists(spark, path)
+    stored = {
+        r.neighbor_id: tuple(r.c_v)
+        for r in lists.filter(F.col("neighbor_id") % 8 == 0).collect()
+    }
+    fresh = {
+        r.vec_id: tuple(float(x) for x in r.embedding)
+        for r in reemb.collect()
+    }
+    assert stored == fresh  # new values, not the originals
+    # an untouched id still carries its original embedding
+    keep = {
+        r.neighbor_id
+        for r in lists.filter(
+            (F.col("neighbor_id") % 4 == 0) & (F.col("neighbor_id") % 8 != 0)
+        ).collect()
+    }
+    assert keep  # fixture sanity

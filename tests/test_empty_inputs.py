@@ -47,6 +47,7 @@ RISKY = [
     "dedup_incremental_simhash",
     "dedup_incremental_containment",
     "dedup_incremental_semantic",  # IVF build on an EMPTY store slice
+    "quality_classifier_scores",   # grouped avg over zero token rows
     "anomaly_mad_events",       # windowed exact medians + division
     "analytics_retention_cohorts",  # datediff offsets over no users
     "export_jsonl_roundtrip",   # JSONL write/readback of zero rows

@@ -56,6 +56,7 @@ RISKY = [
     "export_jsonl_roundtrip",
     "anomaly_mad_events",
     "dedup_incremental_semantic",  # null embeddings through frozen assign
+    "quality_classifier_scores",   # null text -> NULL score, kept=false
 ]
 
 

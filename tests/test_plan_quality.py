@@ -161,3 +161,24 @@ def test_incremental_store_join_broadcasts_batch_side(spark, tmp_path):
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "Cartesian" not in plan, plan[:2000]
     assert not [m for m in _PYTHON_MARKERS if m in plan]
+
+
+def test_bruteforce_broadcasts_probes_not_cartesian(spark):
+    """cosine_topk_bruteforce must plan the probe×corpus product as a
+    BroadcastNestedLoopJoin with the PROBES broadcast — never a
+    CartesianProduct (the r9 1000×-decade regression: AQE stopped
+    broadcasting the corpus once it outgrew the threshold, and the
+    resulting partition-product re-read every corpus partition once
+    per probe partition, ×33.8 for ×10 data)."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    df = cosine_topk_bruteforce(probes, emb, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
