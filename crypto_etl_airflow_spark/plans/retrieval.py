@@ -238,6 +238,8 @@ _BM25_CTE = f"""
     FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOPK}
     """,
     tags=("similarity", "text", "retrieval", "extension"),
+    bench=True,  # joined the headline set in r9 once the bruteforce
+    # broadcast fix made its plan decade-stable (SCALE.md third decade)
 )
 def similarity_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
