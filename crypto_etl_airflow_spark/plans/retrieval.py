@@ -158,6 +158,73 @@ def _bm25_agg(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "similarity_bm25_indexed",
+    # store ∪ batch = the full corpus under the identical tokenizer,
+    # so the batch query's full-corpus oracle certifies the indexed
+    # path verbatim
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE term != ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    q AS (SELECT unnest({_TERMS_SQL}) AS term),
+    qtf AS (SELECT tf.* FROM tf JOIN q USING (term)),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfq FROM qtf GROUP BY 1),
+    scored AS (
+        SELECT qtf.doc_id,
+               ln((s.n - d.dfq + 0.5) / (d.dfq + 0.5) + 1)
+               * (qtf.tf * ({BM25_K1} + 1))
+               / (qtf.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) AS sc
+        FROM qtf
+        JOIN dfreq d USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, round(sum(sc), 6) AS bm25,
+           CAST(count(*) AS INTEGER) AS n_hit_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+    tags=("similarity", "text", "retrieval", "incremental", "extension"),
+)
+def similarity_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k against a PERSISTED postings store
+    (operators/postings_store.py) — the steady-state form of
+    ``similarity_bm25_topk``: the corpus is tokenized ONCE per ingest
+    into ``(doc_id, term, tf)`` postings + ``(doc_id, dl)`` lengths
+    (store slice doc_id % 4 != 0 first, then the batch, idempotently);
+    the query reads only the query terms' postings rows (the
+    ``term IN (...)`` predicate reaches the parquet scan — zero
+    query-time tokenization) and must equal the batch query's
+    full-corpus answer, which the oracle recomputes."""
+    import os
+    import tempfile
+
+    from ..operators import postings_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory(prefix="bm25_store_") as tmp:
+        path = os.path.join(tmp, "index")
+        postings_store.write_postings_store(
+            docs.filter(F.col("doc_id") % 4 != 0), path
+        )
+        postings_store.write_postings_store(
+            docs.filter(F.col("doc_id") % 4 == 0), path
+        )
+        out = postings_store.bm25_topk_indexed(
+            spark, path, BM25_QUERY_TERMS, k=BM25_TOPK, k1=BM25_K1, b=BM25_B
+        )
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 # ---------------------------------------------------------------------------
 # hybrid retrieval: BM25 ⊕ dense-cosine, fused by Reciprocal Rank Fusion
 # ---------------------------------------------------------------------------

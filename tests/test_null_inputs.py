@@ -57,6 +57,7 @@ RISKY = [
     "anomaly_mad_events",
     "dedup_incremental_semantic",  # null embeddings through frozen assign
     "quality_classifier_scores",   # null text -> NULL score, kept=false
+    "similarity_bm25_indexed",     # null text -> dl=0 membership row
 ]
 
 
