@@ -580,6 +580,103 @@ def streaming_dedup_incremental_semantic(
     return spark.createDataFrame(rows, out.schema)
 
 
+def _bm25_stream_oracle() -> str:
+    from .retrieval import BM25_B, BM25_K1, BM25_TOPK, _TERMS_SQL
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE term != ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    q AS (SELECT unnest({_TERMS_SQL}) AS term),
+    qtf AS (SELECT tf.* FROM tf JOIN q USING (term)),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfq FROM qtf GROUP BY 1),
+    scored AS (
+        SELECT qtf.doc_id,
+               ln((s.n - d.dfq + 0.5) / (d.dfq + 0.5) + 1)
+               * (qtf.tf * ({BM25_K1} + 1))
+               / (qtf.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) AS sc
+        FROM qtf
+        JOIN dfreq d USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, round(sum(sc), 6) AS bm25,
+           CAST(count(*) AS INTEGER) AS n_hit_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+@register(
+    "streaming_bm25_index_ingest",
+    # the drained store holds every wave's postings exactly once
+    # (idempotent membership anti-join), so the post-drain query must
+    # equal the batch full-corpus BM25 — the same oracle as
+    # similarity_bm25_topk / similarity_bm25_indexed
+    oracle=_bm25_stream_oracle(),
+    tags=("streaming", "similarity", "retrieval", "incremental"),
+)
+def streaming_bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming postings-index ingest
+    (operators/postings_store.py) as a real Structured Streaming
+    query: documents arrive in three waves (file source,
+    maxFilesPerTrigger=1, availableNow); each micro-batch tokenizes
+    ONLY itself inside ``foreachBatch`` and registers its postings +
+    lengths idempotently; after the stream drains, the store answers
+    the fixed BM25 query equal to the batch full-corpus computation.
+    Completes the streaming-ingest triptych: signature stores
+    (dedup), ANN index (similarity), postings index (retrieval)."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import postings_store
+    from .retrieval import BM25_B, BM25_K1, BM25_QUERY_TERMS, BM25_TOPK
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory(prefix="stream_bm25_") as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for k in range(3):
+            staging = os.path.join(tmp, f"stage{k}")
+            docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
+                staging
+            )
+            part = globmod.glob(f"{staging}/part-*.parquet")[0]
+            shutil.copy(part, os.path.join(src, f"wave{k}.parquet"))
+
+        index_path = os.path.join(tmp, "index")
+
+        def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            postings_store.write_postings_store(batch_df, index_path)
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(src)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = postings_store.bm25_topk_indexed(
+            spark, index_path, BM25_QUERY_TERMS,
+            k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
+        )
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 @register(
     "interval_join_click_errors",
     oracle="""
