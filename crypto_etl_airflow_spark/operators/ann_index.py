@@ -120,7 +120,13 @@ def read_ivf_lists(spark: SparkSession, path: str) -> DataFrame:
 
     lists_path = f"{path}/lists"
     try:
-        return spark.read.parquet(lists_path)
+        # partition-column type inference reads small centroid_id dir
+        # values back as INT — normalize to long so every consumer
+        # (and anything they WRITE, e.g. the streaming pair sink) is
+        # type-stable regardless of inference
+        return spark.read.parquet(lists_path).withColumn(
+            "centroid_id", F.col("centroid_id").cast("long")
+        )
     except AnalysisException:
         if os.path.isdir(lists_path):
             return spark.createDataFrame([], _LISTS_SCHEMA)
