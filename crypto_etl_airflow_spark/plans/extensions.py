@@ -1740,6 +1740,7 @@ def _ivf_oracle(
     k: int = 5, nlist: int = 16, nprobe: int = 4,
     train_mod: int | None = None,
     train_where: str | None = None,
+    lists_where: str | None = None,
 ) -> str:
     """DuckDB mirror of the FULL deterministic IVF-flat pipeline
     (operators/similarity.py::cosine_topk_ivf): lowest-id seed
@@ -1752,7 +1753,10 @@ def _ivf_oracle(
     build+add contract of the persisted index
     (operators/ann_index.py); ``train_where`` takes an arbitrary
     training predicate instead (e.g. the first arrival wave of the
-    streaming ingest form)."""
+    streaming ingest form). ``lists_where`` restricts which vectors
+    remain IN the inverted lists (the delete-maintenance contract:
+    deleted ids leave the lists, the quantizer stays frozen, probes
+    still search everything)."""
     pred = None
     if train_mod is not None:
         pred = f"vec_id % {train_mod} != 0"
@@ -1760,6 +1764,7 @@ def _ivf_oracle(
         pred = train_where
     train = f"WHERE {pred}" if pred else ""
     train_and = f"WHERE v.{pred}" if pred else ""
+    lists_and = f"WHERE v.{lists_where}" if lists_where else ""
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     seeds AS (
@@ -1795,7 +1800,7 @@ def _ivf_oracle(
                        ORDER BY list_dot_product(v.e, c.c_vec)
                                 / sqrt(list_dot_product(c.c_vec, c.c_vec)) DESC,
                                 c.centroid_id) AS rn
-            FROM v, cents c
+            FROM v, cents c {lists_and}
         ) WHERE rn = 1
     ),
     plists AS (
@@ -1873,6 +1878,45 @@ def similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(tmp, "index")
         ann_index.build_ivf_index(store_vecs, path, nlist=16)
         ann_index.add_to_ivf_index(batch, path)
+        out = ann_index.query_ivf_index(probes, path, k=5, nprobe=4)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "similarity_topk_ivf_maintained",
+    # full lifecycle: train on the store slice, add the batch frozen,
+    # DELETE a subset, query — the oracle assigns everything under the
+    # frozen quantizer but keeps only non-deleted ids in the lists
+    oracle=_ivf_oracle(train_mod=4, lists_where="vec_id % 20 != 0"),
+    tags=("similarity", "extension", "approx", "incremental"),
+)
+def similarity_topk_ivf_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The persisted IVF index through its FULL maintenance
+    lifecycle inside one certified path: build on the store slice
+    (vec_id % 4 != 0), add the batch frozen, then
+    ``delete_from_ivf_index`` the vec_id % 20 == 0 subset (targeted
+    partition rewrites — operators/ann_index.py) before answering
+    probes. The oracle recomputes the frozen quantizer and restricts
+    the inverted lists to the surviving ids, so a green row certifies
+    delete semantics value-for-value, not just by unit test."""
+    import os
+    import tempfile
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store_vecs = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    doomed = emb.filter(F.col("vec_id") % 20 == 0).select("vec_id")
+    probes = emb.filter(F.col("vec_id") < 50)
+    with tempfile.TemporaryDirectory(prefix="ivf_maint_") as tmp:
+        path = os.path.join(tmp, "index")
+        ann_index.build_ivf_index(store_vecs, path, nlist=16)
+        ann_index.add_to_ivf_index(batch, path)
+        ann_index.delete_from_ivf_index(spark, path, doomed)
         out = ann_index.query_ivf_index(probes, path, k=5, nprobe=4)
         rows = out.collect()
     return spark.createDataFrame(rows, out.schema)

@@ -49,6 +49,7 @@ RISKY = [
     "dedup_incremental_semantic",  # IVF build on an EMPTY store slice
     "quality_classifier_scores",   # grouped avg over zero token rows
     "similarity_bm25_indexed",     # postings store built on zero docs
+    "similarity_topk_ivf_maintained",  # delete against an EMPTY index
     "anomaly_mad_events",       # windowed exact medians + division
     "analytics_retention_cohorts",  # datediff offsets over no users
     "export_jsonl_roundtrip",   # JSONL write/readback of zero rows

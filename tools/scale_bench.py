@@ -89,6 +89,7 @@ EXTRA_SCALE_QUERIES = (
     # round-9 late additions:
     "quality_classifier_scores",  # explode + map-side-combined avg
     "similarity_bm25_indexed",  # postings-store roundtrip + pushed term filter
+    "similarity_topk_ivf_maintained",  # build+add+DELETE+query lifecycle
     # embedding_semdedup_* are deliberately NOT here: their registered
     # nlist=16 is sized for the certification fixture, and SemDeDup's
     # scale contract is nlist ∝ corpus size (clusters stay constant-
