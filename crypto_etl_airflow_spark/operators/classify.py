@@ -101,3 +101,47 @@ def classifier_scores(
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         )
     )
+
+
+def train_bucket_weights(
+    docs: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """LEARN the weights table from the corpus — smoothed naive-Bayes
+    log-odds per feature bucket (the closed-form linear-classifier
+    fit fastText reduces to for unigram features):
+
+        w(b) = ln((n_pos(b) + ½) / (N_pos + ½)) −
+               ln((n_neg(b) + ½) / (N_neg + ½))
+
+    with token-level counts under ``label`` (a boolean Column over
+    the doc row, e.g. ``F.col("lang") == "en"`` — DCLM-style
+    "positive = the curated slice"). One explode + one grouped count
+    + a broadcast totals attach: training is a single aggregation
+    pass over the corpus, and the result is exactly the
+    ``(bucket, weight)`` table :func:`classifier_scores` broadcasts —
+    fit and inference compose into one certified dataflow the way the
+    BPE learner feeds ``apply_bpe_rules``."""
+    tok = docs.select(
+        label.alias("__pos"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = tok.select(
+        feature_bucket(F.col("tok"), n_buckets).alias("bucket"), "__pos"
+    ).groupBy("bucket").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("n_neg"),
+    )
+    totals = counts.agg(
+        F.sum("n_pos").alias("tot_pos"), F.sum("n_neg").alias("tot_neg")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("n_pos") + F.lit(0.5)) / (F.col("tot_pos") + F.lit(0.5)))
+            - F.log((F.col("n_neg") + F.lit(0.5)) / (F.col("tot_neg") + F.lit(0.5)))
+        ).alias("weight"),
+    )

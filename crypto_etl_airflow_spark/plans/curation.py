@@ -1643,6 +1643,75 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_classifier_trained",
+    oracle="""
+    WITH tok AS (
+        SELECT lang = 'en' AS pos,
+               unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT (CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                % 4096) AS bucket, pos
+        FROM tok WHERE tok != ''
+    ),
+    counts AS (
+        SELECT bucket,
+               sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg
+        FROM b GROUP BY bucket
+    ),
+    totals AS (
+        SELECT sum(n_pos) AS tot_pos, sum(n_neg) AS tot_neg FROM counts
+    ),
+    w AS (
+        SELECT bucket,
+               ln((n_pos + 0.5) / (t.tot_pos + 0.5))
+               - ln((n_neg + 0.5) / (t.tot_neg + 0.5)) AS weight
+        FROM counts CROSS JOIN totals t
+    ),
+    dtok AS (
+        SELECT doc_id,
+               (CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                % 4096) AS bucket
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE tok != ''
+    ),
+    m AS (
+        SELECT d.doc_id, avg(coalesce(w.weight, 0.0)) AS margin,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM dtok d LEFT JOIN w USING (bucket) GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+           round(1.0 / (1.0 + exp(-m.margin)), 6) AS score,
+           coalesce(m.margin >= 0, FALSE) AS kept,
+           coalesce(m.n_tokens, 0) AS n_tokens
+    FROM documents doc LEFT JOIN m USING (doc_id)
+    """,
+    tags=("text", "quality", "curation", "ml", "extension"),
+)
+def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier's FULL fit→infer lifecycle in one certified
+    path (the BPE fit+apply pattern, for the learned quality filter):
+    weights are LEARNED from the corpus — smoothed naive-Bayes
+    log-odds per hashed feature bucket, positive class = lang 'en'
+    (DCLM's "positive = the curated slice", with the fixture's
+    language label standing in for the curated flag) — then applied
+    through the same broadcast-weights inference path as
+    ``quality_classifier_scores``. Training is one aggregation pass;
+    the learned table is kilobytes and broadcasts
+    (operators/classify.py::train_bucket_weights)."""
+    from ..operators.classify import classifier_scores, train_bucket_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = train_bucket_weights(docs, F.col("lang") == "en")
+    return classifier_scores(docs, weights=weights)
+
+
+@register(
     "dedup_incremental_semantic",
     oracle=f"""
     WITH {_semdedup_clusters_sql("vec_id % 4 != 0")}

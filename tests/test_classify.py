@@ -76,3 +76,34 @@ def test_bucket_is_stable_and_bounded(spark):
     for t, b in got.items():
         expect = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % N_BUCKETS
         assert b == expect
+
+
+def test_trained_weights_separate_the_positive_class(spark):
+    """The learned log-odds weights must actually discriminate on a
+    corpus with a real vocabulary split: positive docs draw from
+    vocab A + shared filler, negative from vocab B + shared filler.
+    (The sf fixtures' lang labels sit over a mostly-shared token
+    pool by construction — language_confusion_matrix covers that
+    weak-signal case — so the semantic pin uses its own corpus.)"""
+    from crypto_etl_airflow_spark.operators.classify import (
+        train_bucket_weights,
+    )
+
+    rows = []
+    for i in range(40):
+        pos = i % 2 == 0
+        core = "alpha beta gamma delta" if pos else "uno dos tres cuatro"
+        rows.append((i, f"{core} shared{i % 5} filler common word {core}", pos))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, pos boolean")
+    weights = train_bucket_weights(docs, F.col("pos"))
+    out = classifier_scores(docs, weights=weights).join(
+        docs.select("doc_id", "pos"), "doc_id"
+    )
+    rates = {
+        r.pos: r.rate
+        for r in out.groupBy("pos")
+        .agg(F.avg(F.col("kept").cast("double")).alias("rate"))
+        .collect()
+    }
+    assert rates[True] > 0.9, rates
+    assert rates[False] < 0.1, rates

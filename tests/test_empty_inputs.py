@@ -50,6 +50,7 @@ RISKY = [
     "quality_classifier_scores",   # grouped avg over zero token rows
     "similarity_bm25_indexed",     # postings store built on zero docs
     "similarity_topk_ivf_maintained",  # delete against an EMPTY index
+    "quality_classifier_trained",  # log-odds over zero token counts
     "anomaly_mad_events",       # windowed exact medians + division
     "analytics_retention_cohorts",  # datediff offsets over no users
     "export_jsonl_roundtrip",   # JSONL write/readback of zero rows

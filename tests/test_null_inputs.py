@@ -58,6 +58,7 @@ RISKY = [
     "dedup_incremental_semantic",  # null embeddings through frozen assign
     "quality_classifier_scores",   # null text -> NULL score, kept=false
     "similarity_bm25_indexed",     # null text -> dl=0 membership row
+    "quality_classifier_trained",  # train + infer over null text
 ]
 
 
