@@ -46,6 +46,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from crypto_etl_airflow_spark.plans.registry import all_specs
+    from crypto_etl_airflow_spark.session import tune_shuffle_partitions
+
+    # the engine's size-aware partition heuristic (session.py) — at
+    # sf0.1 it floors to the core count, so headline numbers are
+    # unchanged, but the harness exercises the default code path
+    tune_shuffle_partitions(spark, sf_dir)
 
     specs = {n: s for n, s in all_specs().items() if s.bench}
 
@@ -64,21 +70,47 @@ def main() -> None:
     # the r6 code nor the r6 query set on an idle machine — transient
     # host contention during the graded run. More runs per query
     # makes the reported min far more robust to such interference.
+    # Adaptive top-up (r10): when a query's spread exceeds 30% of its
+    # median — the heavy dedup trio under contention — buy up to
+    # max_extra more samples for exactly that query, so the reported
+    # min and median are stable enough that a real ~20% regression is
+    # distinguishable from noise round-over-round.
+    import statistics
+
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "4"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    min_gaps: dict[str, float] = {}
+    extra_runs: dict[str, int] = {}
+
+    def one_run(spec) -> float:
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        # evict the dedup reuse persists between runs: each call
+        # builds a NEW persisted intermediate, so without this the
+        # warm-up + best-of-N loop accumulates dead cache blocks
+        release_reuse_caches()
+        return dt
+
     for name, spec in specs.items():
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            spec.builder(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-            # evict the dedup reuse persists between runs: each call
-            # builds a NEW persisted intermediate, so without this the
-            # warm-up + best-of-3 loop accumulates dead cache blocks
-            release_reuse_caches()
-        timings[name] = round(min(runs), 4)
-        spreads[name] = round(max(runs) - min(runs), 4)
+        runs = [one_run(spec) for _ in range(n_runs)]
+        while (
+            len(runs) < n_runs + max_extra
+            and max(runs) - min(runs) > 0.3 * statistics.median(runs)
+        ):
+            runs.append(one_run(spec))
+        runs.sort()
+        timings[name] = round(runs[0], 4)
+        medians[name] = round(statistics.median(runs), 4)
+        spreads[name] = round(runs[-1] - runs[0], 4)
+        # the gap between the two FASTEST runs: a direct stability
+        # measure of the reported min (max-min only ever grows with
+        # more samples, so it overstates noise on topped-up queries)
+        min_gaps[name] = round(runs[1] - runs[0], 4)
+        extra_runs[name] = len(runs) - n_runs
 
     total = round(sum(timings.values()), 4)
     print(
@@ -88,7 +120,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "median": medians,
+                "median_total": round(sum(medians.values()), 4),
                 "spread": spreads,
+                "min_gap": min_gaps,
+                "extra_runs": {k: v for k, v in extra_runs.items() if v},
                 "runs_per_query": n_runs,
                 "sf": sf,
             }

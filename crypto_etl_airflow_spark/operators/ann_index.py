@@ -63,6 +63,39 @@ def _validate_params(path: str, params: dict) -> None:
             )
 
 
+def _first_dim(df: DataFrame, vec_col: str) -> int | None:
+    """The dimension of ``df``'s first vector (None when empty) — one
+    single-row job, the cost of refusing silent corruption."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if row is None else row.d
+
+
+def _check_dim(path: str, df: DataFrame, vec_col: str, what: str) -> None:
+    """Refuse vectors whose dimension differs from the index's
+    training dimension (ADVICE r9): the zip-based dot product yields
+    NULL similarities for mismatched lengths, which would silently
+    mis-assign on add and silently drop candidates on query instead
+    of failing loudly. An index built on an EMPTY corpus records
+    dim=null and skips the guard — it also has no centroids, so adds
+    assign nothing and queries return nothing; rebuild is the only
+    way to give it a quantizer (and a pinned dimension)."""
+    import json
+    import os
+
+    if not os.path.exists(_sidecar(path)):
+        return
+    with open(_sidecar(path)) as f:
+        params = json.load(f)
+    got = _first_dim(df, vec_col)
+    if got is None or params.get("dim") is None:
+        return
+    if params["dim"] != got:
+        raise ValueError(
+            f"ivf index {path} holds {params['dim']}-dim vectors; "
+            f"refusing to {what} {got}-dim vectors"
+        )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -78,7 +111,9 @@ def build_ivf_index(
     import json
     import os
 
-    params = {"nlist": nlist}
+    # the training dimension is part of the regime: adds/queries with
+    # a different embedding dimension are refused (see _check_dim)
+    params = {"nlist": nlist, "dim": _first_dim(corpus, vec_col)}
     _validate_params(path, params)
     cents = ivf_centroids(corpus, id_col, vec_col, nlist)
     cents.write.mode("error").parquet(f"{path}/centroids")
@@ -147,6 +182,7 @@ def add_to_ivf_index(
     from .upsert import _lineage_barrier
 
     spark = new_vecs.sparkSession
+    _check_dim(path, new_vecs, vec_col, "add")
     cents = read_ivf_centroids(spark, path)
     existing = read_ivf_lists(spark, path).select(
         F.col("neighbor_id").alias(id_col)
@@ -288,6 +324,7 @@ def query_ivf_index(
     pruning) — per-query-batch reads are ~nprobe/nlist of the index,
     never a full scan."""
     spark = probes.sparkSession
+    _check_dim(path, probes, vec_col, "query with")
     cents = read_ivf_centroids(spark, path)
     lists = read_ivf_lists(spark, path)
 

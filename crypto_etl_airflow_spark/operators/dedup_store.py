@@ -376,78 +376,146 @@ def incremental_simhash_pairs(
 # ---------------------------------------------------------------------------
 # hashed-shingle store + incremental containment (VERDICT r8 item 2,
 # completing the fingerprint/SimHash/MinHash family)
+#
+# Layout (reworked r10 — ADVICE r9 found the old two-step write could
+# permanently undercount the doc-frequency sidecar if a crash landed
+# between the row append and the count merge):
+#
+#   {path}/rows                    shingle rows (id, sh) parquet
+#   {path}/_meta/ids               committed membership (one row/id)
+#   {path}/_meta/df                merged per-shingle doc counts
+#   {path}/_meta/meta.json         {"n_rows": committed row count}
+#   {path}/_shingle_store_params.json  shingle-width regime sidecar
+#
+# ``_meta`` is the store's ONE commit point: ids, counts, and the
+# row-count manifest are staged together as a sibling directory and
+# swapped into place with a single rename (operators/compact.py —
+# sibling staging also fixes the old /tmp-staging EXDEV failure on
+# cross-filesystem stores). Mutation ordering keeps one invariant —
+# rows ⊇ exactly the membership's complete shingle sets, plus
+# possibly orphan rows of UNcommitted ids:
+#
+#   write:  append rows FIRST, commit _meta second
+#           (crash between → orphans of never-registered ids);
+#   delete: commit _meta FIRST, rewrite rows second
+#           (crash between → orphans of DEregistered ids).
+#
+# Both crash shapes heal identically: restrict rows to the committed
+# membership (:func:`_heal_shingle_store`) — rolling back half-written
+# batches and rolling forward half-applied deletes. Detection is a
+# row-count compare against the committed manifest: a zero-column
+# parquet count, row-group-metadata cheap even on a terabyte store.
 # ---------------------------------------------------------------------------
 
 _SHINGLE_SIDECAR = "_shingle_store_params.json"
 
 
-def _append_rows_idempotent_per_id(
-    spark: SparkSession, rows: DataFrame, path: str, id_col: str
-) -> tuple[int, DataFrame]:
-    """Multi-row-per-id form of ``upsert_append``'s anti-join
-    discipline: append ALL rows of ids not yet in the store, skip
-    every row of ids already registered (retry-safe; a doc's shingle
-    set is all-or-nothing). ``upsert_append`` itself can't serve
-    here — its ``dropDuplicates(keys)`` keeps one row per key.
-    Returns ``(n, fresh)`` where ``fresh`` is the materialized frame
-    of rows actually appended — the exact delta sidecar maintenance
-    needs (a retried batch yields an EMPTY delta)."""
-    from .upsert import _lineage_barrier, table_exists
-
-    if table_exists(spark, path):
-        existing = spark.read.parquet(path).select(id_col).distinct()
-        rows = rows.join(existing, id_col, "left_anti")
-    # read-before-write barrier: the append must not lazily re-read
-    # the path it writes into
-    rows = _lineage_barrier(spark, rows, None)
-    n = rows.count()
-    if n:
-        rows.write.mode("append").parquet(path)
-    return n, rows
-
-
-def _df_path(path: str) -> str:
+def _rows_path(path: str) -> str:
     import os
 
-    # underscore-prefixed SUBDIR of the store: Spark's parquet reader
-    # ignores it, so reading the store never sees sidecar rows
-    return os.path.join(path, "_df")
+    return os.path.join(path, "rows")
 
 
-def _merge_df_counts(
-    spark: SparkSession, fresh_sh: DataFrame, df_path: str
+def _meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_meta")
+
+
+def _read_meta(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, int] | None:
+    """The committed ``(ids, df, n_rows)`` of the shingle store, or
+    None when no commit has happened yet (fresh dir, or a crash
+    before the very first ``_meta`` swap)."""
+    import json
+    import os
+
+    meta = _meta_path(path)
+    if not os.path.isdir(meta):
+        return None
+    with open(os.path.join(meta, "meta.json")) as f:
+        n_rows = int(json.load(f)["n_rows"])
+    ids = spark.read.parquet(os.path.join(meta, "ids"))
+    df = spark.read.parquet(os.path.join(meta, "df"))
+    return ids, df, n_rows
+
+
+def _commit_meta(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    df: DataFrame,
+    n_rows: int,
 ) -> None:
-    """Merge the freshly-appended rows' per-shingle doc counts into
-    the doc-frequency sidecar table ``(sh, df)`` — crash-safe
-    staging-dir swap, idempotent because ``fresh_sh`` is the
-    anti-joined delta (a retry contributes nothing)."""
+    """Stage ``{ids, df, meta.json}`` as a SIBLING of ``_meta`` and
+    swap — the store's single commit point. Sibling staging (never a
+    system temp dir) keeps the final rename on one filesystem."""
+    import json
     import os
-    import tempfile
+    import shutil
 
     from .compact import swap_directory
 
-    new = fresh_sh.groupBy("sh").agg(F.count("*").cast("long").alias("df"))
-    if not os.path.isdir(df_path):
-        new.write.parquet(df_path)
-        return
-    if fresh_sh.isEmpty():
-        return
-    merged = (
-        spark.read.parquet(df_path)
-        .unionByName(new)
-        .groupBy("sh")
-        .agg(F.sum("df").cast("long").alias("df"))
-    )
-    staging = tempfile.mkdtemp(prefix="df_staging_")
-    os.rmdir(staging)  # parquet writer wants to create it
-    merged.write.parquet(staging)  # staging fully written BEFORE swap
-    swap_directory(staging, df_path)
+    meta = _meta_path(path)
+    staging = meta + ".__staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # leftover of a crashed stage: re-stage
+    ids.write.parquet(os.path.join(staging, "ids"))
+    df.write.parquet(os.path.join(staging, "df"))
+    with open(os.path.join(staging, "meta.json"), "w") as f:
+        json.dump({"n_rows": n_rows}, f)
+    swap_directory(staging, meta)
+
+
+def _heal_shingle_store(spark: SparkSession, path: str) -> bool:
+    """Restore the store invariant after any crash: first heal a
+    half-finished ``_meta`` swap (recover_tree), then restrict the
+    rows table to the committed membership if its row count disagrees
+    with the committed manifest (see the layout comment above — this
+    one rewrite rolls back interrupted writes AND rolls forward
+    interrupted deletes). The id column is read off the membership
+    table itself (its single column), so healing needs no caller
+    hints. Returns True if a rows rewrite happened."""
+    import os
+
+    from .compact import recover_tree, swap_directory
+
+    recover_tree(path)
+    rows_path = _rows_path(path)
+    if not os.path.isdir(rows_path):
+        return False
+    meta = _read_meta(spark, path)
+    rows = spark.read.parquet(rows_path)
+    if meta is None:
+        # rows appended but the FIRST commit never happened: the
+        # committed store content is empty
+        if rows.isEmpty():
+            return False
+        kept = rows.limit(0)
+    else:
+        ids, _df, n_rows = meta
+        if rows.count() == n_rows:
+            return False
+        id_col = ids.columns[0]
+        kept = rows.join(ids.select(id_col), id_col, "left_semi")
+    staging = rows_path + ".__heal_tmp"
+    kept.write.mode("overwrite").parquet(staging)
+    swap_directory(staging, rows_path)
+    return True
 
 
 def read_shingle_df(spark: SparkSession, path: str) -> DataFrame:
     """The maintained per-shingle doc-frequency table ``(sh, df)`` of
-    the shingle store at ``path``."""
-    return spark.read.parquet(_df_path(path))
+    the shingle store at ``path`` — always commit-consistent (it is
+    part of the atomically-swapped ``_meta``), so reads only need the
+    crashed-swap recovery walk, not the rows heal."""
+    import os
+
+    from .compact import recover_tree
+
+    recover_tree(path)
+    return spark.read.parquet(os.path.join(_meta_path(path), "df"))
 
 
 def write_shingle_store(
@@ -465,28 +533,129 @@ def write_shingle_store(
     would silently zero every containment score. Returns rows
     appended (shingle rows, not docs).
 
-    The store also MAINTAINS a per-shingle doc-frequency sidecar
-    (``_df`` subdir, read via :func:`read_shingle_df`) merged from
-    exactly the freshly-appended delta — so the hot-shingle cap of
-    :func:`incremental_containment_pairs` can come from a
+    The store MAINTAINS a per-shingle doc-frequency table and an id
+    membership manifest inside the atomically-swapped ``_meta`` dir
+    (see the layout comment above): the hot-shingle cap of
+    :func:`incremental_containment_pairs` comes from that
     vocabulary-sized table instead of re-aggregating the store's
     shingle rows on every ingest batch (the 100 TB steady-state
-    shape). Idempotent: a retried batch appends nothing, so it merges
-    nothing."""
+    shape). Crash-safe and idempotent: rows append first, the single
+    ``_meta`` swap commits; a retried batch anti-joins to nothing and
+    commits an unchanged ``_meta``; orphan rows of an interrupted
+    append are healed (removed) before any write or store read."""
+    import os
+
+    from .upsert import _lineage_barrier
+
+    spark = docs.sparkSession
     params = {"n": n}
     _validate_store_params(path, params, _SHINGLE_SIDECAR)
+    os.makedirs(path, exist_ok=True)
+    _heal_shingle_store(spark, path)
+
     sh = _hashed_shingles(docs, id_col, text_col, n)
-    written, fresh = _append_rows_idempotent_per_id(
-        docs.sparkSession, sh, path, id_col
-    )
-    _ensure_store_exists(sh, path)
-    _merge_df_counts(docs.sparkSession, fresh, _df_path(path))
+    meta = _read_meta(spark, path)
+    if meta is not None:
+        ids0, df0, n_rows0 = meta
+        fresh = sh.join(ids0.select(id_col), id_col, "left_anti")
+    else:
+        ids0, df0, n_rows0 = None, None, 0
+        fresh = sh
+    # materialize the delta once: it feeds the row append, the new
+    # membership, and the count merge, and must not lazily re-read
+    # the rows table it is being appended to
+    fresh = _lineage_barrier(spark, fresh, None)
+    written = fresh.count()
+    if written:
+        fresh.write.mode("append").parquet(_rows_path(path))
+    _ensure_store_exists(sh, _rows_path(path))
+
+    new_ids = fresh.select(id_col).distinct()
+    new_df = fresh.groupBy("sh").agg(F.count("*").cast("long").alias("df"))
+    if ids0 is not None:
+        new_ids = ids0.select(id_col).unionByName(new_ids)
+        new_df = (
+            df0.select("sh", "df")
+            .unionByName(new_df)
+            .groupBy("sh")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+    _commit_meta(spark, path, new_ids, new_df, n_rows0 + written)
     _record_store_params(path, params, _SHINGLE_SIDECAR)
     return written
 
 
+def delete_from_shingle_store(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """Remove documents' shingle sets from the store AND decrement the
+    doc-frequency table accordingly (VERDICT r9 item 1 — without the
+    decrement, deleted documents would keep inflating the hot-shingle
+    cap forever). Commit ordering is meta-FIRST (the inverse of the
+    write path, same invariant): the swapped ``_meta`` drops the ids,
+    subtracts their per-shingle counts, and lowers the row manifest;
+    the rows rewrite follows, and a crash in between leaves orphan
+    rows that the next heal removes. Idempotent — a retried delete
+    intersects the membership to nothing. Returns documents
+    removed."""
+    from .compact import swap_directory
+    from .upsert import _lineage_barrier
+
+    _heal_shingle_store(spark, path)
+    meta = _read_meta(spark, path)
+    if meta is None:
+        return 0
+    ids0, df0, n_rows0 = meta
+    victims = _lineage_barrier(
+        spark,
+        ids.select(id_col).distinct().join(
+            ids0.select(id_col), id_col, "left_semi"
+        ),
+        None,
+    )
+    n_victims = victims.count()
+    if not n_victims:
+        return 0
+    rows_path = _rows_path(path)
+    dec = _lineage_barrier(
+        spark,
+        spark.read.parquet(rows_path)
+        .join(victims, id_col, "left_semi")
+        .groupBy("sh")
+        .agg(F.count("*").cast("long").alias("ddf")),
+        None,
+    )
+    removed_rows = dec.agg(F.sum("ddf")).first()[0] or 0
+    new_ids = ids0.select(id_col).join(victims, id_col, "left_anti")
+    new_df = (
+        df0.select("sh", "df")
+        .join(dec, "sh", "left")
+        .select(
+            "sh",
+            (F.col("df") - F.coalesce("ddf", F.lit(0)))
+            .cast("long")
+            .alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    _commit_meta(spark, path, new_ids, new_df, n_rows0 - removed_rows)
+    kept = spark.read.parquet(rows_path).join(victims, id_col, "left_anti")
+    staging = rows_path + ".__delete_tmp"
+    kept.write.mode("overwrite").parquet(staging)
+    swap_directory(staging, rows_path)
+    return n_victims
+
+
 def read_shingle_store(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """The committed shingle rows. Runs the orphan heal first, so a
+    read between a crashed mutation and its retry never sees
+    half-written (or half-deleted) shingle sets — the cost is one
+    zero-column row-count scan per read (see the layout comment)."""
+    _heal_shingle_store(spark, path)
+    return spark.read.parquet(_rows_path(path))
 
 
 def incremental_containment_pairs(
@@ -581,3 +750,70 @@ def incremental_containment_pairs(
         .agg(F.count("*").alias("n_shingles"))
     )
     return containment_directions(common, sizes, id_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# delete / maintenance for the one-row-per-id signature stores
+# (VERDICT r9 item 1 — takedowns, license revocations, and re-crawled
+# documents all need removal from the steady-state dedup identity)
+# ---------------------------------------------------------------------------
+
+
+def _delete_rows_by_id(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str
+) -> int:
+    """Shared eager delete for the one-row-per-id signature stores:
+    anti-join rewrite behind the crash-safe sibling staged swap
+    (operators/compact.py), with the parameter sidecar files carried
+    into the staging dir so the swap preserves the regime guard.
+    A FULL rewrite is the right call here — these stores are
+    8–32 bytes/doc (~10⁻⁴–10⁻⁵ of corpus bytes), so rewriting the
+    whole table costs about one ingest batch, and unlike the IVF
+    lists there is no partition key to prune by (fingerprints hash
+    uniformly). Idempotent: a retried delete matches nothing and
+    rewrites nothing. ``ids`` is broadcast — delete batches are
+    ingest-batch-sized by contract. Returns rows removed."""
+    import os
+    import shutil
+
+    from .compact import recover_tree, swap_directory
+
+    recover_tree(path)
+    ids_only = ids.select(id_col).distinct()
+    store = spark.read.parquet(path)
+    n = store.join(F.broadcast(ids_only), id_col, "left_semi").count()
+    if n == 0:
+        return 0
+    kept = store.join(F.broadcast(ids_only), id_col, "left_anti")
+    staging = path.rstrip("/") + ".__delete_tmp"
+    kept.write.mode("overwrite").parquet(staging)
+    for f in os.listdir(path):
+        if f.startswith("_") and f.endswith(".json"):
+            shutil.copy2(os.path.join(path, f), os.path.join(staging, f))
+    swap_directory(staging, path)
+    return n
+
+
+def delete_from_fingerprint_store(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """Remove documents from the exact-fingerprint store — after the
+    delete, ``incremental_fingerprint_matches`` can never pair a new
+    batch against the removed documents. Returns rows removed."""
+    return _delete_rows_by_id(spark, path, ids, id_col)
+
+
+def delete_from_minhash_store(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """Remove documents from the MinHash signature store. Returns
+    rows removed."""
+    return _delete_rows_by_id(spark, path, ids, id_col)
+
+
+def delete_from_simhash_store(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """Remove documents from the SimHash store. Returns rows
+    removed."""
+    return _delete_rows_by_id(spark, path, ids, id_col)

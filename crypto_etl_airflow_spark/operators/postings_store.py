@@ -8,26 +8,48 @@ are the things you compute ONCE per ingest and query many times
 (every search engine's inverted-index split; the store analogue of
 operators/dedup_store.py for lexical retrieval).
 
-Layout: ``{path}/postings`` + ``{path}/lengths`` parquet, plus a
-tokenizer sidecar (a store tokenized one way must not be extended
-under another — same regime guard as the signature stores).
+Layout: ``{path}/postings`` + ``{path}/lengths`` +
+``{path}/tombstones`` parquet, plus a tokenizer sidecar (a store
+tokenized one way must not be extended under another — same regime
+guard as the signature stores).
 
-Ingest discipline (two tables, one commit point): ``lengths`` is the
-membership record and is written LAST — the idempotence anti-join
-keys on it, so a retried batch appends nothing. The crash window
-(postings appended, lengths not yet) leaves orphan postings rows;
-they are invisible at query time because scoring joins postings to
-``lengths`` on doc_id (needed anyway for the length normalizer), and
-the retry's re-appended rows are EXACT copies of the orphans, which
-the query path collapses with one ``dropDuplicates`` AFTER the
-query-term filter (a few rows, not a corpus-wide shuffle).
+Ingest discipline (one commit point): ``lengths`` is the membership
+record and is written LAST — the idempotence anti-join keys on it, so
+a retried batch appends nothing. The crash window (postings appended,
+lengths not yet) leaves orphan postings rows; they are invisible at
+query time because scoring joins postings to ``lengths`` on
+(doc_id, epoch) — needed anyway for the length normalizer — and the
+retry's re-appended rows are EXACT copies of the orphans, which the
+query path collapses with one ``dropDuplicates`` AFTER the query-term
+filter (a few rows, not a corpus-wide shuffle).
+
+Maintenance (VERDICT r9 item 1) is merge-on-read, the lakehouse
+DELETE shape — an eager delete would rewrite the WHOLE postings table
+because a document's rows scatter across every term, with no
+partition to prune (unlike the IVF lists, which are
+centroid-partitioned and delete by targeted partition rewrite):
+
+- every ingest batch carries an ``epoch`` (monotone per store, read
+  as max(lengths.epoch)+1 — deterministic, no clocks);
+- ``delete_from_postings_store`` appends TOMBSTONES ``(doc_id,
+  upto)``: a membership row is dead iff its epoch ≤ some tombstone's
+  ``upto`` for its id. The tombstone append is the delete's entire
+  commit — O(|ids|) bytes, zero store rewrite;
+- ``upsert_postings_store`` = tombstone the batch's live ids, then
+  ingest the batch at a fresh epoch (> every ``upto``), so re-added
+  and revised documents coexist physically with their dead versions
+  until compaction — the query path sees only the live ones;
+- ``compact_postings_store`` physically drops dead rows (crash-safe
+  staged swaps, live-filter order documented there) and clears the
+  tombstones — the OPTIMIZE step a steady delete workload schedules.
 
 Query shape at 100 TB: the query-term predicate is a scan filter on
 the postings parquet (``term IN (...)`` reaches PushedFilters — only
-matching row groups read, no tokenization at query time); per-term
-document frequencies and the (N, avgdl) scalar broadcast; the only
-doc-keyed join carries matching postings; the top-k is
-TakeOrderedAndProject."""
+matching row groups read, no tokenization at query time); tombstones
+are delete-batch-sized and broadcast into the liveness anti-join on
+the doc-count-sized lengths table; per-term document frequencies and
+the (N, avgdl) scalar broadcast; the only doc-keyed join carries
+matching postings; the top-k is TakeOrderedAndProject."""
 
 from __future__ import annotations
 
@@ -41,8 +63,9 @@ from .dedup import _reuse
 from .dedup_store import _ensure_store_exists
 from .upsert import _lineage_barrier
 
-_PARAMS = {"tokenizer": "ws_lower", "version": 1}
+_PARAMS = {"tokenizer": "ws_lower", "version": 2}
 _SIDECAR = "_postings_store_params.json"
+_TOMB_SCHEMA = "doc_id long, upto long"
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -66,33 +89,69 @@ def _check_sidecar(path: str) -> None:
             )
 
 
+def read_tombstones(spark: SparkSession, path: str) -> DataFrame:
+    tomb_path = f"{path}/tombstones"
+    if not os.path.isdir(tomb_path):
+        return spark.createDataFrame([], _TOMB_SCHEMA)
+    # a hammered retry appends duplicate tombstone rows — harmless to
+    # liveness, collapsed here so the anti-join stays minimal
+    return spark.read.parquet(tomb_path).dropDuplicates(["doc_id", "upto"])
+
+
+def read_live_doc_lengths(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Membership rows still alive: lengths anti-joined against the
+    tombstones (dead iff epoch ≤ some tombstone's upto for the id).
+    Tombstones broadcast — they are delete-batch-sized between
+    compactions, while lengths is doc-count-sized."""
+    lengths = read_doc_lengths(spark, path)
+    tombs = read_tombstones(spark, path)
+    return lengths.alias("l").join(
+        F.broadcast(tombs).alias("t"),
+        (F.col(f"l.{id_col}") == F.col("t.doc_id"))
+        & (F.col("l.epoch") <= F.col("t.upto")),
+        "left_anti",
+    )
+
+
+def _max_epoch(spark: SparkSession, path: str) -> int:
+    lengths_path = f"{path}/lengths"
+    if not os.path.isdir(lengths_path):
+        return 0
+    row = spark.read.parquet(lengths_path).agg(F.max("epoch")).first()
+    return int(row[0]) if row and row[0] is not None else 0
+
+
 def write_postings_store(
     docs: DataFrame,
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> int:
-    """Tokenize and register a batch, idempotently per doc id (the
-    anti-join keys on the ``lengths`` membership record — see module
-    docstring for the two-table commit discipline). Documents with no
-    tokens still get a ``dl = 0`` membership row, so they are never
-    re-processed. Returns documents registered."""
+    """Tokenize and register a batch at a fresh epoch, idempotently
+    per LIVE doc id (the anti-join keys on the live membership, so a
+    deleted document can re-register — see the module docstring for
+    the commit discipline). Documents with no tokens still get a
+    ``dl = 0`` membership row, so they are never re-processed.
+    Returns documents registered."""
     spark = docs.sparkSession
     _check_sidecar(path)
     os.makedirs(path, exist_ok=True)
     lengths_path = f"{path}/lengths"
     if os.path.isdir(lengths_path):
-        existing = read_doc_lengths(spark, path).select(id_col)
+        existing = read_live_doc_lengths(spark, path, id_col).select(id_col)
         fresh = docs.join(existing, id_col, "left_anti")
     else:
         fresh = docs
+    epoch = _max_epoch(spark, path) + 1
     fresh = _lineage_barrier(spark, fresh, None)
     n = fresh.count()
     if n:
         tok = _reuse(_tokens(fresh, id_col, text_col))
         postings = tok.groupBy(id_col, "term").agg(
             F.count("*").cast("long").alias("tf")
-        )
+        ).withColumn("epoch", F.lit(epoch).cast("long"))
         postings.write.mode("append").parquet(f"{path}/postings")
         lengths = (
             fresh.select(id_col)
@@ -101,20 +160,122 @@ def write_postings_store(
                 id_col,
                 "left",
             )
-            .select(id_col, F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
+            .select(
+                id_col,
+                F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
+                F.lit(epoch).cast("long").alias("epoch"),
+            )
         )
         lengths.write.mode("append").parquet(lengths_path)  # the commit
     _ensure_store_exists(
-        docs.select(F.col(id_col), F.lit("").alias("term"), F.lit(0).cast("long").alias("tf")),
+        docs.select(
+            F.col(id_col),
+            F.lit("").alias("term"),
+            F.lit(0).cast("long").alias("tf"),
+            F.lit(0).cast("long").alias("epoch"),
+        ),
         f"{path}/postings",
     )
     _ensure_store_exists(
-        docs.select(F.col(id_col), F.lit(0).cast("long").alias("dl")),
+        docs.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("dl"),
+            F.lit(0).cast("long").alias("epoch"),
+        ),
         lengths_path,
     )
     with open(os.path.join(path, _SIDECAR), "w") as f:
         json.dump(_PARAMS, f)
     return n
+
+
+def delete_from_postings_store(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """Remove documents from the store by TOMBSTONE — merge-on-read,
+    zero store rewrite (see the module docstring for why eager delete
+    is the wrong shape for an inverted index). The appended rows
+    ``(doc_id, upto = current max epoch)`` kill every existing
+    version of the id while leaving any FUTURE re-registration (at
+    epoch max+1 or later) alive. Only currently-live ids are
+    tombstoned, so the returned count is meaningful and a retried
+    delete appends nothing. The single small append is the delete's
+    commit point."""
+    _check_sidecar(path)
+    live = read_live_doc_lengths(spark, path, id_col).select(
+        F.col(id_col).alias("doc_id")
+    )
+    victims = (
+        ids.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(live, "doc_id", "left_semi")
+    )
+    victims = _lineage_barrier(spark, victims, None)
+    n = victims.count()
+    if n:
+        upto = _max_epoch(spark, path)
+        victims.select(
+            "doc_id", F.lit(upto).cast("long").alias("upto")
+        ).write.mode("append").parquet(f"{path}/tombstones")
+    return n
+
+
+def upsert_postings_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[int, int]:
+    """Replace-or-insert documents: the re-crawl / revision shape —
+    ``write_postings_store`` alone is insert-if-absent, so a revised
+    document would be silently skipped by its idempotence anti-join
+    (the r9 gap this closes). Tombstones the batch's live ids, then
+    registers the batch at a fresh epoch. NOT atomic across the two
+    steps — a crash in between leaves the ids absent until the
+    (idempotent) retry, the same documented window as
+    ``upsert_ivf_index``; a stale version is never served because
+    liveness is epoch-checked. Returns (tombstoned, added)."""
+    removed = delete_from_postings_store(
+        docs.sparkSession, path, docs.select(id_col), id_col
+    )
+    added = write_postings_store(docs, path, id_col, text_col)
+    return removed, added
+
+
+def compact_postings_store(spark: SparkSession, path: str) -> int:
+    """Physically drop dead rows and clear the tombstones — the
+    OPTIMIZE step that bounds merge-on-read debt. Rewrite order is
+    the safety argument: postings first (a crash after leaves dead
+    lengths rows + live tombstones — queries still correct), lengths
+    second (now fully live; tombstones match nothing), tombstones
+    cleared last. Each rewrite is a crash-safe staged sibling swap.
+    Returns live membership rows remaining."""
+    import shutil
+
+    from .compact import recover_tree, swap_directory
+
+    _check_sidecar(path)
+    recover_tree(path)
+    live = _lineage_barrier(
+        spark,
+        read_live_doc_lengths(spark, path).select("doc_id", "epoch"),
+        None,
+    )
+    for table in ("postings", "lengths"):
+        tpath = f"{path}/{table}"
+        kept = spark.read.parquet(tpath).join(
+            live, ["doc_id", "epoch"], "left_semi"
+        )
+        staging = tpath + ".__compact_tmp"
+        kept.write.mode("overwrite").parquet(staging)
+        swap_directory(staging, tpath)
+    tomb_path = f"{path}/tombstones"
+    if os.path.isdir(tomb_path):
+        shutil.rmtree(tomb_path)
+    return live.count()
 
 
 def read_postings_store(spark: SparkSession, path: str) -> DataFrame:
@@ -137,22 +298,25 @@ def bm25_topk_indexed(
     """Okapi BM25 top-k against the persisted store — no tokenization
     at query time; same output contract as the batch query:
     ``(doc_id, bm25, n_hit_terms)`` ordered by (bm25 DESC, doc_id).
-    See the module docstring for the plan shape."""
+    Scoring joins postings to the LIVE membership on
+    (doc_id, epoch), so tombstoned versions never score and dead
+    lengths never enter (N, avgdl). See the module docstring for the
+    plan shape."""
     qtf = (
         read_postings_store(spark, path)
         .filter(F.col("term").isin(*terms))
         # collapse exact-copy rows from an interrupted-retry append;
         # runs on the filtered slice only
-        .dropDuplicates([id_col, "term"])
+        .dropDuplicates([id_col, "term", "epoch"])
     )
-    dl = read_doc_lengths(spark, path).filter(F.col("dl") > 0)
+    dl = read_live_doc_lengths(spark, path, id_col).filter(F.col("dl") > 0)
     stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n"))
-    dfreq = qtf.groupBy("term").agg(
-        F.count_distinct(id_col).alias("dfq")
-    )
+    dfreq = qtf.join(dl.select(id_col, "epoch"), [id_col, "epoch"], "left_semi").groupBy(
+        "term"
+    ).agg(F.count_distinct(id_col).alias("dfq"))
     scored = (
         qtf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
+        .join(dl, [id_col, "epoch"])
         .crossJoin(F.broadcast(stats))
         .select(
             id_col,

@@ -39,12 +39,21 @@ from ..functions.vector import cosine, dot as _dot, norm as _norm  # noqa: F401 
 from .parallel import widen_small_input as _widen
 
 
+#: Probe-cardinality bound for :func:`cosine_topk_bruteforce`'s
+#: contract broadcast: 500k probes × a few-hundred-dim double vector
+#: ≈ a few hundred MB — the top of the comfortable broadcast range.
+#: Checked with ``limit(bound+1).count()``, so the guard costs O(bound)
+#: regardless of how large the probe set actually is.
+BROADCAST_PROBE_LIMIT = 500_000
+
+
 def cosine_topk_bruteforce(
     probes: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_broadcast_probes: int | None = BROADCAST_PROBE_LIMIT,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every probe vector.
 
@@ -60,6 +69,14 @@ def cosine_topk_bruteforce(
     re-read every corpus partition once per probe partition — caught
     by the 1000× scale decade (×33.8 for 10× data) and pinned by
     tests/test_plan_quality.py.
+
+    ``max_broadcast_probes`` bounds the contract broadcast (ADVICE
+    r9): a probe set larger than the bound falls back to an unhinted
+    cross join — AQE then picks a shuffled plan, slow for this
+    operator's regime but memory-safe, instead of a broadcast-size
+    failure or driver OOM. ``None`` disables the guard (caller vouches
+    the probes fit). Probe sets that large should use the LSH/IVF
+    paths or :func:`neardup_pairs_cosine` instead.
     """
     # norms are per-ROW quantities: compute them once before the
     # pair join instead of once per pair (n+m norms, not 2·n·m) —
@@ -72,13 +89,21 @@ def cosine_topk_bruteforce(
         F.col(vec_col).alias("p_vec"),
         _norm(F.col(vec_col)).alias("p_norm"),
     )
+    if (
+        max_broadcast_probes is not None
+        and probes.limit(max_broadcast_probes + 1).count()
+        > max_broadcast_probes
+    ):
+        p_side = p  # too many probes to broadcast: let AQE plan it
+    else:
+        p_side = F.broadcast(p)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
-        c.crossJoin(F.broadcast(p))
+        c.crossJoin(p_side)
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",

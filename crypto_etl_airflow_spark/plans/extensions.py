@@ -291,16 +291,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _containment_oracle(batch_mod: int | None = None) -> str:
+def _containment_oracle(
+    batch_mod: int | None = None, corpus_where: str | None = None
+) -> str:
     """DuckDB mirror of the excerpt-injected containment pipeline;
     ``batch_mod`` restricts to pairs INVOLVING the batch
     (doc_id % batch_mod = 0) — the incremental-store contract
-    (operators/dedup_store.py::incremental_containment_pairs)."""
+    (operators/dedup_store.py::incremental_containment_pairs).
+    ``corpus_where`` restricts which documents survive into the
+    shingle sets, sizes, AND doc-frequency cap — the shingle-store
+    delete contract (removed docs stop contributing to everything,
+    including the maintained df sidecar)."""
     batch_clause = (
         f" AND (a.doc_id % {batch_mod} = 0 OR b.doc_id % {batch_mod} = 0)"
         if batch_mod is not None
         else ""
     )
+    corpus_clause = f"WHERE {corpus_where}" if corpus_where else ""
     return f"""
     WITH corpus AS (
         SELECT doc_id, text FROM documents
@@ -312,7 +319,7 @@ def _containment_oracle(batch_mod: int | None = None) -> str:
     ),
     toks AS (
         SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
-        FROM corpus
+        FROM corpus {corpus_clause}
     ),
     shingles AS (
         SELECT DISTINCT doc_id,
@@ -413,6 +420,59 @@ def dedup_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame
     with tempfile.TemporaryDirectory(prefix="sh_shingles_") as tmp:
         path = os.path.join(tmp, "shingles")
         dedup_store.write_shingle_store(store_docs, path, n=3)
+        store = dedup_store.read_shingle_store(spark, path)
+        out = dedup_store.incremental_containment_pairs(
+            batch, store, n=3, threshold=0.9, max_doc_freq=_NGRAM_DF_CAP,
+            df_counts=dedup_store.read_shingle_df(spark, path),
+        )
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "dedup_incremental_containment_maintained",
+    # the store loses doc_id % 6 = 1 before the batch arrives: those
+    # docs must stop contributing pairs, sizes, AND df-cap counts
+    oracle=_containment_oracle(
+        batch_mod=4,
+        corpus_where="NOT (doc_id % 4 != 0 AND doc_id % 6 = 1)",
+    ),
+    tags=("dedup", "extension", "incremental"),
+)
+def dedup_incremental_containment_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The shingle store through its maintenance lifecycle in one
+    certified path (VERDICT r9 item 1): build on the store slice
+    (doc_id % 4 != 0), ``delete_from_shingle_store`` the
+    doc_id % 6 = 1 subset — which must ALSO decrement the maintained
+    doc-frequency sidecar, or the hot-shingle cap would keep counting
+    ghosts — then run the incremental batch (doc_id % 4 = 0) against
+    the surviving store WITH the decremented sidecar as the cap
+    source. The oracle recomputes containment over the surviving
+    corpus, so the delete, the df decrement, and the single-commit
+    ``_meta`` swap are all value-certified
+    (operators/dedup_store.py::delete_from_shingle_store)."""
+    import os
+    import tempfile
+
+    from ..operators import dedup_store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), r"\s+"), 1, 30), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionAll(excerpts)
+    store_docs = corpus.filter(F.col("doc_id") % 4 != 0)
+    batch = corpus.filter(F.col("doc_id") % 4 == 0)
+    doomed = corpus.filter(F.col("doc_id") % 6 == 1).select("doc_id")
+    with tempfile.TemporaryDirectory(prefix="sh_maint_") as tmp:
+        path = os.path.join(tmp, "shingles")
+        dedup_store.write_shingle_store(store_docs, path, n=3)
+        dedup_store.delete_from_shingle_store(spark, path, doomed)
         store = dedup_store.read_shingle_store(spark, path)
         out = dedup_store.incremental_containment_pairs(
             batch, store, n=3, threshold=0.9, max_doc_freq=_NGRAM_DF_CAP,
@@ -700,6 +760,72 @@ def dedup_incremental_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(rows, out.schema)
 
 
+
+
+@register(
+    "dedup_incremental_fingerprint_maintained",
+    # store loses doc_id % 3 = 0 before the batch arrives: pairs
+    # against removed docs must vanish, batch×batch pairs survive
+    oracle="""
+    WITH batch AS (
+        SELECT doc_id + 10000 AS doc_id, text FROM documents
+        WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id, text FROM documents
+        WHERE doc_id % 25 = 0
+    ),
+    store AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+    ),
+    allfp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM (SELECT doc_id, text FROM store UNION ALL
+              SELECT doc_id, text FROM batch)
+    )
+    SELECT DISTINCT least(l.doc_id, r.doc_id) AS id_a,
+           greatest(l.doc_id, r.doc_id) AS id_b, l.fingerprint
+    FROM allfp l
+    JOIN (SELECT * FROM allfp WHERE doc_id >= 10000) r
+      ON l.fingerprint = r.fingerprint AND l.doc_id <> r.doc_id
+    """,
+    tags=("dedup", "extension", "incremental"),
+)
+def dedup_incremental_fingerprint_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The exact-fingerprint store through delete maintenance in one
+    certified path (VERDICT r9 item 1): register the corpus,
+    ``delete_from_fingerprint_store`` the doc_id % 3 = 0 slice
+    (anti-join rewrite behind the crash-safe staged swap — the store
+    is 16 B/doc, so a full rewrite IS the cheap move, unlike the
+    tombstoned postings store), then run the planted-copy ingest
+    batch. Pairs whose store member was removed must vanish from the
+    answer; the oracle recomputes the match set over the surviving
+    store (operators/dedup_store.py::delete_from_fingerprint_store)."""
+    import os
+    import tempfile
+
+    from ..operators import dedup_store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    batch = (
+        docs.filter(did % 5 == 0).select((did + 10000).alias("doc_id"), "text")
+    ).unionByName(
+        docs.filter(did % 25 == 0).select((did + 20000).alias("doc_id"), "text")
+    )
+    with tempfile.TemporaryDirectory(prefix="fp_maint_") as tmp:
+        path = os.path.join(tmp, "fps")
+        dedup_store.write_fingerprint_store(docs, path)
+        dedup_store.delete_from_fingerprint_store(
+            spark, path, docs.filter(did % 3 == 0).select("doc_id")
+        )
+        store = dedup_store.read_fingerprint_store(spark, path)
+        out = dedup_store.incremental_fingerprint_matches(batch, store)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def _simhash_oracle(max_hamming: int = 3, batch_mod: int | None = None) -> str:

@@ -22,6 +22,58 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+#: Input bytes per shuffle partition for the size-aware heuristic
+#: below. Deliberately SMALL relative to the classic 128 MB-per-
+#: partition rule because it counts COMPRESSED parquet input, and the
+#: engine's heavy operators (shingle/token explodes) expand that
+#: ~20–50× into shuffle rows; and because with AQE partition
+#: coalescing ON, ``spark.sql.shuffle.partitions`` is effectively an
+#: UPPER bound — over-provisioning costs a cheap runtime coalesce,
+#: under-provisioning costs the measured fixed-partition sort term
+#: (SCALE.md r9: the 1000× ngram decade ran ×15.1 at 32 partitions
+#: vs ×8.5 at 128 — this heuristic picks ~150 there).
+PARTITION_INPUT_BYTES = 4 * 1024 * 1024
+MAX_SHUFFLE_PARTITIONS = 65536
+
+
+def shuffle_partitions_for_bytes(
+    n_bytes: int, cpus: int | None = None
+) -> int:
+    """Size-aware shuffle-partition count: one partition per
+    ~``PARTITION_INPUT_BYTES`` of compressed input, floored at the
+    core count (never idle a core) and capped to bound scheduler
+    overhead. On a real cluster the same formula runs with the
+    cluster's total core count — partitions scale with BOTH the data
+    and the machine, which is what the fixed-resource scale harness
+    exists to emulate."""
+    cpus = cpus or DEFAULT_SHUFFLE_PARTITIONS
+    return max(cpus, min(MAX_SHUFFLE_PARTITIONS, n_bytes // PARTITION_INPUT_BYTES))
+
+
+def input_dir_bytes(*paths: str) -> int:
+    """Total on-disk bytes of the given table dirs/files."""
+    total = 0
+    for p in paths:
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+            continue
+        for root, _dirs, files in os.walk(p):
+            total += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+    return total
+
+
+def tune_shuffle_partitions(spark: SparkSession, *paths: str) -> int:
+    """Set ``spark.sql.shuffle.partitions`` from the actual input size
+    (a runtime-settable session conf — it takes effect for every plan
+    compiled afterwards) and return the chosen count. The harnesses
+    call this per input directory, so the measured partition-scaling
+    fix is default engine behavior, not a manual config footnote."""
+    n = shuffle_partitions_for_bytes(input_dir_bytes(*paths))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
+
 
 def get_spark(
     app_name: str = "crypto_etl_airflow_spark",

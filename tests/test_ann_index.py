@@ -230,3 +230,31 @@ def test_upsert_replaces_changed_vectors(spark, emb, tmp_path):
         ).collect()
     }
     assert keep  # fixture sanity
+
+
+def test_dim_guard_refuses_mismatched_vectors(spark, emb, tmp_path):
+    """ADVICE r9: a batch with a different embedding dimension would
+    produce NULL zip-dot similarities — silent mis-assignment on add,
+    silently dropped candidates on query. Both must refuse loudly."""
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(emb, path, nlist=8)
+    short = emb.withColumn("embedding", F.slice("embedding", 1, 8))
+    with pytest.raises(ValueError, match="refusing to add"):
+        ann_index.add_to_ivf_index(short.filter(F.col("vec_id") < 5), path)
+    with pytest.raises(ValueError, match="refusing to query"):
+        ann_index.query_ivf_index(short.filter(F.col("vec_id") < 5), path)
+    # upsert goes through the same add-path guard
+    with pytest.raises(ValueError, match="refusing to add"):
+        ann_index.upsert_ivf_index(short.filter(F.col("vec_id") < 5), path)
+
+
+def test_dim_guard_empty_built_index_skips(spark, emb, tmp_path):
+    """An empty-built index records dim=null: the guard stays out of
+    the way (there are no centroids, so adds assign nothing anyway —
+    rebuild is the only route to a quantizer)."""
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(emb.filter(F.col("vec_id") < 0), path, nlist=4)
+    short = emb.withColumn("embedding", F.slice("embedding", 1, 8))
+    assert ann_index.add_to_ivf_index(
+        short.filter(F.col("vec_id") < 10), path
+    ) == 0  # no quantizer -> nothing assignable, but no crash either

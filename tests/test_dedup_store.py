@@ -445,3 +445,169 @@ def test_incremental_containment_df_sidecar_path_equal(spark, tmp_path):
     }
     assert a == b
     assert a  # the cap at 2 must still leave pairs
+
+
+# ---------------------------------------------------------------------------
+# r10: crash-window healing (the _meta single-commit redesign) and the
+# delete/maintenance family
+# ---------------------------------------------------------------------------
+
+
+def _sidecar_df(spark, path):
+    return {
+        (r.sh, r.df)
+        for r in dedup_store.read_shingle_df(spark, path).collect()
+    }
+
+
+def _recomputed_df(spark, path):
+    from pyspark.sql import functions as F
+
+    return {
+        (r.sh, r.df)
+        for r in dedup_store.read_shingle_store(spark, path)
+        .groupBy("sh")
+        .agg(F.count("*").cast("long").alias("df"))
+        .collect()
+    }
+
+
+def test_shingle_crash_between_append_and_commit_heals(spark, tmp_path):
+    """The ADVICE r9 window: rows appended, _meta commit never ran.
+    The retry must converge to exactly the committed-write state —
+    rows, membership, AND doc-frequency counts (the old design
+    silently undercounted _df forever)."""
+    path = str(tmp_path / "shingles")
+    docs = _df(spark, CONT_DOCS)
+    dedup_store.write_shingle_store(docs.filter(docs.doc_id < 12), path, n=3)
+
+    # simulate the crash: append the second batch's rows WITHOUT
+    # committing _meta (exactly what a dead process leaves behind)
+    from crypto_etl_airflow_spark.operators.dedup import _hashed_shingles
+
+    batch = docs.filter(docs.doc_id >= 12)
+    _hashed_shingles(batch, "doc_id", "text", 3).write.mode("append").parquet(
+        dedup_store._rows_path(path)
+    )
+    # a read between crash and retry must NOT see the orphan rows
+    seen_ids = {
+        r.doc_id
+        for r in dedup_store.read_shingle_store(spark, path)
+        .select("doc_id").distinct().collect()
+    }
+    assert seen_ids == {10, 11}
+
+    # the retried batch registers cleanly and the sidecar is exact
+    n = dedup_store.write_shingle_store(batch, path, n=3)
+    assert n > 0
+    assert _sidecar_df(spark, path) == _recomputed_df(spark, path)
+    seen_ids = {
+        r.doc_id
+        for r in dedup_store.read_shingle_store(spark, path)
+        .select("doc_id").distinct().collect()
+    }
+    assert seen_ids == {10, 11, 12, 13}
+
+
+def test_shingle_delete_decrements_df_and_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "shingles")
+    docs = _df(spark, CONT_DOCS)
+    dedup_store.write_shingle_store(docs, path, n=3)
+    victims = docs.filter(docs.doc_id.isin(11, 13)).select("doc_id")
+    assert dedup_store.delete_from_shingle_store(spark, path, victims) == 2
+    # retry removes nothing
+    assert dedup_store.delete_from_shingle_store(spark, path, victims) == 0
+    seen_ids = {
+        r.doc_id
+        for r in dedup_store.read_shingle_store(spark, path)
+        .select("doc_id").distinct().collect()
+    }
+    assert seen_ids == {10, 12}
+    # the decremented sidecar equals a from-scratch recompute
+    assert _sidecar_df(spark, path) == _recomputed_df(spark, path)
+    # and a deleted id can re-register (delete really deregisters)
+    assert dedup_store.write_shingle_store(
+        docs.filter(docs.doc_id == 11), path, n=3
+    ) > 0
+    assert _sidecar_df(spark, path) == _recomputed_df(spark, path)
+
+
+def test_shingle_delete_crash_window_heals(spark, tmp_path):
+    """Delete commits _meta FIRST; simulate dying before the rows
+    rewrite by calling the commit path directly, then verify a plain
+    read heals the orphan rows."""
+    path = str(tmp_path / "shingles")
+    docs = _df(spark, CONT_DOCS)
+    dedup_store.write_shingle_store(docs, path, n=3)
+    from pyspark.sql import functions as F
+
+    ids0, df0, n_rows0 = dedup_store._read_meta(spark, path)
+    rows = spark.read.parquet(dedup_store._rows_path(path))
+    victim_rows = rows.filter(F.col("doc_id") == 13).count()
+    # commit the delete's _meta without touching rows (the crash)
+    dedup_store._commit_meta(
+        spark,
+        path,
+        ids0.filter(F.col("doc_id") != 13),
+        df0.join(
+            rows.filter(F.col("doc_id") == 13)
+            .groupBy("sh").agg(F.count("*").cast("long").alias("ddf")),
+            "sh", "left",
+        ).select(
+            "sh",
+            (F.col("df") - F.coalesce("ddf", F.lit(0))).cast("long").alias("df"),
+        ).filter(F.col("df") > 0),
+        n_rows0 - victim_rows,
+    )
+    seen_ids = {
+        r.doc_id
+        for r in dedup_store.read_shingle_store(spark, path)
+        .select("doc_id").distinct().collect()
+    }
+    assert seen_ids == {10, 11, 12}  # heal removed 13's orphan rows
+    assert _sidecar_df(spark, path) == _recomputed_df(spark, path)
+
+
+def test_fingerprint_store_delete(spark, tmp_path):
+    path = str(tmp_path / "fps")
+    docs = _df(spark, DOCS)
+    dedup_store.write_fingerprint_store(docs, path)
+    victims = docs.filter(docs.doc_id == 6).select("doc_id")
+    assert dedup_store.delete_from_fingerprint_store(spark, path, victims) == 1
+    assert dedup_store.delete_from_fingerprint_store(spark, path, victims) == 0
+    store = dedup_store.read_fingerprint_store(spark, path)
+    assert store.filter(store.doc_id == 6).count() == 0
+    # 8 (6's identical twin) no longer matches anything in the store
+    batch = _df(spark, [(100, DOCS[5][1])])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup_store.incremental_fingerprint_matches(
+            batch, store
+        ).collect()
+    }
+    assert pairs == {(8, 100)}
+    # the regime sidecar survived the swap: re-register is accepted
+    assert dedup_store.write_fingerprint_store(
+        docs.filter(docs.doc_id == 6), path
+    ) == 1
+
+
+def test_minhash_and_simhash_store_delete(spark, tmp_path):
+    docs = _df(spark, DOCS)
+    mh_path = str(tmp_path / "mh")
+    dedup_store.write_minhash_store(docs, mh_path)
+    victims = docs.filter(docs.doc_id.isin(1, 2)).select("doc_id")
+    assert dedup_store.delete_from_minhash_store(spark, mh_path, victims) == 2
+    left = {r.doc_id for r in dedup_store.read_minhash_store(spark, mh_path).collect()}
+    assert left == {3, 4, 5, 6, 8}
+    # sidecar guard survives: a different param family is still refused
+    with pytest.raises(ValueError, match="refusing"):
+        dedup_store.write_minhash_store(docs, mh_path, num_hashes=16)
+
+    sh_path = str(tmp_path / "sh")
+    dedup_store.write_simhash_store(docs, sh_path, bits=32)
+    assert dedup_store.delete_from_simhash_store(
+        spark, sh_path, docs.filter(docs.doc_id == 4).select("doc_id")
+    ) == 1
+    left = {r.doc_id for r in dedup_store.read_simhash_store(spark, sh_path).collect()}
+    assert left == {1, 2, 3, 5, 6, 8}

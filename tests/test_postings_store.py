@@ -94,3 +94,86 @@ def test_empty_first_write_creates_queryable_store(spark, tmp_path):
     empty = _docs(spark).filter(F.col("doc_id") < 0)
     assert ps.write_postings_store(empty, path) == 0
     assert ps.bm25_topk_indexed(spark, path, TERMS).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r10: merge-on-read maintenance (tombstones + epochs) — delete,
+# upsert, compaction
+# ---------------------------------------------------------------------------
+
+
+def test_delete_is_tombstone_only_and_idempotent(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    docs = _docs(spark)
+    ps.write_postings_store(docs, path)
+    victims = docs.filter(F.col("doc_id").isin(2, 3)).select("doc_id")
+    assert ps.delete_from_postings_store(spark, path, victims) == 2
+    assert ps.delete_from_postings_store(spark, path, victims) == 0  # retry
+    # physically nothing was rewritten — merge-on-read
+    assert ps.read_doc_lengths(spark, path).count() == len(DOCS)
+    got = {r.doc_id for r in ps.bm25_topk_indexed(spark, path, TERMS).collect()}
+    want = {
+        r.doc_id
+        for r in _batch_bm25(
+            spark, docs.filter(~F.col("doc_id").isin(2, 3))
+        ).collect()
+    }
+    assert got == want and 2 not in got and 3 not in got
+
+
+def test_deleted_doc_can_reregister(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    docs = _docs(spark)
+    ps.write_postings_store(docs, path)
+    ps.delete_from_postings_store(
+        spark, path, docs.filter(F.col("doc_id") == 1).select("doc_id")
+    )
+    assert ps.write_postings_store(docs.filter(F.col("doc_id") == 1), path) == 1
+    got = [tuple(r) for r in ps.bm25_topk_indexed(spark, path, TERMS).collect()]
+    want = [tuple(r) for r in _batch_bm25(spark, docs).collect()]
+    assert got == want
+
+
+def test_upsert_replaces_revised_document(spark, tmp_path):
+    """The r9 gap: a revised document was silently skipped by the
+    write path's idempotence anti-join. Upsert must serve the NEW
+    text's postings, never the stale version's."""
+    path = str(tmp_path / "idx")
+    docs = _docs(spark)
+    ps.write_postings_store(docs, path)
+    revised_rows = [(3, "glaciers and prose"), (9, "a brand new window doc")]
+    revised = _docs(spark, revised_rows)
+    removed, added = ps.upsert_postings_store(revised, path)
+    assert (removed, added) == (1, 2)  # 3 was live; 9 is an insert
+    want_docs = _docs(
+        spark, [r for r in DOCS if r[0] != 3] + revised_rows
+    )
+    got = [tuple(r) for r in ps.bm25_topk_indexed(spark, path, TERMS).collect()]
+    want = [tuple(r) for r in _batch_bm25(spark, want_docs).collect()]
+    assert got == want
+    # upsert retry converges (idempotent end state)
+    ps.upsert_postings_store(revised, path)
+    again = [tuple(r) for r in ps.bm25_topk_indexed(spark, path, TERMS).collect()]
+    assert again == want
+
+
+def test_compact_drops_dead_rows_and_clears_tombstones(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    docs = _docs(spark)
+    ps.write_postings_store(docs, path)
+    ps.delete_from_postings_store(
+        spark, path, docs.filter(F.col("doc_id").isin(2, 4)).select("doc_id")
+    )
+    ps.upsert_postings_store(_docs(spark, [(3, "merge stream")]), path)
+    before = [tuple(r) for r in ps.bm25_topk_indexed(spark, path, TERMS).collect()]
+    live = ps.compact_postings_store(spark, path)
+    assert live == len(DOCS) - 2
+    # dead versions physically gone, tombstones cleared
+    assert ps.read_doc_lengths(spark, path).count() == live
+    assert ps.read_tombstones(spark, path).count() == 0
+    lengths = ps.read_doc_lengths(spark, path)
+    assert lengths.join(
+        ps.read_postings_store(spark, path), ["doc_id", "epoch"], "left_anti"
+    ).filter(F.col("dl") > 0).count() == 0
+    after = [tuple(r) for r in ps.bm25_topk_indexed(spark, path, TERMS).collect()]
+    assert after == before  # compaction never changes answers

@@ -107,11 +107,22 @@ EXTRA_SCALE_QUERIES = (
 
 
 def build_scaled_dir(spark, src: str, out: str, factor: int) -> None:
+    """Builds into a sibling staging dir and renames at the end, so an
+    interrupted build can never masquerade as (or contaminate) a
+    complete one — the chunked appends below would otherwise
+    double-append rows on a rerun (ADVICE r9)."""
+    staging = out + ".__building"
+    for leftover in (out, staging):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    os.makedirs(staging)
+    _build_tables(spark, src, staging, factor)
+    os.rename(staging, out)
+
+
+def _build_tables(spark, src: str, out: str, factor: int) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(out):
-        shutil.rmtree(out)
-    os.makedirs(out)
     for name in (
         "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
     ):
@@ -223,13 +234,10 @@ def build_scaled_dir(spark, src: str, out: str, factor: int) -> None:
         ).select(*emb.columns)
         for k in range(factor)
     ]
-    # embeddings are the build-completion marker (main() keys on their
-    # _SUCCESS), so stage + rename: a chunked append would expose
-    # _SUCCESS after the FIRST chunk and an interrupted build would
-    # masquerade as complete
-    staging = f"{out}/embeddings.parquet.__building"
-    _write_chunked(emb_copies, staging)
-    os.rename(staging, f"{out}/embeddings.parquet")
+    # (the whole OUT dir is itself a staging dir renamed into place by
+    # build_scaled_dir, so the per-table completion-marker dance the
+    # embeddings table used to need is gone)
+    _write_chunked(emb_copies, f"{out}/embeddings.parquet")
 
 
 def _union_all(dfs):
@@ -291,6 +299,26 @@ def main() -> None:
     # absorb JVM + codegen startup once, outside any timed window
     spark.read.parquet(f"{src}/events.parquet").count()
 
+    # size-aware shuffle partitions per scale dir (session.py): the
+    # r9 1000× experiment showed the fixed-32-partition sort term is
+    # a harness artifact a real cluster's config never has; since r10
+    # the engine's own heuristic picks the count, so the curve below
+    # measures the operators, not an undersized-partition sort
+    from crypto_etl_airflow_spark.session import (
+        input_dir_bytes,
+        shuffle_partitions_for_bytes,
+    )
+
+    scaled = [f"{d}/{t}.parquet" for d in (src, out) for t in SCALED_TABLES]
+    parts_1x = shuffle_partitions_for_bytes(
+        input_dir_bytes(*scaled[: len(SCALED_TABLES)]), cpus=int(cpus)
+    )
+    parts_kx = shuffle_partitions_for_bytes(
+        input_dir_bytes(*scaled[len(SCALED_TABLES):]), cpus=int(cpus)
+    )
+    print(f"# shuffle.partitions: 1x={parts_1x} {factor}x={parts_kx}",
+          file=sys.stderr, flush=True)
+
     results: dict[str, dict[str, float]] = {}
     for name, spec in specs.items():
         row: dict[str, float] = {}
@@ -298,6 +326,7 @@ def main() -> None:
         # codegen + page-cache warm-up, so the denominator is the
         # steady-state cost and the ratio is CONSERVATIVE (the single
         # K× run still carries any first-run overhead).
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts_1x))
         t1_runs = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -305,6 +334,7 @@ def main() -> None:
             t1_runs.append(time.perf_counter() - t0)
             release_reuse_caches()
         row["t1"] = round(min(t1_runs), 3)
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts_kx))
         t0 = time.perf_counter()
         spec.builder(spark, out).count()
         row["tK"] = round(time.perf_counter() - t0, 3)
