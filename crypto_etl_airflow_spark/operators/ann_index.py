@@ -27,6 +27,16 @@ refinement, operators/similarity.py::ivf_centroids), so the whole
 index — build, add, query — is recomputable in ANSI SQL and certified
 value-for-value by the driver oracle
 (plans/extensions.py::similarity_topk_ivf_indexed).
+
+Measured retrieval quality (tools/ivf_recall.py, SCALE.md r10 —
+recall@5 vs brute-force ground truth, fixed 50-probe set): the
+certified nlist=16 / nprobe=4 shape reads 1/4 of the index for
+recall 0.66–0.75 across 2k→200k corpora; nprobe=8 (half the index)
+reaches 0.84–0.89; at the production dial (nlist grown with the
+corpus, e.g. 64 here) nprobe=4 reads 1/16 of the index for
+0.80–1.00. nprobe is the per-query read-fraction/recall dial,
+nlist the rebuild-time one; recall@5 ≥ 0.65 at the default shape is
+pinned by tests/test_ann_index.py::test_ivf_recall_floor_vs_exact.
 """
 
 from __future__ import annotations
@@ -322,7 +332,11 @@ def query_ivf_index(
     lists join carries the partition column, so the ``lists`` scan
     prunes to the probed centroid partitions (dynamic partition
     pruning) — per-query-batch reads are ~nprobe/nlist of the index,
-    never a full scan."""
+    never a full scan. The probe side of that join (|probes| × nprobe
+    rows) is broadcast BY CONTRACT (hinted): the r10 fixed-batch
+    decade caught AQE flipping it to a sort-merge at the x100 store,
+    which shuffles AND sorts the scanned lists per query batch — the
+    exact store-side shuffle the index layout exists to avoid."""
     spark = probes.sparkSession
     _check_dim(path, probes, vec_col, "query with")
     cents = read_ivf_centroids(spark, path)
@@ -344,7 +358,7 @@ def query_ivf_index(
         .select("probe_id", "p_v", "p_nrm", "centroid_id")
     )
     scored = (
-        p_lists.join(lists, "centroid_id")
+        F.broadcast(p_lists).join(lists, "centroid_id")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",

@@ -316,15 +316,29 @@ def containment_pairs(
             .select("sh")
         )
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
-    common = (
+    common = _reuse(
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
+    )
+    # candidate-restricted sizes (r10, mirroring the incremental
+    # store form): |kept shingles| only for docs that appear in some
+    # pair — candidates are sparse, so the agg state AND the
+    # broadcast inside containment_directions are bounded by
+    # candidate count, never corpus size
+    involved = (
+        common.select(F.col("id_a").alias(id_col))
+        .unionByName(common.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sizes = (
+        sh.join(F.broadcast(involved), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shingles"))
     )
     return containment_directions(common, sizes, id_col, threshold)
 
@@ -337,12 +351,16 @@ def containment_directions(
     ``(id_col, n_shingles)``; emits ``(contained_id, container_id,
     containment)`` rows ≥ threshold. Shared by the batch operator and
     the incremental store (operators/dedup_store.py) — the explode
-    avoids a second self-join for the reverse direction."""
+    avoids a second self-join for the reverse direction. ``sizes`` is
+    candidate-restricted by both callers (rows ∝ docs appearing in
+    some pair, never corpus size), so it is broadcast BY CONTRACT —
+    the r10 fixed-batch decade caught AQE flipping these two joins to
+    sort-merge at x100 on a stale size estimate."""
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     both = (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .select(
             F.explode(
                 F.array(

@@ -155,9 +155,13 @@ def incremental_minhash_pairs(
     per id).
 
     Scale shape: the batch's band keys are the SMALL side of the one
-    join (AQE broadcasts them); the store scan reads only its
-    signature columns. Candidate volume ∝ bucket collisions with the
-    batch — independent of |store|² and of corpus text size.
+    join and are broadcast BY CONTRACT (hinted — the r10 fixed-batch
+    decade caught AQE flipping the equivalent fingerprint join to a
+    sort-merge once the store-derived size estimate crossed its
+    threshold, which at 100 TB means shuffling the store scan for an
+    ingest-batch join); the store scan reads only its signature
+    columns. Candidate volume ∝ bucket collisions with the batch —
+    independent of |store|² and of corpus text size.
     """
     if verify not in ("estimate", "exact"):
         raise ValueError(f"verify must be 'estimate' or 'exact': {verify!r}")
@@ -178,7 +182,7 @@ def incremental_minhash_pairs(
     left = all_buckets.withColumnRenamed(id_col, "__ida")
     right = new_buckets.withColumnRenamed(id_col, "__idb")
     cands = (
-        left.join(right, ["band", *key_names])
+        left.join(F.broadcast(right), ["band", *key_names])
         .filter(F.col("__ida") != F.col("__idb"))
         .select(
             F.least("__ida", "__idb").alias("id_a"),
@@ -207,7 +211,7 @@ def incremental_minhash_pairs(
     )
     est = agree.cast("double") / F.lit(num_hashes)
     return (
-        cands.join(sa, "id_a")
+        F.broadcast(cands).join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(est, 6).alias("score"))
         .filter(F.col("score") >= threshold)
@@ -262,7 +266,9 @@ def incremental_fingerprint_matches(
     idempotent per id).
 
     Scale shape: ONE equality join on the 16-byte fingerprint with
-    the batch side small — AQE broadcasts it against the store scan;
+    the batch side broadcast BY CONTRACT (hinted) against the store
+    scan — the r10 fixed-batch decade caught AQE flipping this exact
+    join to a store-shuffling sort-merge at x100;
     candidate volume ∝ fingerprint collisions with the batch,
     independent of |store|²."""
     from ..functions.text import fingerprint
@@ -274,7 +280,7 @@ def incremental_fingerprint_matches(
     left = all_fps.withColumnRenamed(id_col, "__ida")
     right = new_fps.withColumnRenamed(id_col, "__idb")
     return (
-        left.join(right, "fingerprint")
+        left.join(F.broadcast(right), "fingerprint")
         .filter(F.col("__ida") != F.col("__idb"))
         .select(
             F.least("__ida", "__idb").alias("id_a"),
@@ -338,8 +344,9 @@ def incremental_simhash_pairs(
     Candidates via the same 4-band pigeonhole as the batch operator
     (recall-complete for distance ≤ 3), verified with
     ``bit_count(a XOR b)``. The batch's band rows are the SMALL side
-    of the one join (AQE broadcasts them against the store scan); the
-    store retains no text — only the 8-byte fingerprints are read."""
+    of the one join, broadcast BY CONTRACT (hinted) against the store
+    scan; the store retains no text — only the 8-byte fingerprints
+    are read."""
     new_sims = _reuse(
         (simhash64 if bits == 64 else simhash32)(new_docs, id_col, text_col)
     )
@@ -361,7 +368,7 @@ def incremental_simhash_pairs(
         "int"
     )
     return (
-        left.join(right, ["band", "bucket"])
+        left.join(F.broadcast(right), ["band", "bucket"])
         .filter(F.col("__ida") != F.col("__idb"))
         .select(
             F.least("__ida", "__idb").alias("id_a"),
@@ -676,7 +683,7 @@ def incremental_containment_pairs(
     Ids must be disjoint between batch and store.
 
     Scale shape: the batch's shingle rows are the SMALL side of the
-    one store join (AQE broadcasts them); candidate volume ∝ shingle
+    one store join, broadcast BY CONTRACT (hinted); candidate volume ∝ shingle
     collisions with the batch, independent of |store|². Per-doc sizes
     (the containment denominators) are aggregated ONLY for docs that
     appear in a candidate pair (semi-join restriction) — never a
@@ -720,11 +727,14 @@ def incremental_containment_pairs(
     # batch×batch pairs come from the self-join with the a<b filter —
     # unioning the two legs avoids a distinct over the candidate rows
     sb_leg = store_sh.select(F.col(id_col).alias("__ida"), "sh").join(
-        batch_sh.select(F.col(id_col).alias("__idb"), "sh"), "sh"
+        F.broadcast(batch_sh.select(F.col(id_col).alias("__idb"), "sh")), "sh"
     )
     bb_leg = (
         batch_sh.select(F.col(id_col).alias("__ida"), "sh")
-        .join(batch_sh.select(F.col(id_col).alias("__idb"), "sh"), "sh")
+        .join(
+            F.broadcast(batch_sh.select(F.col(id_col).alias("__idb"), "sh")),
+            "sh",
+        )
         .filter(F.col("__ida") < F.col("__idb"))
     )
     common = _reuse(
@@ -745,7 +755,7 @@ def incremental_containment_pairs(
         .distinct()
     )
     sizes = (
-        all_sh.join(involved, id_col, "left_semi")
+        all_sh.join(F.broadcast(involved), id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shingles"))
     )
