@@ -90,6 +90,13 @@ EXTRA_SCALE_QUERIES = (
     "quality_classifier_scores",  # explode + map-side-combined avg
     "similarity_bm25_indexed",  # postings-store roundtrip + pushed term filter
     "similarity_topk_ivf_maintained",  # build+add+DELETE+query lifecycle
+    # round-10 maintenance + eval surface (certification shape here;
+    # the store family's OWN fixed-batch/grown-store decade lives in
+    # tools/store_scale_bench.py):
+    "similarity_bm25_maintained",  # tombstone delete + epoch upsert + compact
+    "dedup_incremental_fingerprint_maintained",
+    "dedup_incremental_containment_maintained",  # df-decrementing delete
+    "quality_classifier_eval",  # train + score + confusion agg
     # embedding_semdedup_* are deliberately NOT here: their registered
     # nlist=16 is sized for the certification fixture, and SemDeDup's
     # scale contract is nlist ∝ corpus size (clusters stay constant-
