@@ -828,13 +828,19 @@ def dedup_incremental_fingerprint_maintained(
     return spark.createDataFrame(rows, out.schema)
 
 
-def _simhash_oracle(max_hamming: int = 3, batch_mod: int | None = None) -> str:
+def _simhash_oracle(
+    max_hamming: int = 3,
+    batch_mod: int | None = None,
+    corpus_where: str | None = None,
+) -> str:
     """DuckDB mirror of the portable 32-bit SimHash pipeline
     (operators/dedup.py::simhash_neardup_pairs(bits=32)): md5-32
     token hashes, per-bit ±1 votes, sign fold, 4×8-bit pigeonhole
     bands, bit_count(xor) verification. ``batch_mod`` restricts the
     pair set to pairs INVOLVING the batch (doc_id % batch_mod = 0) —
-    the incremental-store contract (operators/dedup_store.py)."""
+    the incremental-store contract (operators/dedup_store.py).
+    ``corpus_where`` restricts which documents exist at all — the
+    store-delete contract (removed docs stop producing pairs)."""
     votes = ",\n               ".join(
         f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v_{i}"
         for i in range(32)
@@ -848,10 +854,11 @@ def _simhash_oracle(max_hamming: int = 3, batch_mod: int | None = None) -> str:
         if batch_mod is not None
         else ""
     )
+    corpus_clause = f"WHERE {corpus_where}" if corpus_where else ""
     return f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
-        FROM documents
+        FROM documents {corpus_clause}
     ),
     hashed AS (
         SELECT doc_id,
@@ -928,6 +935,51 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="sh_store_") as tmp:
         path = os.path.join(tmp, "sims")
         dedup_store.write_simhash_store(store_docs, path, bits=32)
+        store = dedup_store.read_simhash_store(spark, path)
+        out = dedup_store.incremental_simhash_pairs(
+            batch, store, max_hamming=1, bits=32
+        )
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "dedup_incremental_simhash_maintained",
+    # the store loses doc_id % 5 = 1 before the batch arrives: those
+    # docs must stop producing near-dup pairs entirely
+    oracle=_simhash_oracle(
+        max_hamming=1,
+        batch_mod=4,
+        corpus_where="NOT (doc_id % 4 != 0 AND doc_id % 5 = 1)",
+    ),
+    tags=("dedup", "extension", "incremental", "approx"),
+)
+def dedup_incremental_simhash_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SimHash store through delete maintenance in one certified
+    path (completing the per-store delete certification family:
+    fingerprint r10, shingle r10, postings r10, IVF r9 — the MinHash
+    store shares this exact ``_delete_rows_by_id`` code path and is
+    covered by unit test): build on the store slice (doc_id % 4 != 0),
+    ``delete_from_simhash_store`` the doc_id % 5 = 1 subset (staged
+    anti-join rewrite, 8 B/doc), then run the incremental batch
+    (doc_id % 4 = 0). The oracle recomputes the banded pipeline over
+    the surviving corpus, so pairs whose store member was removed
+    must vanish value-for-value."""
+    import os
+    import tempfile
+
+    from ..operators import dedup_store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    doomed = docs.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    with tempfile.TemporaryDirectory(prefix="sh_maint_") as tmp:
+        path = os.path.join(tmp, "sims")
+        dedup_store.write_simhash_store(store_docs, path, bits=32)
+        dedup_store.delete_from_simhash_store(spark, path, doomed)
         store = dedup_store.read_simhash_store(spark, path)
         out = dedup_store.incremental_simhash_pairs(
             batch, store, max_hamming=1, bits=32
