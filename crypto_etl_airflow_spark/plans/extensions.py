@@ -242,15 +242,23 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shingle CTEs shared by the dedup oracles — mirror
 # operators/dedup.py::word_shingles (distinct word-3-grams).
-_SHINGLE_CTES = """
+# ``corpus_where`` restricts which documents exist at all — the
+# store-delete contract (removed docs stop producing shingles).
+def _shingle_ctes(corpus_where: str | None = None) -> str:
+    where = f" WHERE {corpus_where}" if corpus_where else ""
+    return f"""
     toks AS (
-        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents{where}
     ),
     shingles AS (
         SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS sh
         FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
     )
 """
+
+
+_SHINGLE_CTES = _shingle_ctes()
 
 _NGRAM_DF_CAP = 50  # mirror of max_doc_freq in the registered query
 
@@ -599,6 +607,7 @@ def _incremental_minhash_oracle(
     num_hashes: int = 32,
     bands: int = 8,
     batch_mod: int = 4,
+    corpus_where: str | None = None,
 ) -> str:
     """DuckDB mirror of the incremental store pipeline
     (operators/dedup_store.py): portable signatures for every doc,
@@ -606,7 +615,9 @@ def _incremental_minhash_oracle(
     batch (doc_id % batch_mod = 0), scored by signature agreement —
     exactly what the engine computes after the store roundtrip, so
     the parquet store + idempotent append + incremental join are all
-    on the certified path."""
+    on the certified path. ``corpus_where`` restricts which documents
+    exist at all — the store-delete contract (removed store members
+    stop producing pairs)."""
     p = dedup.MERSENNE_P
     r = num_hashes // bands
     sig = ",\n               ".join(
@@ -625,7 +636,7 @@ def _incremental_minhash_oracle(
         for i in range(num_hashes)
     )
     return f"""
-    WITH {_SHINGLE_CTES},
+    WITH {_shingle_ctes(corpus_where)},
     hashed AS (
         SELECT doc_id,
                CAST(CONCAT('0x', substr(md5(sh), 1, 12)) AS BIGINT) % {p} AS h
@@ -684,6 +695,49 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="mh_store_") as tmp:
         path = os.path.join(tmp, "sigs")
         dedup_store.write_minhash_store(store_docs, path, portable=True)
+        store = dedup_store.read_minhash_store(spark, path)
+        out = dedup_store.incremental_minhash_pairs(
+            batch, store, threshold=0.5, portable=True, verify="estimate"
+        )
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "dedup_incremental_minhash_maintained",
+    # the store loses doc_id % 7 = 2 before the batch arrives: those
+    # docs must stop producing near-dup pairs entirely
+    oracle=_incremental_minhash_oracle(
+        corpus_where="NOT (doc_id % 4 != 0 AND doc_id % 7 = 2)"
+    ),
+    tags=("dedup", "extension", "incremental", "approx"),
+)
+def dedup_incremental_minhash_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MinHash signature store through delete maintenance in one
+    certified path — the LAST store family whose delete was only
+    unit-tested (fingerprint/simhash/shingle/postings/IVF were
+    certified earlier in r10/r9): build on the store slice
+    (doc_id % 4 != 0), ``delete_from_minhash_store`` the
+    doc_id % 7 = 2 subset (shared ``_delete_rows_by_id`` staged
+    anti-join rewrite, 32 B/doc), then run the incremental batch
+    (doc_id % 4 = 0). The oracle recomputes signatures, banding, and
+    agreement scoring over the surviving corpus, so pairs whose store
+    member was removed must vanish value-for-value."""
+    import os
+    import tempfile
+
+    from ..operators import dedup_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    store_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    doomed = docs.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+    with tempfile.TemporaryDirectory(prefix="mh_maint_") as tmp:
+        path = os.path.join(tmp, "sigs")
+        dedup_store.write_minhash_store(store_docs, path, portable=True)
+        dedup_store.delete_from_minhash_store(spark, path, doomed)
         store = dedup_store.read_minhash_store(spark, path)
         out = dedup_store.incremental_minhash_pairs(
             batch, store, threshold=0.5, portable=True, verify="estimate"
@@ -958,10 +1012,10 @@ def dedup_incremental_simhash_maintained(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The SimHash store through delete maintenance in one certified
-    path (completing the per-store delete certification family:
-    fingerprint r10, shingle r10, postings r10, IVF r9 — the MinHash
-    store shares this exact ``_delete_rows_by_id`` code path and is
-    covered by unit test): build on the store slice (doc_id % 4 != 0),
+    path (the per-store delete certification family: fingerprint r10,
+    shingle r10, postings r10, IVF r9, MinHash r10 —
+    ``dedup_incremental_minhash_maintained``): build on the store
+    slice (doc_id % 4 != 0),
     ``delete_from_simhash_store`` the doc_id % 5 = 1 subset (staged
     anti-join rewrite, 8 B/doc), then run the incremental batch
     (doc_id % 4 = 0). The oracle recomputes the banded pipeline over
