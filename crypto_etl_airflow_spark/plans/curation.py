@@ -1833,6 +1833,111 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB mirror of the DSIR bucket/λ pipeline (operators/dsir.py):
+# portable md5-32 feature buckets, smoothed dyadic-quantized log
+# ratios (round(x*1024)/1024 — exact association-free sums in BOTH
+# engines), per-doc Σλ. Target = the lang 'en' slice.
+_DSIR_SQL = """
+    rtok AS (
+        SELECT doc_id,
+               (CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                % 4096) AS bucket
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE tok != ''
+    ),
+    ttok AS (
+        SELECT (CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                % 4096) AS bucket
+        FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents WHERE lang = 'en'
+        ) WHERE tok != ''
+    ),
+    rc AS (SELECT bucket, count(*) AS c_r FROM rtok GROUP BY bucket),
+    tc AS (SELECT bucket, count(*) AS c_t FROM ttok GROUP BY bucket),
+    tot AS (
+        SELECT (SELECT sum(c_r) FROM rc) AS t_r,
+               (SELECT sum(c_t) FROM tc) AS t_t
+    ),
+    lam AS (
+        SELECT rc.bucket,
+               round((ln((coalesce(tc.c_t, 0) + 0.5) / (t.t_t + 0.5 * 4096))
+                      - ln((rc.c_r + 0.5) / (t.t_r + 0.5 * 4096)))
+                     * 1024) / 1024 AS lam
+        FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot t
+    ),
+    lw AS (
+        SELECT r.doc_id, sum(l.lam) AS lw,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM rtok r JOIN lam l USING (bucket) GROUP BY r.doc_id
+    )
+"""
+
+
+@register(
+    "dsir_log_weights",
+    oracle=f"""
+    WITH {_DSIR_SQL}
+    SELECT d.doc_id, round(lw.lw, 6) AS log_weight,
+           coalesce(lw.n_tokens, 0) AS n_tokens
+    FROM documents d LEFT JOIN lw USING (doc_id)
+    """,
+    tags=("text", "quality", "curation", "ml", "extension"),
+)
+def dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (operators/dsir.py — Xie et al.
+    2023, hashed-n-gram variant): every document weighted by how much
+    its hashed-unigram distribution looks like the target domain
+    (here the lang 'en' slice) relative to the raw corpus —
+    Σ_tokens λ(bucket) with smoothed dyadic-quantized log-ratios, so
+    the grouped sum is association-order-exact and the oracle
+    compares bit-for-bit. Two bounded count passes + one broadcast-λ
+    scoring pass; no model state."""
+    from ..operators.dsir import dsir_log_weights as _lw
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _lw(docs, docs.filter(F.col("lang") == "en"))
+
+
+@register(
+    "dsir_resample_topk",
+    oracle=f"""
+    WITH {_DSIR_SQL},
+    keyed AS (
+        SELECT doc_id, round(lw, 6) AS log_weight,
+               round(round(lw, 6)
+                     + round(-ln(-ln((CAST(CONCAT('0x',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                           AS BIGINT) + 1) / 281474976710657.0))
+                             * 1024) / 1024, 6) AS sample_key
+        FROM lw
+    )
+    SELECT doc_id, log_weight, sample_key, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id)
+                      AS rank
+        FROM keyed
+    ) WHERE rank <= 100
+    """,
+    tags=("text", "quality", "curation", "ml", "extension", "sampling"),
+)
+def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: sample 100 documents without replacement with
+    probability ∝ exp(importance log-weight) via deterministic
+    Gumbel-top-k (operators/dsir.py::dsir_resample_topk) — the noise
+    derives from the portable 48-bit doc hash, so the drawn sample is
+    reproducible and engine-recomputable; the top-k executes as
+    TakeOrdered (per-partition heaps), never a global sort."""
+    from ..operators.dsir import dsir_log_weights as _lw
+    from ..operators.dsir import dsir_resample_topk as _topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = _lw(docs, docs.filter(F.col("lang") == "en"))
+    return _topk(weights, k=100)
+
+
 @register(
     "dedup_incremental_semantic",
     oracle=f"""

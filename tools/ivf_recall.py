@@ -19,6 +19,12 @@ so the intersection is well-defined.
 Usage: python tools/ivf_recall.py [scale ...]   (default: 1x x10 x100;
 x10/x100 need the scale dirs from tools/scale_bench.py). Prints one
 JSON line; paste the table into SCALE.md.
+
+``--pq``: measure the IVF-PQ path instead (operators/pq.py) — raw ADC
+top-k and the shortlist+exact-refine form, per (m, nprobe) config at
+nlist=16, against the same brute-force ground truth. The random
+fixture is PQ's WORST case (no cluster structure for the codebooks to
+exploit), so these are floor numbers.
 """
 
 from __future__ import annotations
@@ -44,7 +50,9 @@ GRID_NPROBE = (1, 2, 4, 8)
 
 
 def main() -> None:
-    scales = sys.argv[1:] or list(DIRS)
+    args = sys.argv[1:]
+    pq_mode = "--pq" in args
+    scales = [a for a in args if a != "--pq"] or list(DIRS)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import SparkSession
@@ -84,6 +92,61 @@ def main() -> None:
         row: dict[str, object] = {
             "n_corpus": n_corpus, "exact_sec": exact_sec, "grid": {},
         }
+        if pq_mode:
+            import shutil
+            import tempfile
+
+            from crypto_etl_airflow_spark.operators import pq as pq_ops
+
+            for m in (8, 16):
+                tmp = tempfile.mkdtemp(prefix="pq_recall_")
+                try:
+                    path = os.path.join(tmp, "idx")
+                    t0 = time.perf_counter()
+                    pq_ops.build_ivfpq_index(
+                        emb, path, nlist=16, m=m, ksub=16
+                    )
+                    build_sec = round(time.perf_counter() - t0, 2)
+                    for variant, nprobe in (
+                        ("adc", 4), ("adc", 8),
+                        ("refined", 4), ("refined", 8),
+                    ):
+                        t0 = time.perf_counter()
+                        if variant == "adc":
+                            res = pq_ops.query_ivfpq_index(
+                                probes, path, k=K, nprobe=nprobe
+                            )
+                        else:
+                            res = pq_ops.query_ivfpq_index_refined(
+                                probes, path, emb, k=K, kprime=50,
+                                nprobe=nprobe,
+                            )
+                        approx: dict[int, set] = {}
+                        for r in res.collect():
+                            approx.setdefault(r.probe_id, set()).add(
+                                r.neighbor_id
+                            )
+                        sec = round(time.perf_counter() - t0, 2)
+                        recall = sum(
+                            len(exact[p] & approx.get(p, set()))
+                            / len(exact[p])
+                            for p in exact
+                        ) / len(exact)
+                        key = f"m={m},{variant},nprobe={nprobe}"
+                        row["grid"][key] = {
+                            "recall_at_5": round(recall, 3), "sec": sec,
+                            "build_sec": build_sec,
+                        }
+                        print(
+                            f"# {scale} {key}: recall@5={recall:.3f}"
+                            f" ({sec}s; build {build_sec}s;"
+                            f" exact {exact_sec}s)",
+                            file=sys.stderr, flush=True,
+                        )
+                finally:
+                    shutil.rmtree(tmp, ignore_errors=True)
+            results[scale] = row
+            continue
         for nlist in GRID_NLIST:
             for nprobe in GRID_NPROBE:
                 if nprobe > nlist:
@@ -109,7 +172,8 @@ def main() -> None:
                 )
         results[scale] = row
 
-    print(json.dumps({"metric": "ivf_recall", "k": K, "scales": results}))
+    metric = "ivfpq_recall" if pq_mode else "ivf_recall"
+    print(json.dumps({"metric": metric, "k": K, "scales": results}))
     spark.stop()
 
 
