@@ -2162,6 +2162,7 @@ def _ivfpq_oracle(
     ksub: int = 16,
     ds: int = 8,
     train_mod: int = 4,
+    train_where: str | None = None,
     lists_where: str | None = None,
     refined_kprime: int | None = None,
 ) -> str:
@@ -2178,9 +2179,12 @@ def _ivfpq_oracle(
     ``aggregate`` — normalized by true norms. ``refined_kprime``
     switches the output to the shortlist + exact re-rank form
     (``query_ivfpq_index_refined``): the top-kprime ADC shortlist
-    re-scored with exact cosine."""
-    train = f"WHERE vec_id % {train_mod} != 0"
-    train_and = f"WHERE v.vec_id % {train_mod} != 0"
+    re-scored with exact cosine. ``train_where`` overrides the
+    train_mod predicate (e.g. the first arrival wave of the
+    streaming ingest form)."""
+    pred = train_where or f"vec_id % {train_mod} != 0"
+    train = f"WHERE {pred}"
+    train_and = f"WHERE v.{pred}"
     lists_and = f"WHERE v.{lists_where}" if lists_where else ""
     code_joins = "\n        ".join(
         f"JOIN codes cd{mm} ON cd{mm}.vec_id = c.neighbor_id"
@@ -2293,7 +2297,7 @@ def _ivfpq_oracle(
                                 - 2 * list_dot_product(sv.sv, ps.c_vec),
                                 ps.code) AS rn
             FROM subv sv JOIN pq_seeds ps ON ps.m = sv.m
-            WHERE sv.vec_id % {train_mod} != 0
+            WHERE sv.{pred}
         ) WHERE rn = 1
     ),
     pcomp AS (

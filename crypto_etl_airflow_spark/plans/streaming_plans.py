@@ -28,6 +28,7 @@ from ..sources.tables import load_table
 # family as the batch incremental query (no import cycle: extensions
 # does not import this module)
 from .extensions import (
+    _ivfpq_oracle,
     _FP_STORE_SQL,
     _incremental_minhash_oracle,
     _ivf_oracle,
@@ -477,6 +478,76 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         probes = emb.filter(F.col("vec_id") < 50)
         out = ann_index.query_ivf_index(probes, index_path, k=5, nprobe=4)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "streaming_ivfpq_index_ingest",
+    # wave 0 trains coarse quantizer AND codebooks (build); later
+    # waves are encoded and added frozen — the drained index equals a
+    # batch build-on-wave0 + add-the-rest, which the oracle recomputes
+    # (training restricted to vec_id % 3 = 0, encoding over all)
+    oracle=_ivfpq_oracle(train_where="vec_id % 3 = 0"),
+    tags=("streaming", "similarity", "incremental", "approx"),
+)
+def streaming_ivfpq_index_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming COMPRESSED-index ingest (operators/pq.py) as a real
+    Structured Streaming query — the PQ twin of
+    ``streaming_ann_index_ingest``: embeddings arrive in three
+    micro-batches; the first wave builds the IVF-PQ index (trains the
+    coarse quantizer and subspace codebooks), later waves are PQ-
+    encoded and added under the FROZEN quantizers — each appended row
+    is ~16 bytes instead of a raw vector, the shape that keeps a
+    steady 100 TB vector ingest bounded by code bytes rather than
+    embedding bytes. After the drain, probes ADC-query the persisted
+    index; the result must equal the batch build+add pipeline, which
+    the oracle recomputes in SQL end-to-end."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from ..operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    with tempfile.TemporaryDirectory(prefix="stream_ivfpq_") as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for k in range(3):
+            staging = os.path.join(tmp, f"stage{k}")
+            emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(
+                staging
+            )
+            part = globmod.glob(f"{staging}/part-*.parquet")[0]
+            shutil.copy(part, os.path.join(src, f"wave{k}.parquet"))
+
+        index_path = os.path.join(tmp, "index")
+
+        def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            if os.path.isdir(index_path):
+                pq.add_to_ivfpq_index(batch_df, index_path)
+            else:  # first wave trains coarse quantizer + codebooks
+                pq.build_ivfpq_index(
+                    batch_df, index_path, nlist=16, m=8, ksub=16
+                )
+
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(src)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        probes = emb.filter(F.col("vec_id") < 50)
+        out = pq.query_ivfpq_index(probes, index_path, k=5, nprobe=4)
         rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
 
