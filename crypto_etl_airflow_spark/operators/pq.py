@@ -375,6 +375,30 @@ def add_to_ivfpq_index(
     return n
 
 
+def compact_ivfpq_codes(spark: SparkSession, path: str) -> int:
+    """Rewrite the ``codes`` table into one file per inverted list,
+    PRESERVING the centroid_id partition layout (the
+    ``compact_ivf_lists`` move for the compressed index): every
+    ``add_to_ivfpq_index`` appends one small file per touched
+    partition, and with ~16-byte rows the per-file task overhead
+    dominates even sooner than on the flat index. Crash-safe via the
+    staging-dir swap. Returns the new parquet file count."""
+    from .compact import parquet_file_count, recover_tree, swap_directory
+
+    codes_path = f"{path.rstrip('/')}/codes"
+    recover_tree(codes_path)
+    df = spark.read.parquet(codes_path)
+    staging = codes_path + ".__compact_tmp"
+    (
+        df.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(staging)
+    )
+    swap_directory(staging, codes_path)
+    return parquet_file_count(codes_path)
+
+
 def delete_from_ivfpq_index(
     spark: SparkSession,
     path: str,
@@ -559,7 +583,11 @@ def query_ivfpq_index_refined(
         F.col(vec_col).cast("array<double>").alias("p_v"),
     ).withColumn("p_nrm", _norm(F.col("p_v")))
     cand = (
-        F.broadcast(shortlist.join(p, "probe_id"))
+        # both sides probe-bounded BY CONTRACT (|probes|×kprime and
+        # |probes| rows); the inner hint keeps AQE from sorting them
+        # into an SMJ — the x100 fixed-batch decade caught exactly
+        # that transition (SCALE.md r10)
+        F.broadcast(shortlist.join(F.broadcast(p), "probe_id"))
         .join(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"),

@@ -138,6 +138,34 @@ def test_delete_targets_partitions(spark, emb, tmp_path):
     assert not (remaining & doomed_ids)
 
 
+def test_compact_preserves_layout_and_results(spark, emb, tmp_path):
+    """Compaction must collapse per-add file accretion to one file
+    per inverted list WITHOUT flattening the partition layout or
+    changing ADC answers."""
+    from crypto_etl_airflow_spark.operators.compact import parquet_file_count
+
+    path = str(tmp_path / "idx")
+    pq.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 4 == 1), path, nlist=8, m=8, ksub=16
+    )
+    for r in (2, 3, 0):
+        pq.add_to_ivfpq_index(emb.filter(F.col("vec_id") % 4 == r), path)
+    probes = emb.filter(F.col("vec_id") < 10)
+    before = sorted(
+        tuple(r) for r in pq.query_ivfpq_index(probes, path, k=3, nprobe=2).collect()
+    )
+    n_before = parquet_file_count(f"{path}/codes")
+    n_after = pq.compact_ivfpq_codes(spark, path)
+    assert n_after < n_before
+    parts = glob.glob(f"{path}/codes/centroid_id=*")
+    assert parts
+    assert all(len(glob.glob(f"{p}/*.parquet")) == 1 for p in parts)
+    after = sorted(
+        tuple(r) for r in pq.query_ivfpq_index(probes, path, k=3, nprobe=2).collect()
+    )
+    assert after == before
+
+
 def test_adc_approximates_cosine(spark, emb, tmp_path):
     """ADC scores are cosine approximations: for the shared
     (probe, neighbor) pairs, |adc_sim − cosine_sim| stays small on
