@@ -1833,6 +1833,83 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_unigram_perplexity",
+    oracle="""
+    WITH rtok AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents WHERE lang = 'en'
+    ),
+    cnt AS (
+        SELECT tok, count(*) AS c FROM rtok WHERE tok != '' GROUP BY tok
+    ),
+    tot AS (SELECT sum(c) AS t, least(count(*), 4096) AS v FROM cnt),
+    top AS (
+        SELECT tok, c FROM (
+            SELECT tok, c,
+                   row_number() OVER (ORDER BY c DESC, tok) AS rn
+            FROM cnt
+        ) WHERE rn <= 4096
+    ),
+    vocab AS (
+        SELECT tok,
+               round(ln((c + 0.5) / (t.t + 0.5 * (t.v + 1))) * 1024) / 1024
+                   AS lnp
+        FROM top CROSS JOIN tot t
+    ),
+    oov AS (
+        SELECT round(ln(0.5 / (t + 0.5 * (v + 1))) * 1024) / 1024 AS oov_lnp
+        FROM tot
+    ),
+    sc AS (
+        SELECT d.doc_id,
+               coalesce(v.lnp, o.oov_lnp) AS lnp,
+               CASE WHEN v.lnp IS NULL THEN 1 ELSE 0 END AS oov
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents
+        ) d
+        LEFT JOIN vocab v USING (tok) CROSS JOIN oov o
+        WHERE d.tok != ''
+    ),
+    agg AS (
+        SELECT doc_id, sum(lnp) AS s, sum(oov) AS n_oov,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           round(exp(-agg.s / agg.n_tokens), 6) AS ppl,
+           round(CAST(agg.n_oov AS DOUBLE) / agg.n_tokens, 6) AS oov_ratio,
+           coalesce(agg.n_tokens, 0) AS n_tokens
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("text", "quality", "curation", "ml", "extension"),
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document (operators/lm.py — the
+    CCNet fluency signal in its exactly-recomputable unigram
+    reduction): fit a smoothed top-4096-type unigram model on the
+    lang 'en' reference slice, score EVERY document by
+    exp(−mean ln p(tok)) plus its out-of-vocabulary ratio — the
+    bucketing a pretraining pipeline uses to keep the fluent head.
+    Honest fixture note: this corpus shares one small vocabulary
+    across its languages, so cross-language ppl spread is tiny here;
+    the operator's discrimination (frequent-token docs ≪ rare-token
+    docs ≪ OOV babble) is pinned by tests/test_lm.py on planted
+    documents, while this row certifies the values.
+    ln-probabilities are dyadic-quantized, so the per-doc sums
+    are association-order-exact and the oracle compares
+    bit-for-bit."""
+    from ..operators.lm import train_unigram_lm, unigram_logppl
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, stats = train_unigram_lm(
+        docs.filter(F.col("lang") == "en"), vocab_size=4096
+    )
+    return unigram_logppl(docs, vocab, stats)
+
+
 # DuckDB mirror of the DSIR bucket/λ pipeline (operators/dsir.py):
 # portable md5-32 feature buckets, smoothed dyadic-quantized log
 # ratios (round(x*1024)/1024 — exact association-free sums in BOTH

@@ -21,8 +21,9 @@ def docs(spark):
 def test_target_slice_scores_higher(spark, docs):
     """Mean importance log-weight of the target slice must exceed the
     non-target mean — the whole point of the estimator. The fixture's
-    language vocabularies differ, so the hashed-unigram ratio carries
-    real signal here (unlike the classifier's doc-level eval)."""
+    languages share one vocabulary but differ in per-token FREQUENCY,
+    which is exactly what the distribution-ratio estimator keys on
+    (measured: en −5.80 vs −6.1…−6.6 for the rest at sf0.001)."""
     w = dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
     labeled = w.join(docs.select("doc_id", "lang"), "doc_id")
     rows = {
