@@ -1,0 +1,292 @@
+"""Persisted IVF-SQ8 ANN index — int8 SCALAR quantization over the
+IVF inverted-list layout: the middle rung of the compression ladder
+(flat = raw vectors, operators/ann_index.py; SQ8 = 4× smaller,
+near-lossless, this module; PQ = ~32× smaller, lossy + refine,
+operators/pq.py — the FAISS ``IVFFlat`` / ``IVFScalarQuantizer`` /
+``IVFPQ`` triple re-expressed as parquet + DataFrame ops).
+
+Each inverted-list row stores the vector's int8 codes + per-vector
+(q_min, q_scale) range metadata + its TRUE norm — the EXACT encoding
+of operators/quantize.py (``clamp(floor((x−min)/scale + 0.5))``,
+floor(+0.5) instead of round() because engines disagree on half-even
+vs half-up while floor(+0.5) is identical IEEE arithmetic
+everywhere). Queries reconstruct ``min + (code+128)·scale``
+JVM-side and score the reconstruction against the probe; the true
+norm keeps the denominator exact, so the only error is the ~scale/2
+per-component rounding — recall is near-flat (pinned ≥ 0.95 overlap
+with the flat index's answer at the same nprobe,
+tests/test_sq_index.py).
+
+Layout mirrors the flat index: ``centroids`` (the shared
+deterministic coarse quantizer, operators/similarity.py::
+ivf_centroids) and ``lists`` partitioned by centroid_id — coarse
+ASSIGNMENT uses the raw vector (quantization is storage-only), so
+the same vector lands in the same list as in the flat index, and
+query-time partition pruning is identical. Fully recomputable in
+ANSI SQL (the quantize.py formulas are already oracle-certified);
+certified by plans/extensions.py::similarity_topk_ivfsq.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot as _dot, norm as _norm
+from .quantize import LEVELS, _range_scale
+from .similarity import _nearest_centroid, ivf_centroids
+
+_PARAMS_SIDECAR = "_ivfsq_index_params.json"
+
+
+def _sidecar(path: str) -> str:
+    import os
+
+    return os.path.join(path, _PARAMS_SIDECAR)
+
+
+def _validate_params(path: str, params: dict) -> None:
+    import json
+    import os
+
+    if os.path.exists(_sidecar(path)):
+        with open(_sidecar(path)) as f:
+            existing = json.load(f)
+        if existing != params:
+            raise ValueError(
+                f"ivfsq index {path} was built with {existing}; "
+                f"refusing to mix with {params}"
+            )
+
+
+def _first_dim(df: DataFrame, vec_col: str) -> int | None:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if row is None else row.d
+
+
+def _check_dim(path: str, df: DataFrame, vec_col: str, what: str) -> None:
+    import json
+    import os
+
+    if not os.path.exists(_sidecar(path)):
+        return
+    with open(_sidecar(path)) as f:
+        params = json.load(f)
+    got = _first_dim(df, vec_col)
+    if got is None or params.get("dim") is None:
+        return
+    if params["dim"] != got:
+        raise ValueError(
+            f"ivfsq index {path} holds {params['dim']}-dim vectors; "
+            f"refusing to {what} {got}-dim vectors"
+        )
+
+
+def _encode_rows(assigned: DataFrame) -> DataFrame:
+    """(neighbor_id, q_codes, q_min, q_scale, v_nrm, centroid_id)
+    from assigned raw rows — the operators/quantize.py formula as
+    pure Column expressions."""
+    e = F.col("c_v")
+    mn, mx = F.array_min(e), F.array_max(e)
+    scale = _range_scale(mn, mx)
+    codes = F.transform(
+        e,
+        lambda x: (
+            F.least(
+                F.lit(LEVELS),
+                F.greatest(F.lit(0), F.floor((x - mn) / scale + F.lit(0.5))),
+            )
+            - F.lit(128)
+        ).cast("tinyint"),
+    )
+    return assigned.select(
+        "neighbor_id",
+        codes.alias("q_codes"),
+        mn.alias("q_min"),
+        scale.alias("q_scale"),
+        _norm(e).alias("v_nrm"),
+        "centroid_id",
+    )
+
+
+def _recon(codes: Column, mn: Column, scale: Column) -> Column:
+    return F.transform(
+        codes, lambda c: mn + (c.cast("double") + F.lit(128)) * scale
+    )
+
+
+def build_ivfsq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+) -> None:
+    """Train the deterministic coarse quantizer and persist
+    ``centroids`` + int8-coded ``lists`` partitioned by centroid_id
+    (4× narrower rows than the flat index; assignment on RAW
+    vectors, so list membership is identical to flat)."""
+    import json
+
+    params = {"nlist": nlist, "dim": _first_dim(corpus, vec_col)}
+    _validate_params(path, params)
+    cents = ivf_centroids(corpus, id_col, vec_col, nlist)
+    cents.write.mode("error").parquet(f"{path}/centroids")
+    assigned = _nearest_centroid(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_v"),
+        ),
+        cents,
+        "neighbor_id",
+        "c_v",
+    )
+    _encode_rows(assigned).write.mode("error").partitionBy(
+        "centroid_id"
+    ).parquet(f"{path}/lists")
+    with open(_sidecar(path), "w") as f:
+        json.dump(params, f)
+
+
+_LISTS_SCHEMA = (
+    "neighbor_id long, q_codes array<tinyint>, q_min double, "
+    "q_scale double, v_nrm double, centroid_id long"
+)
+
+
+def read_ivfsq_lists(spark: SparkSession, path: str) -> DataFrame:
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    lists_path = f"{path}/lists"
+    try:
+        return spark.read.parquet(lists_path).withColumn(
+            "centroid_id", F.col("centroid_id").cast("long")
+        )
+    except AnalysisException:
+        if os.path.isdir(lists_path):
+            return spark.createDataFrame([], _LISTS_SCHEMA)
+        raise
+
+
+def add_to_ivfsq_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Frozen-quantizer idempotent add (the ann_index.py contract),
+    appending int8-coded rows. Returns vectors appended."""
+    from .upsert import _lineage_barrier
+
+    spark = new_vecs.sparkSession
+    _check_dim(path, new_vecs, vec_col, "add")
+    cents = spark.read.parquet(f"{path}/centroids")
+    existing = read_ivfsq_lists(spark, path).select(
+        F.col("neighbor_id").alias(id_col)
+    )
+    fresh = new_vecs.join(existing, id_col, "left_anti")
+    assigned = _nearest_centroid(
+        fresh.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_v"),
+        ),
+        cents,
+        "neighbor_id",
+        "c_v",
+    )
+    rows = _lineage_barrier(spark, _encode_rows(assigned), None)
+    n = rows.count()
+    if n:
+        rows.write.mode("append").partitionBy("centroid_id").parquet(
+            f"{path}/lists"
+        )
+    return n
+
+
+def delete_from_ivfsq_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Targeted-partition delete (the ann_index.py shape). Returns
+    vectors removed."""
+    from .compact import recover_tree, swap_directory
+
+    lists_path = f"{path.rstrip('/')}/lists"
+    recover_tree(lists_path)
+    ids_only = ids.select(F.col(id_col).alias("neighbor_id")).distinct()
+    hit = (
+        read_ivfsq_lists(spark, path)
+        .join(F.broadcast(ids_only), "neighbor_id", "left_semi")
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    removed = 0
+    for row in hit:
+        part_dir = f"{lists_path}/centroid_id={row.centroid_id}"
+        kept = spark.read.parquet(part_dir).join(
+            F.broadcast(ids_only), "neighbor_id", "left_anti"
+        )
+        staging = part_dir + ".__delete_tmp"
+        kept.write.mode("overwrite").parquet(staging)
+        swap_directory(staging, part_dir)
+        removed += row.n
+    return removed
+
+
+def query_ivfsq_index(
+    probes: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Cosine top-k over the DEQUANTIZED lists: probes prune to their
+    ``nprobe`` nearest coarse partitions exactly like the flat index,
+    then score ``dot(probe, recon)/(p_nrm · v_nrm)`` with the true
+    stored norm — the only approximation is the int8 rounding inside
+    the dot. Returns (probe_id, neighbor_id, sq_sim, rank); the score
+    column is named for what it is (a scalar-quantized cosine), the
+    same honesty rule as ``adc_sim``."""
+    spark = probes.sparkSession
+    _check_dim(path, probes, vec_col, "query with")
+    cents = spark.read.parquet(f"{path}/centroids")
+    lists = read_ivfsq_lists(spark, path)
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("p_v"),
+    ).withColumn("p_nrm", _norm(F.col("p_v")))
+    p_scored = p.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", _dot(F.col("p_v"), F.col("c_vec")) / F.col("c_norm")
+    )
+    wp = W.partitionBy("probe_id").orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    p_lists = (
+        p_scored.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("probe_id", "p_v", "p_nrm", "centroid_id")
+    )
+    recon = _recon(F.col("q_codes"), F.col("q_min"), F.col("q_scale"))
+    scored = (
+        F.broadcast(p_lists)
+        .join(lists, "centroid_id")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("p_v"), recon) / (F.col("p_nrm") * F.col("v_nrm")),
+                6,
+            ).alias("sq_sim"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("sq_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -2352,6 +2352,170 @@ def _ivfpq_oracle(
     """
 
 
+def _ivfsq_oracle(
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_mod: int = 4,
+    lists_where: str | None = None,
+) -> str:
+    """DuckDB mirror of the IVF-SQ8 pipeline (operators/sq_index.py):
+    the shared coarse CTEs (identical to ``_ivf_oracle`` — coarse
+    assignment uses RAW vectors, quantization is storage-only), then
+    scoring against the int8 reconstruction ``mn + code·scale`` with
+    the TRUE stored norm. The quantization formula is the
+    already-certified operators/quantize.py arithmetic
+    (floor(x+0.5), clamp, identical IEEE doubles in both engines)."""
+    train = f"WHERE vec_id % {train_mod} != 0"
+    train_and = f"WHERE v.vec_id % {train_mod} != 0"
+    lists_and = f"WHERE v.{lists_where}" if lists_where else ""
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    seeds AS (
+        SELECT vec_id AS centroid_id, e AS c_vec
+        FROM v {train} ORDER BY vec_id LIMIT {nlist}
+    ),
+    assign0 AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, s.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.e, s.c_vec)
+                                / sqrt(list_dot_product(s.c_vec, s.c_vec)) DESC,
+                                s.centroid_id) AS rn
+            FROM v, seeds s {train_and}
+        ) WHERE rn = 1
+    ),
+    comp AS (
+        SELECT a.centroid_id, j - 1 AS pos, round(avg(v.e[j]), 6) AS mval
+        FROM assign0 a
+        JOIN v USING (vec_id), unnest(generate_series(1, len(v.e))) AS u(j)
+        GROUP BY 1, 2
+    ),
+    cents AS (
+        SELECT centroid_id, list(mval ORDER BY pos) AS c_vec
+        FROM comp GROUP BY centroid_id
+    ),
+    clists AS (
+        SELECT vec_id AS neighbor_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.e, c.c_vec)
+                                / sqrt(list_dot_product(c.c_vec, c.c_vec)) DESC,
+                                c.centroid_id) AS rn
+            FROM v, cents c {lists_and}
+        ) WHERE rn = 1
+    ),
+    plists AS (
+        SELECT vec_id AS probe_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.e, c.c_vec)
+                                / sqrt(list_dot_product(c.c_vec, c.c_vec)) DESC,
+                                c.centroid_id) AS rn
+            FROM v, cents c WHERE v.vec_id < 50
+        ) WHERE rn <= {nprobe}
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(e, x -> mn + LEAST(255, GREATEST(0,
+                   floor((x - mn) / scale + 0.5))) * scale) AS recon,
+               sqrt(list_dot_product(e, e)) AS v_nrm
+        FROM (
+            SELECT vec_id, e, list_min(e) AS mn,
+                   CASE WHEN list_max(e) > list_min(e)
+                        THEN (list_max(e) - list_min(e)) / 255.0
+                        ELSE 1.0 END AS scale
+            FROM v
+        )
+    ),
+    scored AS (
+        SELECT p.probe_id, c.neighbor_id,
+               round(list_dot_product(pv.e, q.recon)
+                     / (sqrt(list_dot_product(pv.e, pv.e)) * q.v_nrm), 6)
+                   AS sq_sim
+        FROM plists p
+        JOIN clists c USING (centroid_id)
+        JOIN v pv ON pv.vec_id = p.probe_id
+        JOIN q ON q.vec_id = c.neighbor_id
+        WHERE p.probe_id != c.neighbor_id
+    )
+    SELECT probe_id, neighbor_id, sq_sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY sq_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "similarity_topk_ivfsq",
+    oracle=_ivfsq_oracle(),
+    tags=("similarity", "extension", "approx", "incremental"),
+)
+def similarity_topk_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search against a PERSISTED IVF-SQ8 index
+    (operators/sq_index.py) — the middle rung of the compression
+    ladder (flat / SQ8 4× / PQ ~32×): int8-coded inverted lists with
+    per-vector range metadata and true norms, coarse assignment on
+    raw vectors (list membership identical to flat), queries scoring
+    the dequantized reconstruction. Build on the store slice
+    (vec_id % 4 != 0) + frozen add + partition-pruned query, all
+    inside the certified path; the oracle recomputes training,
+    quantization, and scoring value-for-value."""
+    import os
+    import tempfile
+
+    from ..operators import sq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store_vecs = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    probes = emb.filter(F.col("vec_id") < 50)
+    with tempfile.TemporaryDirectory(prefix="ivfsq_index_") as tmp:
+        path = os.path.join(tmp, "index")
+        sq_index.build_ivfsq_index(store_vecs, path, nlist=16)
+        sq_index.add_to_ivfsq_index(batch, path)
+        out = sq_index.query_ivfsq_index(probes, path, k=5, nprobe=4)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "similarity_topk_ivfsq_maintained",
+    oracle=_ivfsq_oracle(lists_where="vec_id % 20 != 0"),
+    tags=("similarity", "extension", "approx", "incremental"),
+)
+def similarity_topk_ivfsq_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IVF-SQ8 index through its maintenance lifecycle in one
+    certified path: build on the store slice, add the batch frozen,
+    ``delete_from_ivfsq_index`` the vec_id % 20 == 0 subset (targeted
+    partition rewrites of int8 rows), query. The oracle restricts the
+    coded lists to surviving ids under the frozen quantizer."""
+    import os
+    import tempfile
+
+    from ..operators import sq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store_vecs = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    doomed = emb.filter(F.col("vec_id") % 20 == 0).select("vec_id")
+    probes = emb.filter(F.col("vec_id") < 50)
+    with tempfile.TemporaryDirectory(prefix="ivfsq_maint_") as tmp:
+        path = os.path.join(tmp, "index")
+        sq_index.build_ivfsq_index(store_vecs, path, nlist=16)
+        sq_index.add_to_ivfsq_index(batch, path)
+        sq_index.delete_from_ivfsq_index(spark, path, doomed)
+        out = sq_index.query_ivfsq_index(probes, path, k=5, nprobe=4)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 @register(
     "similarity_topk_ivfpq",
     oracle=_ivfpq_oracle(),
