@@ -25,6 +25,13 @@ top-k and the shortlist+exact-refine form, per (m, nprobe) config at
 nlist=16, against the same brute-force ground truth. The random
 fixture is PQ's WORST case (no cluster structure for the codebooks to
 exploit), so these are floor numbers.
+
+``--sq8``: measure the IVF-SQ8 path (operators/sq_index.py) — the
+middle rung of the compression ladder. Coarse assignment is on RAW
+vectors, so list membership is identical to flat; any recall delta vs
+the flat IVF grid at the same (nlist=16, nprobe) isolates the int8
+rounding term — the number behind the "near-lossless" claim
+(tests pin ≥95% top-k overlap; this measures it against exact).
 """
 
 from __future__ import annotations
@@ -52,7 +59,8 @@ GRID_NPROBE = (1, 2, 4, 8)
 def main() -> None:
     args = sys.argv[1:]
     pq_mode = "--pq" in args
-    scales = [a for a in args if a != "--pq"] or list(DIRS)
+    sq_mode = "--sq8" in args
+    scales = [a for a in args if not a.startswith("--")] or list(DIRS)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import SparkSession
@@ -92,6 +100,50 @@ def main() -> None:
         row: dict[str, object] = {
             "n_corpus": n_corpus, "exact_sec": exact_sec, "grid": {},
         }
+        if sq_mode:
+            import shutil
+            import tempfile
+
+            from crypto_etl_airflow_spark.operators import (
+                sq_index as sq_ops,
+            )
+
+            tmp = tempfile.mkdtemp(prefix="sq_recall_")
+            try:
+                path = os.path.join(tmp, "idx")
+                t0 = time.perf_counter()
+                sq_ops.build_ivfsq_index(emb, path, nlist=16)
+                build_sec = round(time.perf_counter() - t0, 2)
+                for nprobe in GRID_NPROBE:
+                    t0 = time.perf_counter()
+                    approx = {}
+                    for r in sq_ops.query_ivfsq_index(
+                        probes, path, k=K, nprobe=nprobe
+                    ).collect():
+                        approx.setdefault(r.probe_id, set()).add(
+                            r.neighbor_id
+                        )
+                    sec = round(time.perf_counter() - t0, 2)
+                    recall = sum(
+                        len(exact[p] & approx.get(p, set()))
+                        / len(exact[p])
+                        for p in exact
+                    ) / len(exact)
+                    key = f"sq8,nlist=16,nprobe={nprobe}"
+                    row["grid"][key] = {
+                        "recall_at_5": round(recall, 3), "sec": sec,
+                        "build_sec": build_sec,
+                    }
+                    print(
+                        f"# {scale} {key}: recall@5={recall:.3f}"
+                        f" ({sec}s; build {build_sec}s;"
+                        f" exact {exact_sec}s)",
+                        file=sys.stderr, flush=True,
+                    )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            results[scale] = row
+            continue
         if pq_mode:
             import shutil
             import tempfile
@@ -172,7 +224,11 @@ def main() -> None:
                 )
         results[scale] = row
 
-    metric = "ivfpq_recall" if pq_mode else "ivf_recall"
+    metric = (
+        "ivfsq_recall" if sq_mode
+        else "ivfpq_recall" if pq_mode
+        else "ivf_recall"
+    )
     print(json.dumps({"metric": metric, "k": K, "scales": results}))
     spark.stop()
 
