@@ -50,10 +50,17 @@ DIRS = {
     "1x": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     "x10": "/tmp/scale_bench_x10",
     "x100": "/tmp/scale_bench_x100",
+    "x1000": "/tmp/scale_bench_x1000",
 }
 K = 5
-GRID_NLIST = (16, 64)
-GRID_NPROBE = (1, 2, 4, 8)
+GRID_NLIST = tuple(
+    int(x)
+    for x in os.environ.get("IVF_RECALL_NLIST", "16,64").split(",")
+)
+GRID_NPROBE = tuple(
+    int(x)
+    for x in os.environ.get("IVF_RECALL_NPROBE", "1,2,4,8").split(",")
+)
 
 
 def main() -> None:
