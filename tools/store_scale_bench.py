@@ -68,7 +68,16 @@ BM25_TERMS_COPY0 = ("join0", "merge0", "window0", "stream0")
 
 def _plan_sig(df) -> dict[str, int]:
     """Operator-name histogram of the executed plan — enough to tell
-    'same plan, more rows' from a plan transition between scales."""
+    'same plan, more rows' from a plan transition between scales.
+
+    Executes THIS DataFrame first: the timed phase runs `out.count()`,
+    which is a separate QueryExecution, so without this the AQE plan of
+    `out` itself is never finalized and the signature would reflect the
+    static initial plan — hiding exactly the runtime broadcast→SMJ
+    transitions the decade harness exists to catch (ADVICE r10). All
+    fingerprinted outputs are fixed-batch-sized by contract, so the
+    collect is bounded."""
+    df.collect()
     sig: dict[str, int] = {}
     for line in df._jdf.queryExecution().executedPlan().toString().splitlines():
         name = line.lstrip(" :+-*(0123456789)").split(" ", 1)[0].split("(", 1)[0]
