@@ -20,7 +20,11 @@ Spark shape:
   broadcastable at 100 TB (the rank sorts the TYPE table, which is
   orders of magnitude smaller than the corpus; everything outside
   the cap shares one OOV probability). Add-α smoothing:
-  p(tok) = (c+α)/(T+α(V+1)), p_oov = α/(T+α(V+1)).
+  p(tok) = (c+α)/(T+α(V+1)), p_oov = (T−Σ_top c+α)/(T+α(V+1)) — the
+  OOV symbol absorbs the tail mass the vocabulary cap cut off, so
+  Σ_top p + p_oov = 1 exactly (a proper distribution; when the whole
+  type table fits inside the cap, Σ_top c = T and p_oov degenerates
+  to the familiar α/denom).
 - ``unigram_logppl``: explode the scored docs, broadcast-join the
   model, per-document mean negative log-prob → perplexity. One
   map-side-combined aggregation; no model state, no Python.
@@ -59,32 +63,37 @@ def train_unigram_lm(
     ``(vocab, stats)``: ``vocab`` = (tok, lnp) for the top
     ``vocab_size`` types — kilobytes-to-megabytes, broadcast at
     scoring time; ``stats`` = one row (oov_lnp) shared by every
-    out-of-vocabulary token. Deterministic: the vocabulary boundary
-    tiebreaks (count DESC, token ASC)."""
+    out-of-vocabulary token — its probability carries the tail mass
+    the cap cut off, (T−Σ_top c+α)/denom, so the model is a proper
+    distribution (Σ p = 1 exactly; with the whole type table inside
+    the cap this degenerates to the familiar α/denom). Deterministic:
+    the vocabulary boundary tiebreaks (count DESC, token ASC)."""
     counts = (
         _toks(ref_docs.select(F.lit(0).alias("__id"), text_col), "__id", text_col)
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
     )
-    totals = counts.agg(
+    ranked = counts.withColumn(
+        "__rn",
+        F.row_number().over(W.orderBy(F.desc("c"), F.asc("tok"))),
+    )
+    totals = ranked.agg(
         F.sum("c").alias("t"),
         F.least(F.count("*"), F.lit(vocab_size)).alias("v"),
+        F.sum(
+            F.when(F.col("__rn") <= vocab_size, F.col("c")).otherwise(F.lit(0))
+        ).alias("tc"),
     )
-    top = (
-        counts.withColumn(
-            "__rn",
-            F.row_number().over(W.orderBy(F.desc("c"), F.asc("tok"))),
-        )
-        .filter(F.col("__rn") <= vocab_size)
-        .drop("__rn")
-    )
+    top = ranked.filter(F.col("__rn") <= vocab_size).drop("__rn")
     a = F.lit(alpha)
     denom = F.col("t") + a * (F.col("v") + F.lit(1))
     vocab = (
         top.crossJoin(F.broadcast(totals))
         .select("tok", _dyadic(F.log((F.col("c") + a) / denom)).alias("lnp"))
     )
-    stats = totals.select(_dyadic(F.log(a / denom)).alias("oov_lnp"))
+    stats = totals.select(
+        _dyadic(F.log((F.col("t") - F.col("tc") + a) / denom)).alias("oov_lnp")
+    )
     return vocab, stats
 
 

@@ -1857,9 +1857,11 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS lnp
         FROM top CROSS JOIN tot t
     ),
+    topmass AS (SELECT sum(c) AS tc FROM top),
     oov AS (
-        SELECT round(ln(0.5 / (t + 0.5 * (v + 1))) * 1024) / 1024 AS oov_lnp
-        FROM tot
+        SELECT round(ln((t - tc + 0.5) / (t + 0.5 * (v + 1))) * 1024) / 1024
+                   AS oov_lnp
+        FROM tot CROSS JOIN topmass
     ),
     sc AS (
         SELECT d.doc_id,

@@ -92,6 +92,23 @@ def test_oov_only_doc_gets_oov_ppl(spark, docs, model):
     assert abs(r.ppl - round(math.exp(-oov_lnp), 6)) < 1e-9
 
 
+def test_capped_vocab_is_proper_distribution(spark, docs):
+    """With a BINDING cap (10 of ~31 en types) the OOV symbol must
+    absorb the tail mass: Σ_top p + p_oov = 1 (up to the dyadic
+    ln-quantization), i.e. p_oov = (T−Σ_top c+α)/denom, NOT α/denom —
+    the improper-distribution defect flagged in round 11."""
+    import math
+
+    vocab, stats = train_unigram_lm(
+        docs.filter(F.col("lang") == "en"), vocab_size=10
+    )
+    mass = sum(math.exp(r.lnp) for r in vocab.collect())
+    p_oov = math.exp(stats.first().oov_lnp)
+    assert abs(mass + p_oov - 1.0) < 2e-3, (mass, p_oov)
+    # and the tail genuinely exists, so p_oov is far above alpha/denom
+    assert p_oov > 0.01, p_oov
+
+
 def test_plan_no_python_eval_broadcast_model(spark, docs, model):
     vocab, stats = model
     plan = unigram_logppl(docs, vocab, stats)._jdf.queryExecution().toString()
