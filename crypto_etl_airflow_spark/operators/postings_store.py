@@ -245,13 +245,18 @@ def upsert_postings_store(
     return removed, added
 
 
-def compact_postings_store(spark: SparkSession, path: str) -> int:
+def compact_postings_store(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> int:
     """Physically drop dead rows and clear the tombstones — the
     OPTIMIZE step that bounds merge-on-read debt. Rewrite order is
     the safety argument: postings first (a crash after leaves dead
     lengths rows + live tombstones — queries still correct), lengths
     second (now fully live; tombstones match nothing), tombstones
     cleared last. Each rewrite is a crash-safe staged sibling swap.
+    ``id_col`` must match the name the store was written with (the
+    write/delete/query paths all take it; a mismatch previously
+    surfaced as an AnalysisException on the hardcoded ``doc_id``).
     Returns live membership rows remaining."""
     import shutil
 
@@ -261,13 +266,13 @@ def compact_postings_store(spark: SparkSession, path: str) -> int:
     recover_tree(path)
     live = _lineage_barrier(
         spark,
-        read_live_doc_lengths(spark, path).select("doc_id", "epoch"),
+        read_live_doc_lengths(spark, path, id_col).select(id_col, "epoch"),
         None,
     )
     for table in ("postings", "lengths"):
         tpath = f"{path}/{table}"
         kept = spark.read.parquet(tpath).join(
-            live, ["doc_id", "epoch"], "left_semi"
+            live, [id_col, "epoch"], "left_semi"
         )
         staging = tpath + ".__compact_tmp"
         kept.write.mode("overwrite").parquet(staging)

@@ -177,3 +177,41 @@ def test_compact_drops_dead_rows_and_clears_tombstones(spark, tmp_path):
     ).filter(F.col("dl") > 0).count() == 0
     after = [tuple(r) for r in ps.bm25_topk_indexed(spark, path, TERMS).collect()]
     assert after == before  # compaction never changes answers
+
+
+def test_custom_id_col_full_lifecycle(spark, tmp_path):
+    """write → delete → upsert → COMPACT → query with id_col='page_id'
+    — compaction previously hardcoded doc_id and threw
+    AnalysisException on any custom-id store (round-11 ADVICE)."""
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in DOCS], "page_id long, text string"
+    )
+    ps.write_postings_store(docs, path, id_col="page_id")
+    ps.delete_from_postings_store(
+        spark,
+        path,
+        docs.filter(F.col("page_id").isin(2, 4)).select("page_id"),
+        id_col="page_id",
+    )
+    ps.upsert_postings_store(
+        spark.createDataFrame([(3, "merge stream")], "page_id long, text string"),
+        path,
+        id_col="page_id",
+    )
+    before = [
+        tuple(r)
+        for r in ps.bm25_topk_indexed(
+            spark, path, TERMS, id_col="page_id"
+        ).collect()
+    ]
+    live = ps.compact_postings_store(spark, path, id_col="page_id")
+    assert live == len(DOCS) - 2
+    assert ps.read_tombstones(spark, path).count() == 0
+    after = [
+        tuple(r)
+        for r in ps.bm25_topk_indexed(
+            spark, path, TERMS, id_col="page_id"
+        ).collect()
+    ]
+    assert after == before and before
