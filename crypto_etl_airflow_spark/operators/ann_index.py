@@ -46,7 +46,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot as _dot, norm as _norm
-from .similarity import _nearest_centroid, ivf_centroids
+from .similarity import (
+    BROADCAST_PROBE_LIMIT,
+    _nearest_centroid,
+    bounded_broadcast,
+    capped_probe_count,
+    ivf_centroids,
+)
 
 _PARAMS_SIDECAR = "_ivf_index_params.json"
 
@@ -323,6 +329,7 @@ def query_ivf_index(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    max_broadcast_probes: int | None = BROADCAST_PROBE_LIMIT,
 ) -> DataFrame:
     """Cosine top-k against the persisted index: probes score only the
     vectors of their ``nprobe`` nearest lists. Same output schema as
@@ -336,7 +343,11 @@ def query_ivf_index(
     rows) is broadcast BY CONTRACT (hinted): the r10 fixed-batch
     decade caught AQE flipping it to a sort-merge at the x100 store,
     which shuffles AND sorts the scanned lists per query batch — the
-    exact store-side shuffle the index layout exists to avoid."""
+    exact store-side shuffle the index layout exists to avoid.
+    ``max_broadcast_probes`` bounds that contract (ADVICE r11): a
+    probe batch whose |probes|·nprobe fan-out outgrows the bound
+    drops the hint and lets AQE pick a shuffled, memory-safe plan
+    instead of risking a driver OOM; ``None`` disables the guard."""
     spark = probes.sparkSession
     _check_dim(path, probes, vec_col, "query with")
     cents = read_ivf_centroids(spark, path)
@@ -357,8 +368,10 @@ def query_ivf_index(
         .filter(F.col("__rn") <= nprobe)
         .select("probe_id", "p_v", "p_nrm", "centroid_id")
     )
+    n_probes = capped_probe_count(p, max_broadcast_probes)
     scored = (
-        F.broadcast(p_lists).join(lists, "centroid_id")
+        bounded_broadcast(p_lists, n_probes, nprobe, max_broadcast_probes)
+        .join(lists, "centroid_id")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",

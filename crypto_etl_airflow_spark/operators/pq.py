@@ -60,7 +60,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot as _dot, norm as _norm
-from .similarity import _nearest_centroid, ivf_centroids
+from .similarity import (
+    BROADCAST_PROBE_LIMIT,
+    _nearest_centroid,
+    bounded_broadcast,
+    capped_probe_count,
+    ivf_centroids,
+)
 
 _PARAMS_SIDECAR = "_ivfpq_index_params.json"
 
@@ -441,6 +447,8 @@ def query_ivfpq_index(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    max_broadcast_probes: int | None = BROADCAST_PROBE_LIMIT,
+    _n_probes: int | None = None,
 ) -> DataFrame:
     """ADC top-k against the persisted index: each probe builds one
     m × ksub inner-product lookup table against the broadcast
@@ -454,7 +462,10 @@ def query_ivfpq_index(
     The probe-lists side (|probes| × nprobe rows + a kilobyte LUT per
     probe) is broadcast BY CONTRACT — the r10 fixed-batch decade
     lesson: without the hint AQE flips this join to a sort-merge at
-    scale, shuffling the scanned lists."""
+    scale, shuffling the scanned lists. ``max_broadcast_probes``
+    bounds that contract (ADVICE r11): past the bound the hint is
+    dropped and AQE shuffles instead of risking a driver OOM;
+    ``None`` disables the guard."""
     spark = probes.sparkSession
     _check_dim(path, probes, vec_col, "query with")
     params = _read_params(path)
@@ -524,8 +535,13 @@ def query_ivfpq_index(
             F.element_at(F.col("codes"), mm + F.lit(1)).cast("int") + F.lit(1),
         ),
     )
+    n_probes = (
+        _n_probes
+        if _n_probes is not None
+        else capped_probe_count(p, max_broadcast_probes)
+    )
     scored = (
-        F.broadcast(p_lists)
+        bounded_broadcast(p_lists, n_probes, nprobe, max_broadcast_probes)
         .join(codes, "centroid_id")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
@@ -551,6 +567,7 @@ def query_ivfpq_index_refined(
     k: int = 5,
     kprime: int = 50,
     nprobe: int = 4,
+    max_broadcast_probes: int | None = BROADCAST_PROBE_LIMIT,
 ) -> DataFrame:
     """ADC shortlist + exact re-rank (the FAISS ``IndexRefineFlat``
     shape, and the standard production answer to PQ's quantization
@@ -573,21 +590,35 @@ def query_ivfpq_index_refined(
 
     Returns (probe_id, neighbor_id, cosine_sim, rank) — true cosine
     values, brute-force-comparable. The shortlist side is broadcast
-    BY CONTRACT (|probes| × kprime rows); the corpus fetch is a
-    broadcast semi-join, never a corpus shuffle."""
-    shortlist = query_ivfpq_index(
-        probes, path, id_col, vec_col, k=kprime, nprobe=nprobe
-    ).select("probe_id", "neighbor_id")
+    BY CONTRACT (|probes| × kprime rows), bounded by
+    ``max_broadcast_probes`` like every probe-side contract hint;
+    the corpus fetch is a broadcast semi-join, never a corpus
+    shuffle."""
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("p_v"),
     ).withColumn("p_nrm", _norm(F.col("p_v")))
+    # ONE capped count job decides every probe-side hint below AND
+    # inside the ADC shortlist call (shared via _n_probes)
+    n_probes = capped_probe_count(p, max_broadcast_probes)
+    shortlist = query_ivfpq_index(
+        probes, path, id_col, vec_col, k=kprime, nprobe=nprobe,
+        max_broadcast_probes=max_broadcast_probes, _n_probes=n_probes,
+    ).select("probe_id", "neighbor_id")
     cand = (
         # both sides probe-bounded BY CONTRACT (|probes|×kprime and
         # |probes| rows); the inner hint keeps AQE from sorting them
         # into an SMJ — the x100 fixed-batch decade caught exactly
         # that transition (SCALE.md r10)
-        F.broadcast(shortlist.join(F.broadcast(p), "probe_id"))
+        bounded_broadcast(
+            shortlist.join(
+                bounded_broadcast(p, n_probes, 1, max_broadcast_probes),
+                "probe_id",
+            ),
+            n_probes,
+            kprime,
+            max_broadcast_probes,
+        )
         .join(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"),

@@ -47,6 +47,49 @@ from .parallel import widen_small_input as _widen
 BROADCAST_PROBE_LIMIT = 500_000
 
 
+def capped_probe_count(
+    probes: DataFrame, max_broadcast_probes: int | None
+) -> int | None:
+    """The O(bound) cardinality check behind ``bounded_broadcast``,
+    exposed so a query with SEVERAL probe-side hints pays for ONE
+    count job and shares the result: returns
+    ``min(|probes|, bound+1)`` via ``limit(bound+1).count()`` —
+    exact for every threshold ≤ bound — or ``None`` when the guard
+    is disabled (``max_broadcast_probes is None``)."""
+    if max_broadcast_probes is None:
+        return None
+    bound = max(1, max_broadcast_probes)
+    return probes.limit(bound + 1).count()
+
+
+def bounded_broadcast(
+    side: DataFrame,
+    n_probes: int | None,
+    rows_per_probe: int = 1,
+    max_broadcast_probes: int | None = BROADCAST_PROBE_LIMIT,
+) -> DataFrame:
+    """Broadcast-hint ``side`` only while the contract bound holds —
+    the guard every probe-side contract broadcast shares (bruteforce
+    grew it in r9; the IVF flat/SQ8/PQ query paths adopt it in r12).
+
+    ``side`` carries ~|probes| × ``rows_per_probe`` rows (e.g. the
+    probe→list fan-out is ``nprobe`` rows per probe), so ``n_probes``
+    (from :func:`capped_probe_count`, computed ONCE per query) is
+    checked against ``max_broadcast_probes // rows_per_probe``:
+    inside the bound the hint pins the broadcast AQE wants to flip
+    (the r10 decade lesson); past it the side is returned UNHINTED
+    so AQE degrades to a shuffled, memory-safe join instead of a
+    driver OOM. ``max_broadcast_probes is None`` (and hence
+    ``n_probes is None``) disables the guard — the caller vouches
+    the probe batch fits."""
+    if max_broadcast_probes is None or n_probes is None:
+        return F.broadcast(side)
+    bound = max_broadcast_probes // max(1, rows_per_probe)
+    if n_probes > bound:
+        return side
+    return F.broadcast(side)
+
+
 def cosine_topk_bruteforce(
     probes: DataFrame,
     corpus: DataFrame,

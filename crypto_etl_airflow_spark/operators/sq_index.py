@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import dot as _dot, norm as _norm
 from .quantize import LEVELS, _range_scale
-from .similarity import _nearest_centroid, ivf_centroids
+from .similarity import (
+    BROADCAST_PROBE_LIMIT,
+    _nearest_centroid,
+    bounded_broadcast,
+    capped_probe_count,
+    ivf_centroids,
+)
 
 _PARAMS_SIDECAR = "_ivfsq_index_params.json"
 
@@ -206,6 +212,32 @@ def add_to_ivfsq_index(
     return n
 
 
+def compact_ivfsq_lists(spark: SparkSession, path: str) -> int:
+    """Rewrite the ``lists`` table into one file per inverted list,
+    PRESERVING the centroid_id partition layout — the
+    ``compact_ivf_lists`` / ``compact_ivfpq_codes`` maintenance move
+    the SQ8 rung was missing (ADVICE r11): every ``add_to_ivfsq_index``
+    appends one small file per touched partition, so a steady ingest
+    accretes task-per-tiny-file overhead without bound. Crash-safe
+    via the staging-dir swap. Returns the new parquet file count."""
+    from .compact import parquet_file_count, recover_tree, swap_directory
+
+    lists_path = f"{path.rstrip('/')}/lists"
+    recover_tree(lists_path)
+    df = spark.read.parquet(lists_path)
+    staging = lists_path + ".__compact_tmp"
+    # hash-repartition on the partition column: each centroid's rows
+    # land in exactly one task, so each partition dir gets ONE file
+    (
+        df.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(staging)
+    )
+    swap_directory(staging, lists_path)
+    return parquet_file_count(lists_path)
+
+
 def delete_from_ivfsq_index(
     spark: SparkSession,
     path: str,
@@ -246,6 +278,7 @@ def query_ivfsq_index(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    max_broadcast_probes: int | None = BROADCAST_PROBE_LIMIT,
 ) -> DataFrame:
     """Cosine top-k over the DEQUANTIZED lists: probes prune to their
     ``nprobe`` nearest coarse partitions exactly like the flat index,
@@ -253,7 +286,10 @@ def query_ivfsq_index(
     stored norm — the only approximation is the int8 rounding inside
     the dot. Returns (probe_id, neighbor_id, sq_sim, rank); the score
     column is named for what it is (a scalar-quantized cosine), the
-    same honesty rule as ``adc_sim``."""
+    same honesty rule as ``adc_sim``. The probe-side contract
+    broadcast is bounded by ``max_broadcast_probes`` (ADVICE r11):
+    past the bound the hint is dropped and AQE shuffles instead of
+    risking a driver OOM; ``None`` disables the guard."""
     spark = probes.sparkSession
     _check_dim(path, probes, vec_col, "query with")
     cents = spark.read.parquet(f"{path}/centroids")
@@ -273,8 +309,9 @@ def query_ivfsq_index(
         .select("probe_id", "p_v", "p_nrm", "centroid_id")
     )
     recon = _recon(F.col("q_codes"), F.col("q_min"), F.col("q_scale"))
+    n_probes = capped_probe_count(p, max_broadcast_probes)
     scored = (
-        F.broadcast(p_lists)
+        bounded_broadcast(p_lists, n_probes, nprobe, max_broadcast_probes)
         .join(lists, "centroid_id")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(

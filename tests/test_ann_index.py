@@ -296,3 +296,23 @@ def test_ivf_recall_floor_vs_exact(spark, tmp_path):
     assert r4 >= 0.65, r4
     assert r8 >= 0.80, r8
     assert r8 >= r4
+
+
+def test_probe_guard_falls_back_unhinted(spark, emb, tmp_path):
+    """ADVICE r11: a probe batch past the broadcast bound must NOT be
+    force-broadcast into the lists join — the hint drops and AQE
+    plans a memory-safe join; results are identical either way."""
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(emb, path, nlist=8)
+    probes = emb.filter(F.col("vec_id") < 20)
+    guarded = ann_index.query_ivf_index(
+        probes, path, k=3, nprobe=2, max_broadcast_probes=4
+    )
+    got = sorted(tuple(r) for r in guarded.collect())
+    want = sorted(
+        tuple(r)
+        for r in ann_index.query_ivf_index(
+            probes, path, k=3, nprobe=2
+        ).collect()
+    )
+    assert got == want and got

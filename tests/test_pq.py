@@ -200,3 +200,38 @@ def test_refined_recall_floor(spark, emb, tmp_path):
     want = _pairs(cosine_topk_bruteforce(probes, emb, k=5))
     recall = len(got & want) / len(want)
     assert recall >= 0.8, recall
+
+
+def test_probe_guard_falls_back_unhinted(spark, emb, tmp_path):
+    """ADVICE r11: past the broadcast bound every probe-side hint in
+    the ADC and refined paths drops (AQE plans memory-safe joins);
+    results identical either way, and the capped probe count is
+    computed once and shared down the refined -> ADC call."""
+    path = str(tmp_path / "idx")
+    pq.build_ivfpq_index(emb, path, nlist=8, m=8, ksub=16)
+    probes = emb.filter(F.col("vec_id") < 20)
+    got = sorted(
+        tuple(r)
+        for r in pq.query_ivfpq_index(
+            probes, path, k=3, nprobe=2, max_broadcast_probes=4
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in pq.query_ivfpq_index(probes, path, k=3, nprobe=2).collect()
+    )
+    assert got == want and got
+    got_r = sorted(
+        tuple(r)
+        for r in pq.query_ivfpq_index_refined(
+            probes, path, emb, k=3, kprime=10, nprobe=2,
+            max_broadcast_probes=4,
+        ).collect()
+    )
+    want_r = sorted(
+        tuple(r)
+        for r in pq.query_ivfpq_index_refined(
+            probes, path, emb, k=3, kprime=10, nprobe=2
+        ).collect()
+    )
+    assert got_r == want_r and got_r
