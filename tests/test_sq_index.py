@@ -87,3 +87,63 @@ def test_query_plan_prunes_partitions_no_cartesian(spark, emb, tmp_path):
     plan = out._jdf.queryExecution().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_probe_guard_falls_back_unhinted(spark, emb, tmp_path):
+    """ADVICE r11: past the broadcast bound the probe-side hint drops
+    (AQE plans a memory-safe join); results identical either way."""
+    path = str(tmp_path / "sq")
+    sq_index.build_ivfsq_index(emb, path, nlist=8)
+    probes = emb.filter(F.col("vec_id") < 20)
+    got = sorted(
+        tuple(r)
+        for r in sq_index.query_ivfsq_index(
+            probes, path, k=3, nprobe=2, max_broadcast_probes=4
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sq_index.query_ivfsq_index(
+            probes, path, k=3, nprobe=2
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_compact_preserves_layout_and_results(spark, emb, tmp_path):
+    """compact_ivfsq_lists (new in r12 — the SQ8 rung previously had
+    no compaction, so per-add file accretion grew unboundedly): it
+    must collapse to one file per inverted list WITHOUT flattening
+    the partition layout or changing query answers."""
+    from crypto_etl_airflow_spark.operators.compact import (
+        parquet_file_count,
+    )
+
+    path = str(tmp_path / "sq")
+    sq_index.build_ivfsq_index(
+        emb.filter(F.col("vec_id") % 4 == 1), path, nlist=8
+    )
+    for r in (2, 3, 0):
+        sq_index.add_to_ivfsq_index(
+            emb.filter(F.col("vec_id") % 4 == r), path
+        )
+    probes = emb.filter(F.col("vec_id") < 10)
+    before = sorted(
+        tuple(r)
+        for r in sq_index.query_ivfsq_index(
+            probes, path, k=3, nprobe=2
+        ).collect()
+    )
+    n_before = parquet_file_count(f"{path}/lists")
+    n_after = sq_index.compact_ivfsq_lists(spark, path)
+    assert n_after < n_before
+    parts = glob.glob(f"{path}/lists/centroid_id=*")
+    assert parts
+    assert all(len(glob.glob(f"{p}/*.parquet")) == 1 for p in parts)
+    after = sorted(
+        tuple(r)
+        for r in sq_index.query_ivfsq_index(
+            probes, path, k=3, nprobe=2
+        ).collect()
+    )
+    assert after == before
