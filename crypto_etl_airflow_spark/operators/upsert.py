@@ -257,9 +257,15 @@ class JdbcSink:
         self.batchsize = batchsize
 
     def reader_options(self, keys: list[str]) -> dict[str, str]:
+        # ANSI-quote the key columns: Spark's JDBC writer creates
+        # columns as QUOTED (case-exact) identifiers, so an unquoted
+        # projection gets case-folded by the engine (Derby → upper,
+        # Postgres → lower) and misses them — caught by the first
+        # real-database run of this sink (embedded Derby, r12)
+        cols = ", ".join('"' + k.replace('"', '""') + '"' for k in keys)
         return {
             "url": self.url,
-            "query": f"SELECT {', '.join(keys)} FROM {self.table}",
+            "query": f"SELECT {cols} FROM {self.table}",
             **self.properties,
         }
 

@@ -122,7 +122,11 @@ def test_jdbc_sink_options_carry_mode_batchsize_and_projection():
     assert w["batchsize"] == "500"
     assert w["driver"] == "org.postgresql.Driver"
     r = sink.reader_options(["crypto_id", "extracted_at"])
-    assert r["query"] == "SELECT crypto_id, extracted_at FROM crypto_prices"
+    # quoted since r12: unquoted identifiers get case-folded by real
+    # engines (see tests/test_jdbc_derby.py)
+    assert (
+        r["query"] == 'SELECT "crypto_id", "extracted_at" FROM crypto_prices'
+    )
 
 
 def test_jdbc_upsert_is_idempotent_via_fake_sink(spark):
