@@ -69,6 +69,7 @@ def _load_all() -> None:
         curation,
         extensions,
         parity,
+        pipeline_curate,
         relational,
         retrieval,
         streaming_plans,
