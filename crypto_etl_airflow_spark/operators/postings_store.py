@@ -67,6 +67,19 @@ _PARAMS = {"tokenizer": "ws_lower", "version": 2}
 _SIDECAR = "_postings_store_params.json"
 _TOMB_SCHEMA = "doc_id long, upto long"
 
+# (N, Σdl) sidecar over live docs with dl > 0 — the BM25 globals the
+# query path previously re-aggregated from a full lengths scan per
+# query (the r10/r11 1.74×/decade membership-pass watch item). Every
+# mutation appends one row versioned by ``sver``; ``n_len_files`` /
+# ``n_tomb_files`` fingerprint the filesystem state the row describes
+# (pure directory metadata, no scan), so a crash BETWEEN a data
+# append and its stats append is detected — the fingerprints no
+# longer match — and the reader falls back to the scan-aggregation
+# until the next mutation/compaction recomputes and heals. Duplicate
+# rows from a retried stats append are identical at the same sver
+# and collapse under max(sver).
+_STATS_SCHEMA = "sver long, n long, sum_dl long, n_len_files long, n_tomb_files long"
+
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # the ws_lower tokenizer: identical to the batch BM25 and the
@@ -115,6 +128,74 @@ def read_live_doc_lengths(
     )
 
 
+def _data_file_counts(path: str) -> tuple[int, int]:
+    """Parquet file counts under lengths/ and tombstones/ — the
+    staleness fingerprint for the stats sidecar. Filesystem metadata
+    only: every append adds at least one file, compaction swaps whole
+    directories, so any data mutation changes the fingerprint."""
+
+    def _count(d: str) -> int:
+        if not os.path.isdir(d):
+            return 0
+        return sum(
+            1
+            for root, _dirs, files in os.walk(d)
+            for fn in files
+            if fn.endswith(".parquet")
+        )
+
+    return _count(f"{path}/lengths"), _count(f"{path}/tombstones")
+
+
+def read_store_stats(spark: SparkSession, path: str):
+    """Latest stats sidecar row (max sver) or None if never written."""
+    sp = f"{path}/stats"
+    if not os.path.isdir(sp):
+        return None
+    rows = spark.read.parquet(sp).collect()  # a handful of tiny rows
+    if not rows:
+        return None
+    return max(rows, key=lambda r: r.sver)
+
+
+def _valid_stats(spark: SparkSession, path: str):
+    """The stats row iff its filesystem fingerprint matches the store
+    as it exists NOW — None means stale (crashed mutation window) or
+    absent, and the caller must aggregate from the lengths scan."""
+    row = read_store_stats(spark, path)
+    if row is None:
+        return None
+    if (row.n_len_files, row.n_tomb_files) != _data_file_counts(path):
+        return None
+    return row
+
+
+def _scan_stats(spark: SparkSession, path: str, id_col: str = "doc_id") -> tuple[int, int]:
+    """(N, Σdl) over live docs with dl > 0, from the authoritative
+    lengths scan — the fallback and the healing source."""
+    row = (
+        read_live_doc_lengths(spark, path, id_col)
+        .filter(F.col("dl") > 0)
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+        )
+        .first()
+    )
+    return int(row["n"]), int(row["s"])
+
+
+def _commit_stats(spark: SparkSession, path: str, n: int, sum_dl: int) -> None:
+    """Append the post-mutation stats row, fingerprinting the store's
+    CURRENT directory state. Called as the LAST step of a mutation."""
+    prev = read_store_stats(spark, path)
+    sver = (int(prev.sver) + 1) if prev is not None else 1
+    lf, tf = _data_file_counts(path)
+    spark.createDataFrame(
+        [(sver, int(n), int(sum_dl), lf, tf)], _STATS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(f"{path}/stats")
+
+
 def _max_epoch(spark: SparkSession, path: str) -> int:
     lengths_path = f"{path}/lengths"
     if not os.path.isdir(lengths_path):
@@ -144,6 +225,8 @@ def write_postings_store(
         fresh = docs.join(existing, id_col, "left_anti")
     else:
         fresh = docs
+    # stats base must be read against the PRE-mutation fingerprint
+    base_stats = _valid_stats(spark, path)
     epoch = _max_epoch(spark, path) + 1
     fresh = _lineage_barrier(spark, fresh, None)
     n = fresh.count()
@@ -166,7 +249,22 @@ def write_postings_store(
                 F.lit(epoch).cast("long").alias("epoch"),
             )
         )
+        lengths = _lineage_barrier(spark, lengths, None)
         lengths.write.mode("append").parquet(lengths_path)  # the commit
+        drow = (
+            lengths.filter(F.col("dl") > 0)
+            .agg(
+                F.count("*").alias("dn"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("ds"),
+            )
+            .first()
+        )
+        if base_stats is not None:
+            new_n = int(base_stats.n) + int(drow["dn"])
+            new_s = int(base_stats.sum_dl) + int(drow["ds"])
+        else:
+            new_n, new_s = _scan_stats(spark, path, id_col)
+        _commit_stats(spark, path, new_n, new_s)
     _ensure_store_exists(
         docs.select(
             F.col(id_col),
@@ -205,21 +303,36 @@ def delete_from_postings_store(
     delete appends nothing. The single small append is the delete's
     commit point."""
     _check_sidecar(path)
+    base_stats = _valid_stats(spark, path)
     live = read_live_doc_lengths(spark, path, id_col).select(
-        F.col(id_col).alias("doc_id")
+        F.col(id_col).alias("doc_id"), "dl"
     )
     victims = (
         ids.select(F.col(id_col).alias("doc_id"))
         .distinct()
-        .join(live, "doc_id", "left_semi")
+        .join(live, "doc_id")  # inner: keeps each victim's dl
     )
     victims = _lineage_barrier(spark, victims, None)
-    n = victims.count()
+    n = victims.select("doc_id").distinct().count()
     if n:
         upto = _max_epoch(spark, path)
-        victims.select(
+        victims.select("doc_id").distinct().select(
             "doc_id", F.lit(upto).cast("long").alias("upto")
         ).write.mode("append").parquet(f"{path}/tombstones")
+        drow = (
+            victims.filter(F.col("dl") > 0)
+            .agg(
+                F.count("*").alias("dn"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("ds"),
+            )
+            .first()
+        )
+        if base_stats is not None:
+            new_n = int(base_stats.n) - int(drow["dn"])
+            new_s = int(base_stats.sum_dl) - int(drow["ds"])
+        else:
+            new_n, new_s = _scan_stats(spark, path, id_col)
+        _commit_stats(spark, path, new_n, new_s)
     return n
 
 
@@ -280,6 +393,10 @@ def compact_postings_store(
     tomb_path = f"{path}/tombstones"
     if os.path.isdir(tomb_path):
         shutil.rmtree(tomb_path)
+    # heal the stats sidecar from the now-fully-live store (also the
+    # recovery path after a crashed mutation left the sidecar stale)
+    new_n, new_s = _scan_stats(spark, path, id_col)
+    _commit_stats(spark, path, new_n, new_s)
     return live.count()
 
 
@@ -305,8 +422,18 @@ def bm25_topk_indexed(
     ``(doc_id, bm25, n_hit_terms)`` ordered by (bm25 DESC, doc_id).
     Scoring joins postings to the LIVE membership on
     (doc_id, epoch), so tombstoned versions never score and dead
-    lengths never enter (N, avgdl). See the module docstring for the
-    plan shape."""
+    lengths never enter (N, avgdl).
+
+    Query plan since r12 (the 1.74×/decade membership-pass fix): the
+    corpus globals (N, avgdl) come from the maintained stats sidecar
+    as LITERALS — no per-query lengths aggregation — and liveness +
+    length attachment is ONE join of the term-matched postings to the
+    lengths table, materialized once (query-term-bounded) and reused
+    by both the per-term document frequencies and the scoring, so
+    lengths is scanned once per query instead of three times. A stale
+    sidecar (crashed mutation window, detected by its filesystem
+    fingerprint) falls back to the scan aggregation — exact either
+    way."""
     qtf = (
         read_postings_store(spark, path)
         .filter(F.col("term").isin(*terms))
@@ -315,30 +442,41 @@ def bm25_topk_indexed(
         .dropDuplicates([id_col, "term", "epoch"])
     )
     dl = read_live_doc_lengths(spark, path, id_col).filter(F.col("dl") > 0)
-    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n"))
-    dfreq = qtf.join(dl.select(id_col, "epoch"), [id_col, "epoch"], "left_semi").groupBy(
-        "term"
-    ).agg(F.count_distinct(id_col).alias("dfq"))
-    scored = (
-        qtf.join(F.broadcast(dfreq), "term")
-        .join(dl, [id_col, "epoch"])
-        .crossJoin(F.broadcast(stats))
-        .select(
-            id_col,
-            (
-                F.log(
-                    (F.col("n") - F.col("dfq") + F.lit(0.5))
-                    / (F.col("dfq") + F.lit(0.5))
-                    + F.lit(1.0)
-                )
-                * (F.col("tf") * F.lit(k1 + 1))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("sc"),
+    # liveness + dl in ONE pass over lengths; bounded by matching
+    # postings, persisted (lineage kept — executor-loss-safe, and the
+    # plan stays live for pushdown audits) so both consumers below
+    # reuse it without re-scanning the store
+    qdl = _reuse(qtf.join(dl, [id_col, "epoch"]))
+    dfreq = qdl.groupBy("term").agg(
+        F.count_distinct(id_col).alias("dfq")
+    )
+    stats_row = _valid_stats(spark, path)
+    if stats_row is not None and int(stats_row.n) > 0:
+        n_col = F.lit(int(stats_row.n))
+        avgdl_col = F.lit(int(stats_row.sum_dl) / int(stats_row.n))
+        base = qdl.join(F.broadcast(dfreq), "term")
+    else:
+        stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n"))
+        n_col, avgdl_col = F.col("n"), F.col("avgdl")
+        base = (
+            qdl.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(stats))
         )
+    scored = base.select(
+        id_col,
+        (
+            F.log(
+                (n_col - F.col("dfq") + F.lit(0.5))
+                / (F.col("dfq") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * (F.col("tf") * F.lit(k1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl_col)
+            )
+        ).alias("sc"),
     )
     return (
         scored.groupBy(id_col)

@@ -215,3 +215,66 @@ def test_custom_id_col_full_lifecycle(spark, tmp_path):
         ).collect()
     ]
     assert after == before and before
+
+
+def test_stats_sidecar_tracks_mutations_and_query_drops_scan(spark, tmp_path):
+    """(N, Σdl) sidecar (r12, the 1.74×/decade membership-pass fix):
+    every mutation leaves stats equal to the scan-computed truth, the
+    query answers identically with the sidecar deleted (fallback), a
+    STALE sidecar (simulated crash window: data file appended without
+    a stats row) is detected by the filesystem fingerprint, and
+    compaction heals it."""
+    import shutil as _sh
+
+    path = str(tmp_path / "idx")
+    docs = _docs(spark)
+
+    def scan():
+        return ps._scan_stats(spark, path)
+
+    def sidecar():
+        r = ps._valid_stats(spark, path)
+        assert r is not None, "sidecar unexpectedly stale/absent"
+        return (int(r.n), int(r.sum_dl))
+
+    ps.write_postings_store(docs, path)
+    assert sidecar() == scan()
+    ps.delete_from_postings_store(
+        spark, path, docs.filter(F.col("doc_id").isin(2, 4)).select("doc_id")
+    )
+    assert sidecar() == scan()
+    ps.upsert_postings_store(_docs(spark, [(3, "merge stream")]), path)
+    assert sidecar() == scan()
+
+    with_stats = [
+        tuple(r) for r in ps.bm25_topk_indexed(spark, path, TERMS).collect()
+    ]
+    assert with_stats
+
+    # fallback: no sidecar at all -> same answers
+    _sh.rmtree(f"{path}/stats")
+    assert ps._valid_stats(spark, path) is None
+    no_stats = [
+        tuple(r) for r in ps.bm25_topk_indexed(spark, path, TERMS).collect()
+    ]
+    assert no_stats == with_stats
+
+    # rebuild, then simulate the crash window: a lengths file appears
+    # with no stats row -> fingerprint mismatch -> stale -> fallback
+    ps.compact_postings_store(spark, path)
+    assert ps._valid_stats(spark, path) is not None
+    lfiles = [
+        f
+        for f in glob.glob(f"{path}/lengths/**/*.parquet", recursive=True)
+    ]
+    _sh.copy(lfiles[0], lfiles[0].replace(".parquet", "_retry.parquet"))
+    assert ps._valid_stats(spark, path) is None  # detected
+    stale = [
+        tuple(r) for r in ps.bm25_topk_indexed(spark, path, TERMS).collect()
+    ]
+    # the duplicated file is an exact-copy retry: collapsed by the
+    # query path, so answers are still correct via the scan fallback
+    assert stale == with_stats
+    ps.compact_postings_store(spark, path)  # heals
+    assert ps._valid_stats(spark, path) is not None
+    assert sidecar() == scan()
