@@ -66,24 +66,33 @@ SCALES = {
 BM25_TERMS_COPY0 = ("join0", "merge0", "window0", "stream0")
 
 
-def _plan_sig(df) -> dict[str, int]:
-    """Operator-name histogram of the executed plan — enough to tell
-    'same plan, more rows' from a plan transition between scales.
-
-    Executes THIS DataFrame first: the timed phase runs `out.count()`,
-    which is a separate QueryExecution, so without this the AQE plan of
-    `out` itself is never finalized and the signature would reflect the
-    static initial plan — hiding exactly the runtime broadcast→SMJ
-    transitions the decade harness exists to catch (ADVICE r10). All
-    fingerprinted outputs are fixed-batch-sized by contract, so the
-    collect is bounded."""
-    df.collect()
+def _sig_of(df) -> dict[str, int]:
+    """Operator-name histogram of ``df``'s (already executed, AQE-
+    final) plan — enough to tell 'same plan, more rows' from a plan
+    transition between scales."""
     sig: dict[str, int] = {}
     for line in df._jdf.queryExecution().executedPlan().toString().splitlines():
         name = line.lstrip(" :+-*(0123456789)").split(" ", 1)[0].split("(", 1)[0]
         if name:
             sig[name] = sig.get(name, 0) + 1
     return sig
+
+
+def _timed_count_sig(df) -> tuple[float, dict[str, int]]:
+    """Best-of-2 timing of the count aggregate AND the plan signature
+    of the SAME QueryExecution that was timed (ADVICE r11): `count`
+    prunes every column and produces smaller stage outputs, so its
+    AQE decisions (e.g. broadcast vs SMJ) can differ from a
+    `collect()` of the same DataFrame — fingerprinting a separate
+    execution could record a plan that was never the one timed. Using
+    one `groupBy().count()` handle for both the timed runs and the
+    signature closes that gap; best-of-2 keeps the r9 codegen-warmup
+    discipline (the second run re-executes the same QueryExecution,
+    so the signature reflects the final adaptive plan)."""
+    cnt = df.groupBy().count()
+    a, _ = _timed(cnt.collect)
+    b, _ = _timed(cnt.collect)
+    return min(a, b), _sig_of(cnt)
 
 
 def _timed(fn):
@@ -203,9 +212,9 @@ def main() -> None:
                 mark_ready(path)
             store = dedup_store.read_fingerprint_store(spark, path)
             out = dedup_store.incremental_fingerprint_matches(batch, store)
-            sec, _ = _timed_best2(out.count)
+            sec, sig = _timed_count_sig(out)
             record("fingerprint", scale, "query", sec)
-            results["fingerprint"].setdefault("plan", {})[scale] = _plan_sig(out)
+            results["fingerprint"].setdefault("plan", {})[scale] = sig
             release_reuse_caches()
         finish_op("fingerprint", ("query",))
 
@@ -223,9 +232,9 @@ def main() -> None:
                 mark_ready(path)
             store = dedup_store.read_simhash_store(spark, path)
             out = dedup_store.incremental_simhash_pairs(batch, store)
-            sec, _ = _timed_best2(out.count)
+            sec, sig = _timed_count_sig(out)
             record("simhash", scale, "query", sec)
-            results["simhash"].setdefault("plan", {})[scale] = _plan_sig(out)
+            results["simhash"].setdefault("plan", {})[scale] = sig
             release_reuse_caches()
         finish_op("simhash", ("query",))
 
@@ -246,9 +255,9 @@ def main() -> None:
                 batch, store, n=3, threshold=0.9, max_doc_freq=50,
                 df_counts=dedup_store.read_shingle_df(spark, path),
             )
-            sec, _ = _timed_best2(out.count)
+            sec, sig = _timed_count_sig(out)
             record("containment", scale, "query", sec)
-            results["containment"].setdefault("plan", {})[scale] = _plan_sig(out)
+            results["containment"].setdefault("plan", {})[scale] = sig
             release_reuse_caches()
         finish_op("containment", ("query",))
 
@@ -280,9 +289,9 @@ def main() -> None:
             )
             record("ivf", scale, "delete", sec)
             out = ann_index.query_ivf_index(probes, path, k=5, nprobe=4)
-            sec, _ = _timed_best2(out.count)
+            sec, sig = _timed_count_sig(out)
             record("ivf", scale, "query", sec)
-            results["ivf"].setdefault("plan", {})[scale] = _plan_sig(out)
+            results["ivf"].setdefault("plan", {})[scale] = sig
             # restore the cached index to its pristine build state so
             # reruns time real work, not no-ops: drop the synthetic
             # add batch, re-add the deleted copy-0 vectors
@@ -333,17 +342,15 @@ def main() -> None:
             )
             record("ivfpq", scale, "delete", sec)
             out = pq_ops.query_ivfpq_index(probes, path, k=5, nprobe=4)
-            sec, _ = _timed_best2(out.count)
+            sec, sig = _timed_count_sig(out)
             record("ivfpq", scale, "query_adc", sec)
-            results["ivfpq"].setdefault("plan", {})[scale] = _plan_sig(out)
+            results["ivfpq"].setdefault("plan", {})[scale] = sig
             outr = pq_ops.query_ivfpq_index_refined(
                 probes, path, emb, k=5, kprime=50, nprobe=4
             )
-            sec, _ = _timed_best2(outr.count)
+            sec, sig = _timed_count_sig(outr)
             record("ivfpq", scale, "query_refined", sec)
-            results["ivfpq"].setdefault("plan_refined", {})[scale] = _plan_sig(
-                outr
-            )
+            results["ivfpq"].setdefault("plan_refined", {})[scale] = sig
             # restore the cached index to its pristine build state
             pq_ops.delete_from_ivfpq_index(
                 spark, path, add_batch.select("vec_id")
@@ -378,9 +385,9 @@ def main() -> None:
             )
             record("bm25", scale, "delete", sec)
             out = postings_store.bm25_topk_indexed(spark, path, BM25_TERMS_COPY0)
-            sec, _ = _timed_best2(out.count)
+            sec, sig = _timed_count_sig(out)
             record("bm25", scale, "query", sec)
-            results["bm25"].setdefault("plan", {})[scale] = _plan_sig(out)
+            results["bm25"].setdefault("plan", {})[scale] = sig
             # undo the tombstones so the cached store stays pristine
             # for reruns (compact rewrites postings+lengths live-only;
             # the deleted copy-0 docs then re-register)
