@@ -41,6 +41,8 @@ pinned by tests/test_ann_index.py::test_ivf_recall_floor_vs_exact.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -296,6 +298,165 @@ def delete_from_ivf_index(
         swap_directory(staging, part_dir)
         removed += row.n
     return removed
+
+
+def _clean_orphan_partitions(spark: SparkSession, path: str) -> int:
+    """Remove lists partitions whose centroid_id is absent from the
+    centroids table — the crash leftovers of a rebalance's final
+    cleanup step (old hot partitions already superseded by their
+    split halves). Orphans are QUERY-invisible (the probe join only
+    reaches centroid ids the centroids table holds) but would
+    double-count in full-table reads, so rebalance sweeps them first."""
+    import shutil
+
+    lists_path = f"{path.rstrip('/')}/lists"
+    if not os.path.isdir(lists_path):
+        return 0
+    live = {
+        int(r.centroid_id)
+        for r in read_ivf_centroids(spark, path).select("centroid_id").collect()
+    }
+    removed = 0
+    for entry in sorted(os.listdir(lists_path)):
+        if not entry.startswith("centroid_id="):
+            continue
+        try:
+            cid = int(entry.split("=", 1)[1])
+        except ValueError:
+            continue
+        if cid not in live:
+            shutil.rmtree(os.path.join(lists_path, entry))
+            removed += 1
+    return removed
+
+
+def rebalance_ivf_index(
+    spark: SparkSession, path: str, max_list_size: int
+) -> int:
+    """Split every inverted list larger than ``max_list_size`` into
+    two — the nlist re-dial that keeps per-list size (and hence query
+    cost ∝ store/nlist) bounded as the store grows under frozen-add
+    semantics (VERDICT r10 item 3; the FAISS analogue is a retrain +
+    re-add, a full rebuild — this is the incremental form a lakehouse
+    can do in place).
+
+    Split rule (deterministic, no RNG): the two lowest-id vectors of
+    a hot list seed its halves; members join the seed with the higher
+    cosine (ties → the first seed); each half's new centroid is the
+    component-wise mean rounded to 6 decimals — exactly the
+    ``ivf_centroids`` refinement discipline, so rebuilt-vs-rebalanced
+    centroids carry the same cross-engine determinism. New centroid
+    ids allocate above max(existing), in (hot centroid asc, half)
+    order.
+
+    Crash-ordered like every store mutation here: (1) the half
+    partitions are written to their FINAL dirs — invisible until the
+    centroids table references them; (2) the centroids table swaps
+    (the commit point: old hot centroid gone, halves live); (3) old
+    hot partitions are removed — a crash before (3) leaves
+    query-invisible orphans that the next rebalance sweeps
+    (:func:`_clean_orphan_partitions`). Full-probe answers are
+    INVARIANT across the whole operation: every vector is in exactly
+    one probed-reachable list at every commit point.
+
+    Degenerate lists of identical vectors (both halves collapse onto
+    one seed) are left unsplit. Returns lists split."""
+    import json
+
+    from .compact import recover_tree, swap_directory
+    from .upsert import _lineage_barrier
+
+    lists_path = f"{path.rstrip('/')}/lists"
+    recover_tree(lists_path)
+    _clean_orphan_partitions(spark, path)
+    sizes = (
+        read_ivf_lists(spark, path)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    hot = sorted(
+        int(r.centroid_id) for r in sizes if int(r.n) > max_list_size
+    )
+    if not hot:
+        return 0
+    cents = read_ivf_centroids(spark, path)
+    next_id = int(cents.agg(F.max("centroid_id")).first()[0]) + 1
+    new_rows: list[tuple[int, list[float], float]] = []
+    split_cids: list[int] = []
+    for cid in hot:
+        part_dir = f"{lists_path}/centroid_id={cid}"
+        part = spark.read.parquet(part_dir)
+        seeds = part.orderBy("neighbor_id").limit(2).collect()
+        if len(seeds) < 2:
+            continue
+        s1, s2 = seeds
+        sv1 = F.array(*[F.lit(float(x)) for x in s1.c_v])
+        sv2 = F.array(*[F.lit(float(x)) for x in s2.c_v])
+        # the member's own norm divides both sides — compare dot/|s|
+        sim1 = _dot(F.col("c_v"), sv1) / F.lit(float(s1.c_nrm))
+        sim2 = _dot(F.col("c_v"), sv2) / F.lit(float(s2.c_nrm))
+        half = _lineage_barrier(
+            spark,
+            part.withColumn(
+                "__h", F.when(sim1 >= sim2, F.lit(0)).otherwise(F.lit(1))
+            ),
+            None,
+        )
+        counts = {
+            int(r["__h"]): int(r.n)
+            for r in half.groupBy("__h").agg(F.count("*").alias("n")).collect()
+        }
+        if counts.get(0, 0) == 0 or counts.get(1, 0) == 0:
+            continue  # unsplittable (identical vectors)
+        # new centroids: per-half component means, ivf_centroids style
+        comp = (
+            half.select("__h", F.posexplode("c_v").alias("pos", "x"))
+            .groupBy("__h", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("__h")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "__h",
+                F.transform("pm", lambda s: s.getField("m")).alias("c_vec"),
+            )
+            .collect()
+        )
+        by_h = {int(r["__h"]): list(r.c_vec) for r in comp}
+        ids = (next_id, next_id + 1)
+        next_id += 2
+        for h in (0, 1):
+            vec = by_h[h]
+            nrm = sum(x * x for x in vec) ** 0.5
+            new_rows.append((ids[h], vec, nrm))
+            # (1) half partition to its FINAL dir — invisible until
+            # the centroids swap references it
+            half.filter(F.col("__h") == h).drop("__h").write.mode(
+                "overwrite"
+            ).parquet(f"{lists_path}/centroid_id={ids[h]}")
+        split_cids.append(cid)
+    if not split_cids:
+        return 0
+    # (2) commit point: swap the centroids table
+    kept_cents = cents.filter(~F.col("centroid_id").isin(split_cids))
+    added = spark.createDataFrame(
+        new_rows, "centroid_id long, c_vec array<double>, c_norm double"
+    )
+    staging = f"{path}/centroids.__rebal_tmp"
+    kept_cents.unionByName(added).coalesce(1).write.mode("overwrite").parquet(
+        staging
+    )
+    swap_directory(staging, f"{path}/centroids")
+    # (3) cleanup: drop the superseded hot partitions + re-pin nlist
+    _clean_orphan_partitions(spark, path)
+    sc_path = _sidecar(path)
+    if os.path.exists(sc_path):
+        with open(sc_path) as f:
+            params = json.load(f)
+        params["nlist"] = int(params.get("nlist", 0)) + len(split_cids)
+        with open(sc_path, "w") as f:
+            json.dump(params, f)
+    return len(split_cids)
 
 
 def upsert_ivf_index(

@@ -2116,6 +2116,65 @@ def similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_ivf_rebalanced",
+    # Full-probe invariance is the rebalance CONTRACT: after hot-list
+    # splits, probing every list must still equal exact brute force —
+    # so the oracle is the plain brute-force top-k, with no knowledge
+    # of the split geometry. A rebalance that lost, duplicated, or
+    # mis-assigned one vector fails this hash.
+    oracle=_COSINE_ORACLE_BASE
+    + """
+    , p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 20),
+    scored AS (
+        SELECT probe_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(pe, c.e)
+                     / (sqrt(list_dot_product(pe, pe))
+                        * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine_sim
+        FROM p JOIN v c ON c.vec_id != p.probe_id
+    )
+    SELECT probe_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "extension", "approx", "incremental"),
+)
+def similarity_topk_ivf_rebalanced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The nlist re-dial in the certified path (VERDICT r10 item 3):
+    build at a deliberately coarse nlist=4 (hot lists by
+    construction), split every list above corpus/6 with
+    ``rebalance_ivf_index`` (deterministic two-seed split, staged
+    crash-ordered commit — operators/ann_index.py), then FULL-PROBE
+    query the rebalanced index. Certified against the brute-force
+    oracle: full-probe answers are invariant under rebalance, which
+    pins that no vector was lost, duplicated, or orphaned by the
+    split. The partial-probe payoff (per-list size bounded as the
+    store grows) is measured in SCALE.md; invariance is what an
+    oracle can pin exactly."""
+    import os
+    import tempfile
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    with tempfile.TemporaryDirectory(prefix="ivf_rebal_") as tmp:
+        path = os.path.join(tmp, "index")
+        ann_index.build_ivf_index(emb, path, nlist=4)
+        total = emb.count()
+        ann_index.rebalance_ivf_index(
+            spark, path, max_list_size=max(1, total // 6)
+        )
+        nl = ann_index.read_ivf_centroids(spark, path).count()
+        out = ann_index.query_ivf_index(probes, path, k=5, nprobe=nl)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "similarity_topk_ivf_maintained",
     # full lifecycle: train on the store slice, add the batch frozen,
     # DELETE a subset, query — the oracle assigns everything under the

@@ -316,3 +316,88 @@ def test_probe_guard_falls_back_unhinted(spark, emb, tmp_path):
         ).collect()
     )
     assert got == want and got
+
+
+def test_rebalance_splits_hot_lists_full_probe_invariant(spark, emb, tmp_path):
+    """rebalance_ivf_index (r12): hot lists split into two, every
+    vector stays in exactly one probed-reachable list, and FULL-PROBE
+    answers are invariant — before, after, and vs brute force."""
+    from crypto_etl_airflow_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(emb, path, nlist=4)
+    total = emb.count()
+    probes = emb.filter(F.col("vec_id") < 15)
+    before = sorted(
+        tuple(r)
+        for r in ann_index.query_ivf_index(
+            probes, path, k=3, nprobe=4
+        ).collect()
+    )
+    sizes0 = [
+        r.n
+        for r in ann_index.read_ivf_lists(spark, path)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    n_split = ann_index.rebalance_ivf_index(
+        spark, path, max_list_size=max(1, total // 6)
+    )
+    assert n_split >= 1
+    cents = ann_index.read_ivf_centroids(spark, path)
+    nl = cents.count()
+    assert nl == 4 + n_split
+    lists = ann_index.read_ivf_lists(spark, path)
+    assert lists.count() == total  # no vector lost or duplicated
+    assert lists.select("neighbor_id").distinct().count() == total
+    sizes1 = [
+        r.n
+        for r in lists.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+    ]
+    assert max(sizes1) < max(sizes0)  # the hot list genuinely shrank
+    after = sorted(
+        tuple(r)
+        for r in ann_index.query_ivf_index(
+            probes, path, k=3, nprobe=nl
+        ).collect()
+    )
+    assert after == before  # full probe: rebalance never changes answers
+    brute = sorted(
+        tuple(r)
+        for r in cosine_topk_bruteforce(probes, emb, k=3).collect()
+    )
+    assert after == brute
+    # a threshold nothing exceeds is a no-op
+    assert ann_index.rebalance_ivf_index(spark, path, max_list_size=10**9) == 0
+
+
+def test_rebalance_orphan_cleanup_and_partial_probe(spark, emb, tmp_path):
+    """Crash-window leftovers (a lists partition no centroid
+    references) are query-invisible and swept by the next rebalance;
+    partial-probe queries on the rebalanced index stay well-formed."""
+    import shutil as _sh
+
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(emb, path, nlist=4)
+    probes = emb.filter(F.col("vec_id") < 10)
+    total = emb.count()
+    ann_index.rebalance_ivf_index(spark, path, max_list_size=max(1, total // 6))
+    # plant an orphan: copy a live partition under a fake centroid id
+    parts = glob.glob(f"{path}/lists/centroid_id=*")
+    _sh.copytree(parts[0], f"{path}/lists/centroid_id=999999")
+    before = sorted(
+        tuple(r)
+        for r in ann_index.query_ivf_index(probes, path, k=3, nprobe=2).collect()
+    )
+    assert before  # orphan never probed: query well-formed
+    removed = ann_index._clean_orphan_partitions(spark, path)
+    assert removed == 1
+    assert not os.path.isdir(f"{path}/lists/centroid_id=999999")
+    after = sorted(
+        tuple(r)
+        for r in ann_index.query_ivf_index(probes, path, k=3, nprobe=2).collect()
+    )
+    assert after == before

@@ -304,6 +304,56 @@ def main() -> None:
             release_reuse_caches()
         finish_op("ivf", ("query", "add", "delete"))
 
+    # ---------------- IVF index, REBALANCED (grown nlist) ----------
+    # The frozen-nlist regime above is the between-rebuilds contract
+    # (query decade ~1.5 as per-list size grows with the store). This
+    # section measures the RE-DIAL claim (r12, rebalance_ivf_index):
+    # splitting hot lists to a per-list cap that is CONSTANT across
+    # scales makes the probed row volume constant — query cost should
+    # go flat across the decade at the same nprobe.
+    if not only or "ivf_rebal" in only:
+        cap = None
+        for scale in SCALES:
+            tune(scale)
+            emb = spark.read.parquet(f"{SCALES[scale]}/embeddings.parquet")
+            probes = emb.filter(F.col("vec_id") < 50)  # copy-0: fixed
+            src, src_ready = store_cache("ivf", scale)
+            if not src_ready:
+                raise SystemExit("run the ivf section first (builds the src store)")
+            if cap is None:
+                # shared per-list cap = the x10 store's mean list size
+                n_rows = ann_index.read_ivf_lists(spark, src).count()
+                n_cents = ann_index.read_ivf_centroids(spark, src).count()
+                cap = max(1, n_rows // n_cents)
+            path, ready = store_cache("ivf_rebal", scale)
+            if not ready:
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                shutil.copytree(src, path)
+                os.remove(os.path.join(path, "_READY"))
+
+                def _until_balanced() -> int:
+                    rounds = 0
+                    while ann_index.rebalance_ivf_index(spark, path, cap) > 0:
+                        rounds += 1
+                    return rounds
+
+                sec, _ = _timed(_until_balanced)
+                record("ivf_rebal", scale, "rebalance", sec)
+                mark_ready(path)
+            nl = ann_index.read_ivf_centroids(spark, path).count()
+            results.setdefault("ivf_rebal", {}).setdefault(scale, {})[
+                "nlist"
+            ] = nl
+            print(f"# ivf_rebal {scale} nlist: {nl} (cap {cap})",
+                  file=sys.stderr, flush=True)
+            out = ann_index.query_ivf_index(probes, path, k=5, nprobe=4)
+            sec, sig = _timed_count_sig(out)
+            record("ivf_rebal", scale, "query", sec)
+            results["ivf_rebal"].setdefault("plan", {})[scale] = sig
+            release_reuse_caches()
+        finish_op("ivf_rebal", ("query",))
+
     # ---------------- IVF-PQ index ----------------
     # same fixed-batch contract as the flat index; the claim under
     # test is that the COMPRESSED steady state scales no worse than
