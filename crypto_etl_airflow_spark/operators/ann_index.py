@@ -340,14 +340,19 @@ def rebalance_ivf_index(
     re-add, a full rebuild — this is the incremental form a lakehouse
     can do in place).
 
-    Split rule (deterministic, no RNG): the two lowest-id vectors of
-    a hot list seed its halves; members join the seed with the higher
-    cosine (ties → the first seed); each half's new centroid is the
-    component-wise mean rounded to 6 decimals — exactly the
-    ``ivf_centroids`` refinement discipline, so rebuilt-vs-rebalanced
-    centroids carry the same cross-engine determinism. New centroid
-    ids allocate above max(existing), in (hot centroid asc, half)
-    order.
+    Split rule (deterministic, no RNG): members rank by cosine to the
+    list's lowest-id vector (ties → neighbor_id) and split AT THE
+    MEDIAN — each half is exactly ⌈n/2⌉ / ⌊n/2⌋, so a list reaches
+    the cap in ⌈log₂(n/cap)⌉ rounds regardless of geometry (the
+    nearest-seed split this replaced mid-r12 was arbitrarily lopsided
+    on unstructured data and took near-linear rounds). Each half's
+    new centroid is the component-wise mean rounded to 6 decimals —
+    the ``ivf_centroids`` refinement discipline, so
+    rebuilt-vs-rebalanced centroids carry the same cross-engine
+    determinism. New centroid ids allocate above max(existing), in
+    (hot centroid asc, half) order. The rank window is per-list —
+    bounded by list size, the same skew exposure the flat index's
+    duplicate-group windows have.
 
     Crash-ordered like every store mutation here: (1) the half
     partitions are written to their FINAL dirs — invisible until the
@@ -359,8 +364,7 @@ def rebalance_ivf_index(
     INVARIANT across the whole operation: every vector is in exactly
     one probed-reachable list at every commit point.
 
-    Degenerate lists of identical vectors (both halves collapse onto
-    one seed) are left unsplit. Returns lists split."""
+    Returns lists split."""
     import json
 
     from .compact import recover_tree, swap_directory
@@ -384,31 +388,28 @@ def rebalance_ivf_index(
     next_id = int(cents.agg(F.max("centroid_id")).first()[0]) + 1
     new_rows: list[tuple[int, list[float], float]] = []
     split_cids: list[int] = []
+    size_by_cid = {int(r.centroid_id): int(r.n) for r in sizes}
     for cid in hot:
         part_dir = f"{lists_path}/centroid_id={cid}"
         part = spark.read.parquet(part_dir)
-        seeds = part.orderBy("neighbor_id").limit(2).collect()
-        if len(seeds) < 2:
-            continue
-        s1, s2 = seeds
-        sv1 = F.array(*[F.lit(float(x)) for x in s1.c_v])
-        sv2 = F.array(*[F.lit(float(x)) for x in s2.c_v])
-        # the member's own norm divides both sides — compare dot/|s|
-        sim1 = _dot(F.col("c_v"), sv1) / F.lit(float(s1.c_nrm))
-        sim2 = _dot(F.col("c_v"), sv2) / F.lit(float(s2.c_nrm))
+        seed = part.orderBy("neighbor_id").limit(1).collect()[0]
+        sv1 = F.array(*[F.lit(float(x)) for x in seed.c_v])
+        # the member's own norm divides both sides of the RANK — the
+        # seed's norm is a shared positive factor too, so raw dot
+        # order == cosine order
+        sim1 = _dot(F.col("c_v"), sv1)
+        mid = (size_by_cid[cid] + 1) // 2
+        wr = W.orderBy(F.desc("__s1"), F.asc("neighbor_id"))
         half = _lineage_barrier(
             spark,
-            part.withColumn(
-                "__h", F.when(sim1 >= sim2, F.lit(0)).otherwise(F.lit(1))
-            ),
+            part.withColumn("__s1", sim1)
+            .withColumn("__rn", F.row_number().over(wr))
+            .withColumn(
+                "__h", F.when(F.col("__rn") <= mid, F.lit(0)).otherwise(F.lit(1))
+            )
+            .drop("__s1", "__rn"),
             None,
         )
-        counts = {
-            int(r["__h"]): int(r.n)
-            for r in half.groupBy("__h").agg(F.count("*").alias("n")).collect()
-        }
-        if counts.get(0, 0) == 0 or counts.get(1, 0) == 0:
-            continue  # unsplittable (identical vectors)
         # new centroids: per-half component means, ivf_centroids style
         comp = (
             half.select("__h", F.posexplode("c_v").alias("pos", "x"))

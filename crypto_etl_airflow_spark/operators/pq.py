@@ -231,16 +231,49 @@ def train_pq_codebook(
     )
 
 
+def _with_residuals(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, __v raw double vector, centroid_id, resid) — the residual
+    of every vector to its assigned coarse centroid, the quantity the
+    codebook quantizes under residual encoding (FAISS IVFPQ default:
+    residuals are centered near zero, so the same ksub codewords span
+    them far more finely than the raw space). Components are exact
+    IEEE differences of already-cross-engine-certified doubles (raw
+    vector, rounded centroid), so both engines derive identical
+    residuals with no extra rounding."""
+    assigned = _nearest_centroid(
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        ),
+        cents,
+        id_col,
+        "__v",
+    )
+    return assigned.join(
+        F.broadcast(cents.select("centroid_id", "c_vec")), "centroid_id"
+    ).select(
+        id_col,
+        "__v",
+        "centroid_id",
+        F.zip_with("__v", "c_vec", lambda x, y: x - y).alias("resid"),
+    )
+
+
 def encode_pq(
     df: DataFrame,
     codebook: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    norm_vec_col: str | None = None,
 ) -> DataFrame:
     """PQ-encode every vector against a trained codebook: (id,
     codes array<tinyint>, v_nrm). ``codes[m]`` is the L2-nearest
     codeword of subspace m; ``v_nrm`` is the TRUE vector norm, kept
-    exact so ADC approximates only the dot product."""
+    exact so ADC approximates only the dot product.
+    ``norm_vec_col`` names the column the norm is taken from when it
+    differs from the encoded one — the residual-encoding path encodes
+    ``resid`` but normalizes by the RAW vector's norm."""
     row = codebook.agg(
         F.max("m_id").alias("mx"), F.min(F.size("c_vec")).alias("dsz")
     ).first()
@@ -258,7 +291,9 @@ def encode_pq(
     )
     norms = df.select(
         F.col(id_col),
-        _norm(F.col(vec_col).cast("array<double>")).alias("v_nrm"),
+        _norm(
+            F.col(norm_vec_col or vec_col).cast("array<double>")
+        ).alias("v_nrm"),
     )
     return codes.join(norms, id_col)
 
@@ -276,7 +311,16 @@ def build_ivfpq_index(
     and persist the index: ``centroids`` (nlist rows), ``codebook``
     (m × ksub rows), and ``codes`` partitioned by centroid_id — the
     inverted lists, ~(m + 8) bytes per vector instead of a raw
-    array."""
+    array.
+
+    RESIDUAL encoding (r12, VERDICT r10 item 4 — the FAISS IVFPQ
+    default): the codebook trains on and the codes quantize
+    ``v − c(v)`` (the vector's offset from its coarse centroid), not
+    the raw vector. Residuals cluster near zero, so the same m × ksub
+    codewords resolve them far more finely; the query adds the exact
+    ``⟨probe, centroid⟩`` term back per probed list. The sidecar
+    records ``encoding: residual`` — raw-encoded stores from earlier
+    builds are a different regime and are refused on rebuild."""
     import json
 
     params = {
@@ -284,24 +328,19 @@ def build_ivfpq_index(
         "m": m,
         "ksub": ksub,
         "dim": _first_dim(corpus, vec_col),
+        "encoding": "residual",
     }
     _validate_params(path, params)
     cents = ivf_centroids(corpus, id_col, vec_col, nlist)
     cents.write.mode("error").parquet(f"{path}/centroids")
-    codebook = train_pq_codebook(corpus, id_col, vec_col, m, ksub)
+    res = _with_residuals(corpus, cents, id_col, vec_col)
+    codebook = train_pq_codebook(res, id_col, "resid", m, ksub)
     codebook.write.mode("error").parquet(f"{path}/codebook")
 
-    encoded = encode_pq(corpus, codebook, id_col, vec_col)
-    assigned = _nearest_centroid(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("c_v"),
-        ),
-        cents,
-        "neighbor_id",
-        "c_v",
-    ).select("neighbor_id", "centroid_id")
-    lists = assigned.join(
+    encoded = encode_pq(res, codebook, id_col, "resid", norm_vec_col="__v")
+    lists = res.select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    ).join(
         encoded.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
     ).select("neighbor_id", "codes", "v_nrm", "centroid_id")
     lists.write.mode("error").partitionBy("centroid_id").parquet(
@@ -359,17 +398,13 @@ def add_to_ivfpq_index(
         F.col("neighbor_id").alias(id_col)
     )
     fresh = new_vecs.join(existing, id_col, "left_anti")
-    encoded = encode_pq(fresh, codebook, id_col, vec_col)
-    assigned = _nearest_centroid(
-        fresh.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("c_v"),
-        ),
-        cents,
-        "neighbor_id",
-        "c_v",
-    ).select("neighbor_id", "centroid_id")
-    lists = assigned.join(
+    # frozen-quantizer residual encoding: assign, subtract the
+    # centroid, encode the residual, keep the RAW norm
+    res = _with_residuals(fresh, cents, id_col, vec_col)
+    encoded = encode_pq(res, codebook, id_col, "resid", norm_vec_col="__v")
+    lists = res.select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    ).join(
         encoded.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
     ).select("neighbor_id", "codes", "v_nrm", "centroid_id")
     lists = _lineage_barrier(spark, lists, None)
@@ -513,14 +548,23 @@ def query_ivfpq_index(
         )
     )
 
-    p_scored = p.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", _dot(F.col("p_v"), F.col("c_vec")) / F.col("c_norm")
+    p_scored = (
+        p.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__sim", _dot(F.col("p_v"), F.col("c_vec")) / F.col("c_norm")
+        )
+        # residual encoding: the exact <probe, centroid> term added
+        # back to every candidate of this probed list (rounded 6 so
+        # the oracle derives the identical double)
+        .withColumn(
+            "cdot", F.round(_dot(F.col("p_v"), F.col("c_vec")), 6)
+        )
     )
     wp = W.partitionBy("probe_id").orderBy(F.desc("__sim"), F.asc("centroid_id"))
     p_lists = (
         p_scored.withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") <= nprobe)
-        .select("probe_id", "p_nrm", "centroid_id")
+        .select("probe_id", "p_nrm", "centroid_id", "cdot")
         # both sides are probe-cardinality-bounded BY CONTRACT; the
         # hint keeps AQE from sorting them into an SMJ (r10 lesson)
         .join(F.broadcast(lut), "probe_id")
@@ -547,9 +591,10 @@ def query_ivfpq_index(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(adc / (F.col("p_nrm") * F.col("v_nrm")), 6).alias(
-                "adc_sim"
-            ),
+            # dot(p, v) ~= <p, c(v)> exact + <p, residual> from the LUT
+            F.round(
+                (F.col("cdot") + adc) / (F.col("p_nrm") * F.col("v_nrm")), 6
+            ).alias("adc_sim"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.desc("adc_sim"), F.asc("neighbor_id"))

@@ -2228,14 +2228,16 @@ def _ivfpq_oracle(
     """DuckDB mirror of the FULL deterministic IVF-PQ pipeline
     (operators/pq.py): the shared coarse quantizer CTEs (lowest-id
     seeds, one rounded refinement — identical to ``_ivf_oracle``),
-    then per-subspace codebook training (lowest-id seed subvectors,
-    code = seed-id rank, L2 assignment via the monotone
-    ``<c,c> − 2<x,c>`` key, rounded per-component means, empty codes
-    keeping their seed), encoding of EVERY vector under the frozen
-    codebook, per-probe LUT entries rounded to 6 decimals, and ADC
-    scoring as an explicit left-assoc ``0.0 + l0 + l1 + …`` chain —
-    the same association order as Spark's sequential
-    ``aggregate`` — normalized by true norms. ``refined_kprime``
+    then RESIDUAL encoding (r12, the FAISS IVFPQ default): every
+    vector's residual to its assigned coarse centroid is what the
+    per-subspace codebooks train on and the codes quantize (lowest-id
+    seed residual subvectors, code = seed-id rank, L2 assignment via
+    the monotone ``<c,c> − 2<x,c>`` key, rounded per-component means,
+    empty codes keeping their seed). Scoring adds the exact
+    ``round(<probe, centroid>, 6)`` term of the probed list back to
+    the LUT chain: ``cdot + (0.0 + l0 + l1 + …)`` — the same
+    association order as Spark's ``cdot + aggregate(...)`` —
+    normalized by true RAW norms. ``refined_kprime``
     switches the output to the shortlist + exact re-rank form
     (``query_ivfpq_index_refined``): the top-kprime ADC shortlist
     re-scored with exact cosine. ``train_where`` overrides the
@@ -2252,7 +2254,9 @@ def _ivfpq_oracle(
         f" AND l{mm}.m = {mm} AND l{mm}.code = cd{mm}.code"
         for mm in range(m)
     )
-    chain = "0.0 + " + " + ".join(f"l{mm}.ip" for mm in range(m))
+    chain = "cd.cdot + (0.0 + " + " + ".join(
+        f"l{mm}.ip" for mm in range(m)
+    ) + ")"
     final = f"""
     SELECT probe_id, neighbor_id, adc_sim, CAST(rank AS INT) AS rank FROM (
         SELECT *, row_number() OVER (PARTITION BY probe_id
@@ -2333,10 +2337,29 @@ def _ivfpq_oracle(
             FROM v, cents c WHERE v.vec_id < 50
         ) WHERE rn <= {nprobe}
     ),
+    rassign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.e, c.c_vec)
+                                / sqrt(list_dot_product(c.c_vec, c.c_vec)) DESC,
+                                c.centroid_id) AS rn
+            FROM v, cents c
+        ) WHERE rn = 1
+    ),
+    resid AS (
+        SELECT a.vec_id,
+               list_transform(generate_series(1, len(v.e)),
+                              j -> v.e[j] - ct.c_vec[j]) AS re
+        FROM rassign a
+        JOIN v USING (vec_id)
+        JOIN cents ct USING (centroid_id)
+    ),
     subv AS (
         SELECT vec_id, mm AS m,
-               list_slice(e, mm * {ds} + 1, (mm + 1) * {ds}) AS sv
-        FROM v, unnest(generate_series(0, {m - 1})) AS tt(mm)
+               list_slice(re, mm * {ds} + 1, (mm + 1) * {ds}) AS sv
+        FROM resid, unnest(generate_series(0, {m - 1})) AS tt(mm)
     ),
     pq_seed_ids AS (
         SELECT vec_id,
@@ -2395,14 +2418,23 @@ def _ivfpq_oracle(
         FROM v p JOIN codebook cb ON p.vec_id < 50
     ),
     cand AS (
-        SELECT pl.probe_id, cl.neighbor_id
+        SELECT pl.probe_id, cl.neighbor_id, cl.centroid_id
         FROM plists pl JOIN clists cl USING (centroid_id)
         WHERE pl.probe_id != cl.neighbor_id
+    ),
+    cdots AS (
+        SELECT pl.probe_id, pl.centroid_id,
+               round(list_dot_product(pv.e, ct.c_vec), 6) AS cdot
+        FROM plists pl
+        JOIN v pv ON pv.vec_id = pl.probe_id
+        JOIN cents ct USING (centroid_id)
     ),
     scored AS (
         SELECT c.probe_id, c.neighbor_id,
                round(({chain}) / (pn.v_nrm * nn.v_nrm), 6) AS adc_sim
         FROM cand c
+        JOIN cdots cd ON cd.probe_id = c.probe_id
+                     AND cd.centroid_id = c.centroid_id
         JOIN vnorm pn ON pn.vec_id = c.probe_id
         JOIN vnorm nn ON nn.vec_id = c.neighbor_id
         {code_joins}
