@@ -235,3 +235,54 @@ def test_probe_guard_falls_back_unhinted(spark, emb, tmp_path):
         ).collect()
     )
     assert got_r == want_r and got_r
+
+
+def test_residual_encoding_excels_on_clustered_data(spark):
+    """The residual-encoding payoff case (r12): on CLUSTERED vectors
+    (centroid + small noise — the shape real embedding corpora have)
+    the residual to the coarse centroid is just the noise, so m=8
+    one-byte codes capture it almost exactly and RAW-ADC recall is
+    near-perfect. The structureless fixture corpus is the encoding's
+    null case (centroids ~ 0 => residual ~ raw; SCALE.md r12 measures
+    +25-53%% there); this planted corpus pins the mechanism itself."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n_coarse, n_micro, per = 64, 16, 8, 8
+    coarse = rng.normal(size=(n_coarse, dim))
+    micro = rng.normal(size=(n_coarse, n_micro, dim))
+    rows = []
+    # two-level structure: coarse centers (the IVF lists) + well-
+    # separated micro-clusters within each list (the true top-5 = a
+    # probe's own micro-cluster, margin 0.35 >> noise 0.01) — the
+    # residual carries the micro offset, which the codebook CAN
+    # quantize; ranking within one undifferentiated blob cannot be
+    # resolved by any 8-byte code, so that is not what this pins
+    # id layout i = (j coarse) + 16*(k micro) + 128*(replica): the
+    # 16 lowest ids cover all 16 coarse clusters, so the lowest-id
+    # seeding of BOTH quantizers sees representative structure
+    for i in range(n_coarse * n_micro * per):
+        j, k = i % n_coarse, (i // n_coarse) % n_micro
+        v = coarse[j] + 0.35 * micro[j, k] + 0.01 * rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") < 32)
+    import tempfile
+
+    def micro_of(i: int) -> tuple[int, int]:
+        return (i % n_coarse, (i // n_coarse) % n_micro)
+
+    with tempfile.TemporaryDirectory(prefix="pq_resid_") as tmp:
+        path = os.path.join(tmp, "idx")
+        pq.build_ivfpq_index(emb, path, nlist=16, m=8, ksub=64)
+        hits = tot = 0
+        for r in pq.query_ivfpq_index(probes, path, k=5, nprobe=4).collect():
+            tot += 1
+            hits += micro_of(r.probe_id) == micro_of(r.neighbor_id)
+    # RAW ADC resolves every neighbor to the correct micro-cluster
+    # (measured 1.000 at this config). Exact-top-5 overlap is the
+    # wrong metric here BY CONSTRUCTION: within a micro-cluster the
+    # 0.01-noise sibling ordering is below any 8-byte code's
+    # resolution, giving the ~0.71 expected-random-5-of-7 overlap —
+    # the refine stage exists for exactly that last mile.
+    assert tot == 32 * 5 and hits / tot >= 0.95, (hits, tot)
