@@ -440,6 +440,166 @@ def compact_ivfpq_codes(spark: SparkSession, path: str) -> int:
     return parquet_file_count(codes_path)
 
 
+def _clean_orphan_pq_partitions(spark: SparkSession, path: str) -> int:
+    """Remove codes partitions whose centroid_id is absent from the
+    centroids table — rebalance crash leftovers (query-invisible,
+    swept so full-table reads never double-count)."""
+    import os
+    import shutil
+
+    codes_path = f"{path.rstrip('/')}/codes"
+    if not os.path.isdir(codes_path):
+        return 0
+    live = {
+        int(r.centroid_id)
+        for r in spark.read.parquet(f"{path}/centroids")
+        .select("centroid_id")
+        .collect()
+    }
+    removed = 0
+    for entry in sorted(os.listdir(codes_path)):
+        if not entry.startswith("centroid_id="):
+            continue
+        try:
+            cid = int(entry.split("=", 1)[1])
+        except ValueError:
+            continue
+        if cid not in live:
+            shutil.rmtree(os.path.join(codes_path, entry))
+            removed += 1
+    return removed
+
+
+def rebalance_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    max_list_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """The compressed rung's nlist re-dial: split every coded
+    inverted list above the cap (median of cosine-to-lowest-id over
+    RAW vectors) and RE-ENCODE the moved rows' residuals against
+    their new centroid under the FROZEN codebook — residual codes are
+    relative to the centroid they were encoded with, so unlike the
+    flat/SQ8 rungs the stored rows cannot simply move lists; the raw
+    vectors must be fetched from ``corpus`` (exactly why FAISS's
+    equivalent is a rebuild — this touches only the hot lists).
+    Vectors of hot lists missing from ``corpus`` are an error (a
+    silent drop would corrupt recall). Same crash ordering as the
+    flat form: re-encoded halves land in final dirs unreferenced, the
+    centroids swap commits, superseded partitions become
+    query-invisible orphans swept by the next rebalance. Returns
+    lists split."""
+    import json
+    import os
+
+    from .compact import recover_tree, swap_directory
+    from .upsert import _lineage_barrier
+
+    codes_path = f"{path.rstrip('/')}/codes"
+    recover_tree(codes_path)
+    _clean_orphan_pq_partitions(spark, path)
+    codebook = read_pq_codebook(spark, path)
+    sizes = (
+        read_ivfpq_codes(spark, path)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    size_by_cid = {int(r.centroid_id): int(r.n) for r in sizes}
+    hot = sorted(c for c, n in size_by_cid.items() if n > max_list_size)
+    if not hot:
+        return 0
+    cents = spark.read.parquet(f"{path}/centroids")
+    next_id = int(cents.agg(F.max("centroid_id")).first()[0]) + 1
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    new_rows: list[tuple[int, list[float], float]] = []
+    split_cids: list[int] = []
+    for cid in hot:
+        part_dir = f"{codes_path}/centroid_id={cid}"
+        part = spark.read.parquet(part_dir)
+        n_part = size_by_cid[cid]
+        joined = part.select("neighbor_id", "v_nrm").join(raw, "neighbor_id")
+        joined = _lineage_barrier(spark, joined, None)
+        if joined.count() != n_part:
+            raise ValueError(
+                f"rebalance of pq index {path}: corpus is missing raw "
+                f"vectors for list centroid_id={cid}; residual codes "
+                "cannot be re-encoded without them"
+            )
+        seed = joined.orderBy("neighbor_id").limit(1).collect()[0]
+        sv = F.array(*[F.lit(float(x)) for x in seed["__v"]])
+        sim1 = _dot(F.col("__v"), sv)
+        mid = (n_part + 1) // 2
+        wr = W.orderBy(F.desc("__s1"), F.asc("neighbor_id"))
+        half = _lineage_barrier(
+            spark,
+            joined.withColumn("__s1", sim1)
+            .withColumn("__rn", F.row_number().over(wr))
+            .withColumn(
+                "__h",
+                F.when(F.col("__rn") <= mid, F.lit(0)).otherwise(F.lit(1)),
+            )
+            .drop("__s1", "__rn"),
+            None,
+        )
+        comp = (
+            half.select("__h", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("__h", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("__h")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "__h",
+                F.transform("pm", lambda s: s.getField("m")).alias("c_vec"),
+            )
+            .collect()
+        )
+        by_h = {int(r["__h"]): list(r.c_vec) for r in comp}
+        ids = (next_id, next_id + 1)
+        next_id += 2
+        for h in (0, 1):
+            vec = by_h[h]
+            nrm = sum(x * x for x in vec) ** 0.5
+            new_rows.append((ids[h], vec, nrm))
+            cvec = F.array(*[F.lit(float(x)) for x in vec])
+            sub = half.filter(F.col("__h") == h).select(
+                "neighbor_id",
+                "__v",
+                F.zip_with("__v", cvec, lambda x, y: x - y).alias("resid"),
+            )
+            encoded = encode_pq(
+                sub, codebook, "neighbor_id", "resid", norm_vec_col="__v"
+            ).select("neighbor_id", "codes", "v_nrm")
+            encoded.write.mode("overwrite").parquet(
+                f"{codes_path}/centroid_id={ids[h]}"
+            )
+        split_cids.append(cid)
+    kept_cents = cents.filter(~F.col("centroid_id").isin(split_cids))
+    added = spark.createDataFrame(
+        new_rows, "centroid_id long, c_vec array<double>, c_norm double"
+    )
+    staging = f"{path}/centroids.__rebal_tmp"
+    kept_cents.unionByName(added).coalesce(1).write.mode("overwrite").parquet(
+        staging
+    )
+    swap_directory(staging, f"{path}/centroids")
+    _clean_orphan_pq_partitions(spark, path)
+    sc_path = _sidecar(path)
+    if os.path.exists(sc_path):
+        with open(sc_path) as f:
+            params = json.load(f)
+        params["nlist"] = int(params.get("nlist", 0)) + len(split_cids)
+        with open(sc_path, "w") as f:
+            json.dump(params, f)
+    return len(split_cids)
+
+
 def delete_from_ivfpq_index(
     spark: SparkSession,
     path: str,

@@ -29,6 +29,8 @@ certified by plans/extensions.py::similarity_topk_ivfsq.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -236,6 +238,142 @@ def compact_ivfsq_lists(spark: SparkSession, path: str) -> int:
     )
     swap_directory(staging, lists_path)
     return parquet_file_count(lists_path)
+
+
+def _clean_orphan_sq_partitions(spark: SparkSession, path: str) -> int:
+    """Remove lists partitions whose centroid_id is absent from the
+    centroids table — rebalance crash leftovers; query-invisible (the
+    probe join only reaches referenced ids) but swept so full-table
+    reads never double-count."""
+    import shutil
+
+    lists_path = f"{path.rstrip('/')}/lists"
+    if not os.path.isdir(lists_path):
+        return 0
+    live = {
+        int(r.centroid_id)
+        for r in spark.read.parquet(f"{path}/centroids")
+        .select("centroid_id")
+        .collect()
+    }
+    removed = 0
+    for entry in sorted(os.listdir(lists_path)):
+        if not entry.startswith("centroid_id="):
+            continue
+        try:
+            cid = int(entry.split("=", 1)[1])
+        except ValueError:
+            continue
+        if cid not in live:
+            shutil.rmtree(os.path.join(lists_path, entry))
+            removed += 1
+    return removed
+
+
+def rebalance_ivfsq_lists(
+    spark: SparkSession, path: str, max_list_size: int
+) -> int:
+    """The SQ8 rung's nlist re-dial (the flat index's
+    ``rebalance_ivf_index``, r12): split every inverted list above
+    the cap at the MEDIAN of cosine-to-the-lowest-id-member, ranked
+    over the int8 RECONSTRUCTIONS — the rows are self-contained
+    (per-vector range + codes), so no raw-corpus access is needed and
+    the stored codes stay valid in their new list (SQ8 quantization
+    is centroid-independent, unlike residual PQ). New centroids are
+    the component means of the half reconstructions, rounded 6.
+    Same crash ordering as the flat form: halves land in final dirs
+    unreferenced, the centroids swap commits, orphans are swept.
+    Full-probe answers are invariant throughout (scores depend only
+    on the stored rows, which never change). Returns lists split."""
+    import json
+
+    from .compact import recover_tree, swap_directory
+    from .upsert import _lineage_barrier
+
+    lists_path = f"{path.rstrip('/')}/lists"
+    recover_tree(lists_path)
+    _clean_orphan_sq_partitions(spark, path)
+    sizes = (
+        read_ivfsq_lists(spark, path)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    size_by_cid = {int(r.centroid_id): int(r.n) for r in sizes}
+    hot = sorted(c for c, n in size_by_cid.items() if n > max_list_size)
+    if not hot:
+        return 0
+    cents = spark.read.parquet(f"{path}/centroids")
+    next_id = int(cents.agg(F.max("centroid_id")).first()[0]) + 1
+    new_rows: list[tuple[int, list[float], float]] = []
+    split_cids: list[int] = []
+    recon = _recon(F.col("q_codes"), F.col("q_min"), F.col("q_scale"))
+    for cid in hot:
+        part_dir = f"{lists_path}/centroid_id={cid}"
+        part = spark.read.parquet(part_dir)
+        seed = part.orderBy("neighbor_id").limit(1).collect()[0]
+        seed_recon = [
+            float(seed.q_min) + (int(c) + 128) * float(seed.q_scale)
+            for c in seed.q_codes
+        ]
+        sv = F.array(*[F.lit(x) for x in seed_recon])
+        # shared positive factors (member and seed norms) cancel in
+        # the RANK — raw dot order == cosine order
+        sim1 = _dot(recon, sv)
+        mid = (size_by_cid[cid] + 1) // 2
+        wr = W.orderBy(F.desc("__s1"), F.asc("neighbor_id"))
+        half = _lineage_barrier(
+            spark,
+            part.withColumn("__s1", sim1)
+            .withColumn("__rn", F.row_number().over(wr))
+            .withColumn(
+                "__h",
+                F.when(F.col("__rn") <= mid, F.lit(0)).otherwise(F.lit(1)),
+            )
+            .drop("__s1", "__rn"),
+            None,
+        )
+        comp = (
+            half.select("__h", F.posexplode(recon).alias("pos", "x"))
+            .groupBy("__h", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("__h")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "__h",
+                F.transform("pm", lambda s: s.getField("m")).alias("c_vec"),
+            )
+            .collect()
+        )
+        by_h = {int(r["__h"]): list(r.c_vec) for r in comp}
+        ids = (next_id, next_id + 1)
+        next_id += 2
+        for h in (0, 1):
+            vec = by_h[h]
+            nrm = sum(x * x for x in vec) ** 0.5
+            new_rows.append((ids[h], vec, nrm))
+            half.filter(F.col("__h") == h).drop("__h").write.mode(
+                "overwrite"
+            ).parquet(f"{lists_path}/centroid_id={ids[h]}")
+        split_cids.append(cid)
+    kept_cents = cents.filter(~F.col("centroid_id").isin(split_cids))
+    added = spark.createDataFrame(
+        new_rows, "centroid_id long, c_vec array<double>, c_norm double"
+    )
+    staging = f"{path}/centroids.__rebal_tmp"
+    kept_cents.unionByName(added).coalesce(1).write.mode("overwrite").parquet(
+        staging
+    )
+    swap_directory(staging, f"{path}/centroids")
+    _clean_orphan_sq_partitions(spark, path)
+    sc_path = _sidecar(path)
+    if os.path.exists(sc_path):
+        with open(sc_path) as f:
+            params = json.load(f)
+        params["nlist"] = int(params.get("nlist", 0)) + len(split_cids)
+        with open(sc_path, "w") as f:
+            json.dump(params, f)
+    return len(split_cids)
 
 
 def delete_from_ivfsq_index(

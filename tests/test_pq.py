@@ -286,3 +286,50 @@ def test_residual_encoding_excels_on_clustered_data(spark):
     # resolution, giving the ~0.71 expected-random-5-of-7 overlap —
     # the refine stage exists for exactly that last mile.
     assert tot == 32 * 5 and hits / tot >= 0.95, (hits, tot)
+
+
+def test_rebalance_reencodes_residuals_exactly(spark, emb, tmp_path):
+    """rebalance_ivfpq_index (r12): residual codes are relative to
+    their centroid, so moved rows re-encode against the new one from
+    the raw corpus. Invariants: ids and true norms preserved, every
+    vector reachable, and the refined query with a corpus-wide
+    shortlist (exact re-rank of everything) equals brute force both
+    before and after — which fails if one row was lost, double-
+    listed, or left with stale codes in an unprobed list."""
+    path = str(tmp_path / "idx")
+    pq.build_ivfpq_index(emb, path, nlist=4, m=8, ksub=16)
+    total = emb.count()
+    probes = emb.filter(F.col("vec_id") < 10)
+    want = sorted(
+        tuple(r)
+        for r in cosine_topk_bruteforce(probes, emb, k=3).collect()
+    )
+
+    def refined_full():
+        nl = spark.read.parquet(f"{path}/centroids").count()
+        return sorted(
+            tuple(r)
+            for r in pq.query_ivfpq_index_refined(
+                probes, path, emb, k=3, kprime=total + 1, nprobe=nl
+            ).collect()
+        )
+
+    assert refined_full() == want
+    n_split = pq.rebalance_ivfpq_index(
+        spark, path, emb, max_list_size=max(1, total // 6)
+    )
+    assert n_split >= 1
+    codes = pq.read_ivfpq_codes(spark, path)
+    assert codes.count() == total
+    assert codes.select("neighbor_id").distinct().count() == total
+    assert refined_full() == want
+    # corpus missing a hot list's vectors -> loud refusal, not a
+    # silent recall corruption
+    pq.build_ivfpq_index(emb, str(tmp_path / "idx2"), nlist=4, m=8, ksub=16)
+    with pytest.raises(ValueError, match="missing raw"):
+        pq.rebalance_ivfpq_index(
+            spark,
+            str(tmp_path / "idx2"),
+            emb.filter(F.col("vec_id") % 2 == 0),
+            max_list_size=max(1, total // 6),
+        )

@@ -147,3 +147,37 @@ def test_compact_preserves_layout_and_results(spark, emb, tmp_path):
         ).collect()
     )
     assert after == before
+
+
+def test_rebalance_splits_hot_lists_invariantly(spark, emb, tmp_path):
+    """rebalance_ivfsq_lists (r12): SQ8 rows are self-contained, so
+    splitting moves them untouched — FULL-PROBE answers must be
+    byte-identical before and after, and every vector stays in
+    exactly one referenced list."""
+    path = str(tmp_path / "sq")
+    sq_index.build_ivfsq_index(emb, path, nlist=4)
+    total = emb.count()
+    probes = emb.filter(F.col("vec_id") < 15)
+    before = sorted(
+        tuple(r)
+        for r in sq_index.query_ivfsq_index(
+            probes, path, k=3, nprobe=4
+        ).collect()
+    )
+    n_split = sq_index.rebalance_ivfsq_lists(
+        spark, path, max_list_size=max(1, total // 6)
+    )
+    assert n_split >= 1
+    nl = spark.read.parquet(f"{path}/centroids").count()
+    assert nl == 4 + n_split
+    lists = sq_index.read_ivfsq_lists(spark, path)
+    assert lists.count() == total
+    assert lists.select("neighbor_id").distinct().count() == total
+    after = sorted(
+        tuple(r)
+        for r in sq_index.query_ivfsq_index(
+            probes, path, k=3, nprobe=nl
+        ).collect()
+    )
+    assert after == before
+    assert sq_index.rebalance_ivfsq_lists(spark, path, 10**9) == 0
