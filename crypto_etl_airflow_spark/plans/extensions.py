@@ -2542,6 +2542,75 @@ def _ivfsq_oracle(
 
 
 @register(
+    "similarity_topk_ivfsq_rebalanced",
+    # The SQ8 rebalance contract mirrors the flat one: full-probe
+    # answers equal the int8-RECONSTRUCTION brute force — per-vector
+    # quantization is centroid-independent, so the oracle needs no
+    # knowledge of the split geometry, and a row lost, duplicated,
+    # or orphaned by the split fails the hash.
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (
+        SELECT vec_id,
+               list_transform(e, x -> mn + LEAST(255, GREATEST(0,
+                   floor((x - mn) / scale + 0.5))) * scale) AS recon,
+               sqrt(list_dot_product(e, e)) AS v_nrm
+        FROM (
+            SELECT vec_id, e, list_min(e) AS mn,
+                   CASE WHEN list_max(e) > list_min(e)
+                        THEN (list_max(e) - list_min(e)) / 255.0
+                        ELSE 1.0 END AS scale
+            FROM v
+        )
+    ),
+    scored AS (
+        SELECT p.vec_id AS probe_id, q.vec_id AS neighbor_id,
+               round(list_dot_product(p.e, q.recon)
+                     / (sqrt(list_dot_product(p.e, p.e)) * q.v_nrm), 6)
+                   AS sq_sim
+        FROM v p JOIN q ON q.vec_id != p.vec_id
+        WHERE p.vec_id < 20
+    )
+    SELECT probe_id, neighbor_id, sq_sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY sq_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "extension", "approx", "incremental"),
+)
+def similarity_topk_ivfsq_rebalanced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SQ8 rung's nlist re-dial in the certified path: build at a
+    deliberately coarse nlist=4, split every list above corpus/6 with
+    ``rebalance_ivfsq_lists`` (median split over the int8
+    reconstructions — rows are self-contained, no corpus access),
+    FULL-PROBE query the rebalanced index, and match the
+    reconstruction brute force exactly. The companion pytest pins
+    before == after; this row pins after == ground truth under the
+    driver's hash."""
+    import os
+    import tempfile
+
+    from ..operators import sq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    with tempfile.TemporaryDirectory(prefix="sq_rebal_") as tmp:
+        path = os.path.join(tmp, "index")
+        sq_index.build_ivfsq_index(emb, path, nlist=4)
+        total = emb.count()
+        sq_index.rebalance_ivfsq_lists(
+            spark, path, max_list_size=max(1, total // 6)
+        )
+        nl = spark.read.parquet(f"{path}/centroids").count()
+        out = sq_index.query_ivfsq_index(probes, path, k=5, nprobe=nl)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "similarity_topk_ivfsq",
     oracle=_ivfsq_oracle(),
     tags=("similarity", "extension", "approx", "incremental"),
