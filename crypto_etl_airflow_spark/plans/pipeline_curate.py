@@ -384,7 +384,15 @@ def _plant(docs: DataFrame) -> DataFrame:
 
 def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Build every pipeline stage; keys match the oracle CTE names."""
-    corpus = _plant(load_table(spark, sf_dir, "documents"))
+    from ..operators.parallel import widen_small_input
+
+    # widen BEFORE the transform: the documents table arrives in a
+    # handful of file partitions, and the regexp redaction chain is
+    # the pipeline's CPU-heaviest per-row work — without the widen it
+    # runs on 3 cores of 32 (measured 8.2 s vs ~1 s at sf0.1)
+    corpus = widen_small_input(
+        _plant(load_table(spark, sf_dir, "documents"))
+    )
 
     # 1-2: normalize + redact (shuffle-free projections)
     norm = corpus.select(
