@@ -589,6 +589,87 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_STAGE_SQL = """
+    drtok AS MATERIALIZED (
+        SELECT doc_id,
+               (CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                % 4096) AS bucket
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM g6
+        ) WHERE tok != ''
+    ),
+    dttok AS (
+        SELECT (CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                % 4096) AS bucket
+        FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM g6 WHERE lang = 'en'
+        ) WHERE tok != ''
+    ),
+    drc AS (SELECT bucket, count(*) AS c_r FROM drtok GROUP BY bucket),
+    dtc AS (SELECT bucket, count(*) AS c_t FROM dttok GROUP BY bucket),
+    dtot AS (
+        SELECT (SELECT sum(c_r) FROM drc) AS t_r,
+               (SELECT sum(c_t) FROM dtc) AS t_t
+    ),
+    dlam AS (
+        SELECT drc.bucket,
+               round((ln((coalesce(dtc.c_t, 0) + 0.5) / (t.t_t + 0.5 * 4096))
+                      - ln((drc.c_r + 0.5) / (t.t_r + 0.5 * 4096)))
+                     * 1024) / 1024 AS lam
+        FROM drc LEFT JOIN dtc USING (bucket) CROSS JOIN dtot t
+    ),
+    dlw AS (
+        SELECT r.doc_id, sum(l.lam) AS lw
+        FROM drtok r JOIN dlam l USING (bucket) GROUP BY r.doc_id
+    ),
+    dkeyed AS (
+        SELECT doc_id, round(lw, 6) AS log_weight,
+               round(round(lw, 6)
+                     + round(-ln(-ln((CAST(CONCAT('0x',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                           AS BIGINT) + 1) / 281474976710657.0))
+                             * 1024) / 1024, 6) AS sample_key
+        FROM dlw
+    )
+"""
+
+
+@register(
+    "pipeline_curate_dsir_sample",
+    oracle=f"""
+    WITH {_pipeline_ctes()},
+    {_DSIR_STAGE_SQL}
+    SELECT doc_id, log_weight, sample_key, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id)
+                      AS rank
+        FROM dkeyed
+    ) WHERE rank <= 100
+    """,
+    tags=("curation", "pipeline", "sampling", "ml", "extension"),
+)
+def pipeline_curate_dsir_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pipeline's OTHER sampling arm (VERDICT r10 named 'DSIR or
+    token-budget'; ``pipeline_curate_corpus`` runs the mixture
+    budget): the gate+dedup survivors (stage g6) are DSIR-weighted
+    toward the surviving 'en' slice and Gumbel-top-100 resampled —
+    importance resampling composed downstream of the full transform/
+    gate/dedup chain, so the λ table is fit on CURATED text, not raw
+    (the ordering a real recipe uses: clean first, then match the
+    target distribution). Same full-pipeline oracle discipline: the
+    DuckDB mirror recomputes the entire chain plus the DSIR buckets,
+    dyadic λ, exact Σλ, and deterministic Gumbel keys."""
+    from ..operators.dsir import dsir_log_weights, dsir_resample_topk
+
+    g6 = _stages(spark, sf_dir)["g6"]
+    weights = dsir_log_weights(g6, g6.filter(F.col("lang") == "en"))
+    return dsir_resample_topk(weights, k=100)
+
+
 @register(
     "pipeline_curate_funnel",
     oracle=_FUNNEL_ORACLE,
