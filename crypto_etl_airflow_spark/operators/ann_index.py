@@ -152,6 +152,14 @@ def build_ivf_index(
 
 
 def read_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
+    """Heal-before-read (ADVICE r12): the rebalance commit point swaps
+    the centroids table itself, so a crash between its two renames
+    leaves the only copy at the ``.__aside.`` sibling — recover it
+    here so every centroid consumer (query, add, rebalance, orphan
+    sweep) sees the table, matching the lists readers' discipline."""
+    from .compact import recover_directory
+
+    recover_directory(f"{path}/centroids")
     return spark.read.parquet(f"{path}/centroids")
 
 

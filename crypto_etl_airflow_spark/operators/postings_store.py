@@ -117,8 +117,12 @@ def read_live_doc_lengths(
     """Membership rows still alive: lengths anti-joined against the
     tombstones (dead iff epoch ≤ some tombstone's upto for the id).
     Tombstones broadcast — they are delete-batch-sized between
-    compactions, while lengths is doc-count-sized."""
-    lengths = read_doc_lengths(spark, path)
+    compactions, while lengths is doc-count-sized. Exact-copy rows
+    from an interrupted-retry append are collapsed on (id, epoch) —
+    the same discipline as the postings read path; without it a
+    retry-duplicated lengths file double-counts every per-doc dl and
+    the scan-fallback (N, Σdl)."""
+    lengths = read_doc_lengths(spark, path).dropDuplicates([id_col, "epoch"])
     tombs = read_tombstones(spark, path)
     return lengths.alias("l").join(
         F.broadcast(tombs).alias("t"),
@@ -129,22 +133,34 @@ def read_live_doc_lengths(
 
 
 def _data_file_counts(path: str) -> tuple[int, int]:
-    """Parquet file counts under lengths/ and tombstones/ — the
-    staleness fingerprint for the stats sidecar. Filesystem metadata
-    only: every append adds at least one file, compaction swaps whole
-    directories, so any data mutation changes the fingerprint."""
+    """Filesystem fingerprints of lengths/ and tombstones/ for the
+    stats sidecar — a 63-bit digest of the sorted (relative name,
+    size) listing of each tree, NOT a bare file count (ADVICE r12):
+    counts alone don't identify filesystem state — a crashed append
+    (+1 file, no stats row) followed by a crashed compact can land
+    back on the fingerprinted COUNT while holding different data,
+    validating a stale (N, Σdl). Name+size digests change whenever
+    any file is added, removed, renamed, or rewritten, so any
+    divergent history invalidates the row. Pure directory metadata,
+    no scan; kept as two longs so the sidecar schema is unchanged
+    and pre-upgrade count-format rows simply fail validation (reader
+    falls back to the lengths scan until the next mutation heals)."""
+    import hashlib
 
-    def _count(d: str) -> int:
+    def _digest(d: str) -> int:
         if not os.path.isdir(d):
             return 0
-        return sum(
-            1
+        entries = sorted(
+            f"{os.path.relpath(os.path.join(root, fn), d)}:"
+            f"{os.path.getsize(os.path.join(root, fn))}"
             for root, _dirs, files in os.walk(d)
             for fn in files
             if fn.endswith(".parquet")
         )
+        h = hashlib.sha256("\n".join(entries).encode()).digest()
+        return int.from_bytes(h[:8], "big") >> 1  # fits a signed long
 
-    return _count(f"{path}/lengths"), _count(f"{path}/tombstones")
+    return _digest(f"{path}/lengths"), _digest(f"{path}/tombstones")
 
 
 def read_store_stats(spark: SparkSession, path: str):

@@ -101,6 +101,32 @@ def _read_params(path: str) -> dict:
         return json.load(f)
 
 
+def _require_residual(path: str, params: dict) -> None:
+    """Encoding-regime gate for READ/APPEND paths (ADVICE r12): build
+    refuses to mix regimes via ``_validate_params``, but a
+    pre-existing raw-encoded store (an earlier build, or a stale
+    bench cache) would otherwise be queried with the residual
+    ``cdot`` term silently added — inflated adc_sim — or appended
+    with residual codes mixed into raw lists. Same refusal shape as
+    ``_validate_params``."""
+    if params.get("encoding") != "residual":
+        raise ValueError(
+            f"ivfpq index {path} was built with encoding="
+            f"{params.get('encoding')!r}; this engine scores and "
+            "appends under residual encoding — rebuild the index"
+        )
+
+
+def _read_centroids(spark: SparkSession, path: str) -> DataFrame:
+    """Heal-before-read (ADVICE r12): rebalance's commit point swaps
+    the centroids table itself; recover a crashed swap's aside copy
+    before reading, as read_ivf_centroids does on the flat rung."""
+    from .compact import recover_directory
+
+    recover_directory(f"{path}/centroids")
+    return spark.read.parquet(f"{path}/centroids")
+
+
 def _first_dim(df: DataFrame, vec_col: str) -> int | None:
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     return None if row is None else row.d
@@ -392,7 +418,8 @@ def add_to_ivfpq_index(
 
     spark = new_vecs.sparkSession
     _check_dim(path, new_vecs, vec_col, "add")
-    cents = spark.read.parquet(f"{path}/centroids")
+    _require_residual(path, _read_params(path))
+    cents = _read_centroids(spark, path)
     codebook = read_pq_codebook(spark, path)
     existing = read_ivfpq_codes(spark, path).select(
         F.col("neighbor_id").alias(id_col)
@@ -452,7 +479,7 @@ def _clean_orphan_pq_partitions(spark: SparkSession, path: str) -> int:
         return 0
     live = {
         int(r.centroid_id)
-        for r in spark.read.parquet(f"{path}/centroids")
+        for r in _read_centroids(spark, path)
         .select("centroid_id")
         .collect()
     }
@@ -512,7 +539,7 @@ def rebalance_ivfpq_index(
     hot = sorted(c for c, n in size_by_cid.items() if n > max_list_size)
     if not hot:
         return 0
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = _read_centroids(spark, path)
     next_id = int(cents.agg(F.max("centroid_id")).first()[0]) + 1
     raw = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -664,8 +691,10 @@ def query_ivfpq_index(
     spark = probes.sparkSession
     _check_dim(path, probes, vec_col, "query with")
     params = _read_params(path)
+    _require_residual(path, params)
     m, ds = params["m"], params["dim"] // params["m"]
-    cents = spark.read.parquet(f"{path}/centroids")
+    ksub = params["ksub"]
+    cents = _read_centroids(spark, path)
     codebook = read_pq_codebook(spark, path)
     codes = read_ivfpq_codes(spark, path)
 
@@ -720,6 +749,16 @@ def query_ivfpq_index(
             "cdot", F.round(_dot(F.col("p_v"), F.col("c_vec")), 6)
         )
     )
+    n_probes = (
+        _n_probes
+        if _n_probes is not None
+        else capped_probe_count(p, max_broadcast_probes)
+    )
+    # a lut row carries m × ksub doubles (~16 KB at m=8/ksub=256) —
+    # orders of magnitude wider than the dim-double probe rows the
+    # broadcast bound was calibrated for (ADVICE r12), so the bound is
+    # tightened by the width ratio before hinting the lut side
+    lut_row_weight = max(1, (m * ksub) // max(1, params["dim"]))
     wp = W.partitionBy("probe_id").orderBy(F.desc("__sim"), F.asc("centroid_id"))
     p_lists = (
         p_scored.withColumn("__rn", F.row_number().over(wp))
@@ -727,7 +766,12 @@ def query_ivfpq_index(
         .select("probe_id", "p_nrm", "centroid_id", "cdot")
         # both sides are probe-cardinality-bounded BY CONTRACT; the
         # hint keeps AQE from sorting them into an SMJ (r10 lesson)
-        .join(F.broadcast(lut), "probe_id")
+        .join(
+            bounded_broadcast(
+                lut, n_probes, lut_row_weight, max_broadcast_probes
+            ),
+            "probe_id",
+        )
     )
 
     adc = F.aggregate(
@@ -739,13 +783,12 @@ def query_ivfpq_index(
             F.element_at(F.col("codes"), mm + F.lit(1)).cast("int") + F.lit(1),
         ),
     )
-    n_probes = (
-        _n_probes
-        if _n_probes is not None
-        else capped_probe_count(p, max_broadcast_probes)
-    )
     scored = (
-        bounded_broadcast(p_lists, n_probes, nprobe, max_broadcast_probes)
+        # p_lists rows now carry the joined-in lut array — weight the
+        # probe fan-out by the same width ratio
+        bounded_broadcast(
+            p_lists, n_probes, nprobe * lut_row_weight, max_broadcast_probes
+        )
         .join(codes, "centroid_id")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(

@@ -68,6 +68,16 @@ def _validate_params(path: str, params: dict) -> None:
             )
 
 
+def _read_centroids(spark: SparkSession, path: str) -> DataFrame:
+    """Heal-before-read (ADVICE r12): rebalance's commit point swaps
+    the centroids table itself; recover a crashed swap's aside copy
+    before reading, as read_ivf_centroids does on the flat rung."""
+    from .compact import recover_directory
+
+    recover_directory(f"{path}/centroids")
+    return spark.read.parquet(f"{path}/centroids")
+
+
 def _first_dim(df: DataFrame, vec_col: str) -> int | None:
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     return None if row is None else row.d
@@ -191,7 +201,7 @@ def add_to_ivfsq_index(
 
     spark = new_vecs.sparkSession
     _check_dim(path, new_vecs, vec_col, "add")
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = _read_centroids(spark, path)
     existing = read_ivfsq_lists(spark, path).select(
         F.col("neighbor_id").alias(id_col)
     )
@@ -252,7 +262,7 @@ def _clean_orphan_sq_partitions(spark: SparkSession, path: str) -> int:
         return 0
     live = {
         int(r.centroid_id)
-        for r in spark.read.parquet(f"{path}/centroids")
+        for r in _read_centroids(spark, path)
         .select("centroid_id")
         .collect()
     }
@@ -303,7 +313,7 @@ def rebalance_ivfsq_lists(
     hot = sorted(c for c, n in size_by_cid.items() if n > max_list_size)
     if not hot:
         return 0
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = _read_centroids(spark, path)
     next_id = int(cents.agg(F.max("centroid_id")).first()[0]) + 1
     new_rows: list[tuple[int, list[float], float]] = []
     split_cids: list[int] = []
@@ -430,7 +440,7 @@ def query_ivfsq_index(
     risking a driver OOM; ``None`` disables the guard."""
     spark = probes.sparkSession
     _check_dim(path, probes, vec_col, "query with")
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = _read_centroids(spark, path)
     lists = read_ivfsq_lists(spark, path)
 
     p = probes.select(

@@ -10,8 +10,11 @@ Stage order (each consumes the previous stage's survivors):
 1. normalize   — Latin accent fold (functions/text.py)
 2. PII redact  — regexp chain over the normalized text (functions/pii.py)
 3. gate: Gopher composite filter (word/char/stopword/repetition bands)
-4. gate: hashed bag-of-words classifier, kept = margin ≥ 0
-   (operators/classify.py placeholder weights — dyadic, portable)
+4. gate: hashed bag-of-words classifier with TRAINED weights, kept =
+   margin ≥ 0 — the NB log-odds fit (operators/classify.py
+   train_bucket_weights) learned IN-PIPELINE from blocklist weak
+   supervision (positive = no junk-lexicon hit), weights dyadic-
+   quantized k/1024 so margins are association-order-exact
 5. gate: unigram-LM perplexity percentile ≤ 0.8 — the CCNet move;
    the LM trains on the gate-surviving 'en' slice (operators/lm.py)
 6. dedup: exact fingerprint, keep min doc_id (operators/dedup.py)
@@ -26,10 +29,11 @@ Stage order (each consumes the previous stage's survivors):
 
 Planted signals (so every stage demonstrably fires): PII items by
 doc_id % 7 arm (curation.py's certified plant), an accented banner on
-doc_id % 10 == 2, byte-identical clones (+1e6) of % 10 == 0 and
-one-token-tail near-dup clones (+2e6) of % 10 == 5 — cloned AFTER
-planting so the exact copies stay byte-identical through the
-transform stages.
+doc_id % 10 == 2, a junk-lexicon tail on % 10 == 7 (the low-quality
+class the trained classifier gate must drop), byte-identical clones
+(+1e6) of % 10 == 0 and one-token-tail near-dup clones (+2e6) of
+% 10 == 5 — cloned AFTER planting so the exact copies stay
+byte-identical through the transform stages.
 
 Scale posture: the transform/gate stages are shuffle-free
 projections; dedup stages are banded/cluster-blocked (never n²); the
@@ -63,7 +67,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators import dedup as dedup_ops
-from ..operators.classify import classifier_scores
+from ..operators.classify import classifier_scores, train_bucket_weights
 from ..operators.dedup import MERSENNE_P, minhash_constants
 from ..operators.lm import train_unigram_lm, unigram_logppl
 from ..operators.semdedup import semdedup_keep
@@ -81,6 +85,12 @@ from .registry import register
 
 _BANNER = "Électricité générale déjà vu: ÀÇÑß æŒ naïveté — "
 _TAIL = "zzduptail"
+#: Junk-lexicon marker planted on the low-quality arm (doc_id % 10 ==
+#: 7) — same lexicon family as curation.py's certified classifier
+#: eval plant. The pipeline's classifier gate trains IN-PIPELINE on
+#: blocklist weak supervision (positive = no junk hit) and must
+#: demonstrably drop this class (VERDICT r12 item 2).
+_JUNK = "spamlex"
 _SHARD_DOCS = 50
 _BIN_TOKENS = 512
 _PPL_KEEP = 0.8
@@ -192,6 +202,10 @@ def _pipeline_ctes() -> str:
     base AS (
         SELECT doc_id, lang,
                CASE WHEN doc_id % 10 = 2 THEN '{_BANNER}' || text
+                    WHEN doc_id % 10 = 7 THEN text
+                         || ' {_JUNK}' || CAST(doc_id % 4 AS VARCHAR)
+                         || ' {_JUNK}' || CAST((doc_id + 1) % 4 AS VARCHAR)
+                         || ' {_JUNK}' || CAST((doc_id + 2) % 4 AS VARCHAR)
                     ELSE text END AS text
         FROM aug0
     ),
@@ -233,12 +247,39 @@ def _pipeline_ctes() -> str:
           AND mwl >= 3 AND mwl <= 10
           AND fra >= 0.8 AND nst >= 2 AND dbf <= 0.5
     ),
+    cls_tok AS (
+        SELECT (text NOT LIKE '%{_JUNK}%') AS pos,
+               unnest({_TOKS}) AS tok
+        FROM g1
+    ),
+    cls_counts AS (
+        SELECT (CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                % 4096) AS bucket,
+               sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg
+        FROM cls_tok WHERE tok != '' GROUP BY 1
+    ),
+    cls_tot AS (
+        SELECT sum(n_pos) AS tot_pos, sum(n_neg) AS tot_neg FROM cls_counts
+    ),
+    cls_w AS MATERIALIZED (
+        SELECT bucket,
+               round((ln((n_pos + 0.5) / (t.tot_pos + 0.5))
+                      - ln((n_neg + 0.5) / (t.tot_neg + 0.5))) * 1024)
+                   / 1024 AS weight
+        FROM cls_counts CROSS JOIN cls_tot t
+    ),
     ctok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM g1),
     cmar AS (
-        SELECT doc_id,
-               avg((((CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
-                      % 4096) * 2654435761) % 2049) / 1024.0 - 1.0) AS margin
-        FROM ctok WHERE tok != '' GROUP BY doc_id
+        SELECT d.doc_id, avg(coalesce(w.weight, 0.0)) AS margin
+        FROM (
+            SELECT doc_id,
+                   (CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                    % 4096) AS bucket
+            FROM ctok WHERE tok != ''
+        ) d
+        LEFT JOIN cls_w w USING (bucket)
+        GROUP BY d.doc_id
     ),
     g2 AS MATERIALIZED (SELECT g1.* FROM g1 JOIN cmar USING (doc_id) WHERE margin >= 0),
     rtok AS (
@@ -360,6 +401,13 @@ _FUNNEL_ORACLE = f"""
 
 
 def _plant(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    junk_tail = F.concat(
+        F.col("text"),
+        F.lit(f" {_JUNK}"), (did % 4).cast("string"),
+        F.lit(f" {_JUNK}"), ((did + 1) % 4).cast("string"),
+        F.lit(f" {_JUNK}"), ((did + 2) % 4).cast("string"),
+    )
     base = _augment_pii(docs)
     base = base.select(
         "doc_id",
@@ -368,6 +416,7 @@ def _plant(docs: DataFrame) -> DataFrame:
             F.col("doc_id") % 10 == 2,
             F.concat(F.lit(_BANNER), F.col("text")),
         )
+        .when(F.col("doc_id") % 10 == 7, junk_tail)
         .otherwise(F.col("text"))
         .alias("text"),
     )
@@ -382,9 +431,62 @@ def _plant(docs: DataFrame) -> DataFrame:
     return base.unionByName(clones).unionByName(near)
 
 
-def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Build every pipeline stage; keys match the oracle CTE names."""
+def _barrier_fn(
+    spark: SparkSession,
+    barrier: str = "local",
+    checkpoint_dir: str | None = None,
+):
+    """The pipeline's phase-barrier strategy (VERDICT r12: pluggable,
+    mirroring operators/graph.py's ``checkpoint_dir=``), as a
+    ``(df, stage_name) -> df`` materializer:
+
+    - ``'local'`` (default) — ``localCheckpoint(eager=True)``: zero
+      extra IO, right for single-node/bench runs, but blocks are
+      node-local and do NOT survive executor loss;
+    - ``'parquet'`` — write the stage to
+      ``{checkpoint_dir}/{stage_name}`` and read it back: the classic
+      inter-stage materialization a cluster pipeline uses (replayable
+      from storage after executor loss, inspectable, resumable);
+    - ``'checkpoint'`` — reliable ``df.checkpoint(eager=True)``
+      beneath ``checkpoint_dir``: survives executor loss with less
+      ceremony than named parquet stages.
+
+    All three cut Catalyst's projection-collapse re-inlining equally
+    (the r12 driver-heap lesson); they differ only in fault posture
+    and IO cost."""
+    if barrier == "local":
+        return lambda df, _name: df.localCheckpoint(eager=True)
+    if checkpoint_dir is None:
+        raise ValueError(f"barrier={barrier!r} requires checkpoint_dir")
+    if barrier == "checkpoint":
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        return lambda df, _name: df.checkpoint(eager=True)
+    if barrier == "parquet":
+        import os
+
+        def _parquet_barrier(df: DataFrame, name: str) -> DataFrame:
+            p = os.path.join(checkpoint_dir, name)
+            df.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
+
+        return _parquet_barrier
+    raise ValueError(
+        f"unknown barrier {barrier!r}: expected local|parquet|checkpoint"
+    )
+
+
+def _stages(
+    spark: SparkSession,
+    sf_dir: str,
+    barrier: str = "local",
+    checkpoint_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Build every pipeline stage; keys match the oracle CTE names.
+    ``barrier``/``checkpoint_dir`` select the phase-barrier strategy
+    (:func:`_barrier_fn`)."""
     from ..operators.parallel import widen_small_input
+
+    _bar = _barrier_fn(spark, barrier, checkpoint_dir)
 
     # widen BEFORE the transform: the documents table arrives in a
     # handful of file partitions, and the regexp redaction chain is
@@ -408,14 +510,18 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # signature aggregations over shingles of it) and the plan/codegen
     # blows the driver heap — observed, not hypothetical. A real
     # pipeline materializes between phases for the same reason; at
-    # cluster scale this barrier is the inter-stage parquet write.
-    feat = red.select(
-        "doc_id",
-        "lang",
-        "text",
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
-        _admission_hash().alias("h"),
-    ).localCheckpoint(eager=True)
+    # cluster scale this barrier is the inter-stage parquet write
+    # (barrier='parquet'|'checkpoint', _barrier_fn).
+    feat = _bar(
+        red.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+            _admission_hash().alias("h"),
+        ),
+        "feat",
+    )
 
     # 3: Gopher gate (same expressions as text_gopher_filter)
     t = F.col("text")
@@ -445,13 +551,32 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         & (dbf <= 0.5)
     )
 
-    # 4: classifier gate (placeholder dyadic weights — portable)
-    cs = classifier_scores(g1.select("doc_id", "text"))
-    # barrier: the LM below derives vocab AND scores from g2 — two
-    # consumers of the whole gate chain
-    g2 = g1.join(
-        cs.filter(F.col("kept")).select("doc_id"), "doc_id"
-    ).localCheckpoint(eager=True)
+    # barrier: the classifier below trains on g1, scores g1, and g2
+    # joins back against it — three consumers of the tokenize-heavy
+    # gate chain
+    g1 = _bar(g1, "g1")
+
+    # 4: classifier gate with TRAINED weights (VERDICT r12 item 2):
+    # blocklist weak supervision — the seed label is "no junk-lexicon
+    # hit" (the way production quality filters bootstrap from a
+    # blocklist/heuristic seed), the NB log-odds fit is
+    # train_bucket_weights' certified closed form, and the learned
+    # weights generalize the junk signal to the whole spam vocabulary
+    # rather than just the literal blocklist. Weights are dyadic-
+    # quantized (k/1024, the lm.py discipline) so per-doc margin sums
+    # are association-order-exact in both engines.
+    seed_pos = ~F.col("text").contains(_JUNK)
+    weights = train_bucket_weights(g1, seed_pos).select(
+        "bucket",
+        (F.round(F.col("weight") * F.lit(1024)) / F.lit(1024)).alias(
+            "weight"
+        ),
+    )
+    cs = classifier_scores(g1.select("doc_id", "text"), weights=weights)
+    g2 = _bar(
+        g1.join(cs.filter(F.col("kept")).select("doc_id"), "doc_id"),
+        "g2",
+    )
 
     # 5: perplexity percentile gate; LM trains on surviving 'en' docs
     vocab, stats = train_unigram_lm(
@@ -475,9 +600,10 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     ex = dedup_ops.exact_duplicates(g3, "doc_id", "text")
     # barrier: the MinHash banded self-join would otherwise recompute
     # the entire upstream once per band side
-    g4 = g3.join(
-        ex.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
-    ).localCheckpoint(eager=True)
+    g4 = _bar(
+        g3.join(ex.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"),
+        "g4",
+    )
 
     # 7: MinHash-LSH verified near-dups — drop the larger id
     mh = dedup_ops.minhash_lsh_pairs(
@@ -546,7 +672,13 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
           "layout", "extension"),
     bench=True,
 )
-def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    barrier: str = "local",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """The full curation pipeline's OUTPUT: the training-shard
     manifest of the surviving corpus — per 50-doc shard (deterministic
     md5 shuffle order) its doc/token counts, id range, first/last
@@ -554,8 +686,10 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ``doc_id:text`` that pins the final TEXT BYTES — so a
     divergence ANYWHERE upstream (fold table, redaction order, gate
     thresholds, dedup verdicts, admission cumsums) fails the hash.
-    See the module docstring for the stage chain and scale notes."""
-    s = _stages(spark, sf_dir)
+    See the module docstring for the stage chain and scale notes;
+    ``barrier``/``checkpoint_dir`` select the cluster-safe phase
+    barrier (:func:`_barrier_fn`)."""
+    s = _stages(spark, sf_dir, barrier=barrier, checkpoint_dir=checkpoint_dir)
     packed = s["packed"]
     chk = F.conv(
         F.substring(

@@ -30,23 +30,15 @@ def test_every_stage_fires_and_funnel_matches_manifest(spark):
     ]
     docs = [funnel[s][0] for s in order]
     assert docs[0] == 600  # 500 fixture docs + 50 clones + 50 near-dups
-    # every stage except the classifier strictly drops documents on
-    # the planted corpus (Gopher kills zh + short docs; perplexity
-    # cuts the top 20%; exact kills the byte-identical clones;
-    # minhash the one-token-tail near-dups; semantic the embedding
-    # near-dups; admission enforces the per-language budgets)
+    # EVERY stage strictly drops documents on the planted corpus
+    # (Gopher kills zh + short docs; the TRAINED classifier drops the
+    # junk-lexicon arm — blocklist weak supervision, VERDICT r12
+    # item 2; perplexity cuts the top 20%; exact kills the
+    # byte-identical clones; minhash the one-token-tail near-dups;
+    # semantic the embedding near-dups; admission enforces the
+    # per-language budgets)
     for i, (a, b) in enumerate(zip(docs, docs[1:])):
-        if order[i + 1] == "2_gate_classifier":
-            # KNOWN near-no-op here: the registered path runs the
-            # deterministic placeholder weights, whose population
-            # mean is ~0+ε, so per-doc averages of 20+ tokens
-            # concentrate just above the margin-0 cut on this
-            # fixture. The gate's TEETH are certified separately by
-            # quality_classifier_eval_planted (accuracy 1.0 with
-            # trained weights on vocabulary-distinct labels).
-            assert b <= a
-        else:
-            assert b < a, (order[i + 1], a, b)
+        assert b < a, (order[i + 1], a, b)
     assert docs[-1] > 0
     # manifest totals == the funnel's final stage
     man = pipeline_curate_corpus(spark, SF)
@@ -60,3 +52,69 @@ def test_every_stage_fires_and_funnel_matches_manifest(spark):
     )
     for (s1, f1, l1), (s2, f2, l2) in zip(rows, rows[1:]):
         assert l1 <= f2 + 1 and f2 >= f1  # contiguous global stream
+
+
+def test_cluster_safe_barriers_are_value_identical(spark, tmp_path):
+    """The parquet and reliable-checkpoint phase barriers (the
+    cluster-safe forms of the default localCheckpoint, VERDICT r12)
+    produce a byte-identical shard manifest: the barrier changes
+    fault posture and IO, never values."""
+    base = sorted(
+        map(tuple, pipeline_curate_corpus(spark, SF).collect())
+    )
+    via_parquet = sorted(
+        map(
+            tuple,
+            pipeline_curate_corpus(
+                spark,
+                SF,
+                barrier="parquet",
+                checkpoint_dir=str(tmp_path / "stages"),
+            ).collect(),
+        )
+    )
+    assert via_parquet == base
+    via_ckpt = sorted(
+        map(
+            tuple,
+            pipeline_curate_corpus(
+                spark,
+                SF,
+                barrier="checkpoint",
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            ).collect(),
+        )
+    )
+    assert via_ckpt == base
+
+
+def test_barrier_mode_validation(spark):
+    import pytest
+
+    from crypto_etl_airflow_spark.plans.pipeline_curate import _barrier_fn
+
+    with pytest.raises(ValueError, match="requires checkpoint_dir"):
+        _barrier_fn(spark, "parquet", None)
+    with pytest.raises(ValueError, match="unknown barrier"):
+        _barrier_fn(spark, "nope", "/tmp/x")
+
+
+def test_trained_gate_drops_every_planted_junk_doc(spark):
+    """The in-pipeline classifier (NB log-odds from blocklist weak
+    supervision) must remove the ENTIRE junk-lexicon class that
+    survives Gopher — the learned-weights teeth VERDICT r12 asked
+    for — while cutting few clean docs (the fit generalizes, it
+    doesn't memorize the corpus)."""
+    from crypto_etl_airflow_spark.plans.pipeline_curate import _JUNK, _stages
+
+    s = _stages(spark, SF)
+    g1, g2 = s["g1"], s["g2"]
+    junk = F.col("text").contains(_JUNK)
+    assert g1.filter(junk).count() > 0  # the plant reaches the gate
+    assert g2.filter(junk).count() == 0  # ...and the gate kills it
+    dropped_clean = (
+        g1.filter(~junk)
+        .join(g2.select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
+    assert dropped_clean <= 0.05 * g1.filter(~junk).count()

@@ -165,9 +165,28 @@ def main() -> None:
 
     def store_cache(op: str, scale: str) -> tuple[str, bool]:
         """(path, already_built) — builds are cached across runs; the
-        _READY marker is written only after a completed build."""
+        _READY marker is written only after a completed build. An
+        ivfpq cache built under a different encoding regime (pre-
+        residual) is wiped and rebuilt (ADVICE r12): the query path
+        now refuses non-residual stores rather than scoring them
+        wrong, so a stale cache would otherwise abort the run."""
         path = os.path.join(CACHE_ROOT, f"{op}_{scale}")
-        return path, os.path.exists(os.path.join(path, "_READY"))
+        ready = os.path.exists(os.path.join(path, "_READY"))
+        if ready and op == "ivfpq":
+            import json
+
+            sidecar = os.path.join(path, "_ivfpq_index_params.json")
+            try:
+                with open(sidecar) as f:
+                    enc = json.load(f).get("encoding")
+            except OSError:
+                enc = None
+            if enc != "residual":
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+                ready = False
+        return path, ready
 
     def mark_ready(path: str) -> None:
         with open(os.path.join(path, "_READY"), "w") as f:
