@@ -401,3 +401,24 @@ def test_rebalance_orphan_cleanup_and_partial_probe(spark, emb, tmp_path):
         for r in ann_index.query_ivf_index(probes, path, k=3, nprobe=2).collect()
     )
     assert after == before
+
+
+def test_centroids_swap_crash_heals_on_read(spark, emb, tmp_path):
+    """ADVICE r12: the rebalance commit point swaps the centroids
+    table; a crash between its two renames must heal on the next
+    centroid read (read_ivf_centroids), keeping query/add/rebalance
+    alive without manual repair."""
+    path = str(tmp_path / "ivf_crash")
+    ann_index.build_ivf_index(emb, path, nlist=8)
+    probes = emb.limit(3)
+    before = sorted(
+        (r.probe_id, r.neighbor_id)
+        for r in ann_index.query_ivf_index(probes, path, k=3).collect()
+    )
+    os.rename(f"{path}/centroids", f"{path}/.__aside.centroids")
+    after = sorted(
+        (r.probe_id, r.neighbor_id)
+        for r in ann_index.query_ivf_index(probes, path, k=3).collect()
+    )
+    assert after == before
+    assert os.path.isdir(f"{path}/centroids")

@@ -278,3 +278,26 @@ def test_stats_sidecar_tracks_mutations_and_query_drops_scan(spark, tmp_path):
     ps.compact_postings_store(spark, path)  # heals
     assert ps._valid_stats(spark, path) is not None
     assert sidecar() == scan()
+
+
+def test_stats_fingerprint_detects_same_count_divergence(spark, tmp_path):
+    """ADVICE r12: a crashed append (+1 file) followed by a crashed
+    compact can land lengths back on the SAME file count while
+    holding different data — bare counts would validate the stale
+    (N, Σdl). The name+size digest must catch any content change at
+    constant count."""
+    path = str(tmp_path / "store")
+    ps.write_postings_store(_docs(spark), path)
+    assert ps._valid_stats(spark, path) is not None
+    lfiles = sorted(
+        glob.glob(f"{path}/lengths/**/*.parquet", recursive=True)
+    )
+    assert len(lfiles) >= 2
+    import os as _os
+
+    # same names, same count — one file's bytes replaced by another's
+    # (the digest keys on name+size; distinct lengths files virtually
+    # always differ in size, asserted so the swap is detectable)
+    assert _os.path.getsize(lfiles[0]) != _os.path.getsize(lfiles[1])
+    shutil.copy(lfiles[0], lfiles[1])
+    assert ps._valid_stats(spark, path) is None  # detected
