@@ -480,10 +480,14 @@ def _stages(
     sf_dir: str,
     barrier: str = "local",
     checkpoint_dir: str | None = None,
+    semdedup_nlist: int = 16,
 ) -> dict[str, DataFrame]:
     """Build every pipeline stage; keys match the oracle CTE names.
     ``barrier``/``checkpoint_dir`` select the phase-barrier strategy
-    (:func:`_barrier_fn`)."""
+    (:func:`_barrier_fn`). ``semdedup_nlist`` is SemDeDup's cluster
+    count — 16 fits the certification fixture; the scale contract is
+    nlist ∝ corpus size so clusters stay constant-sized (the decade
+    harness re-dials it per scale, tools/pipeline_scale_bench.py)."""
     from ..operators.parallel import widen_small_input
 
     _bar = _barrier_fn(spark, barrier, checkpoint_dir)
@@ -621,7 +625,7 @@ def _stages(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",
-        nlist=16,
+        nlist=semdedup_nlist,
         threshold=0.4,
     )
     g6 = g5.join(
@@ -678,6 +682,7 @@ def pipeline_curate_corpus(
     *,
     barrier: str = "local",
     checkpoint_dir: str | None = None,
+    semdedup_nlist: int = 16,
 ) -> DataFrame:
     """The full curation pipeline's OUTPUT: the training-shard
     manifest of the surviving corpus — per 50-doc shard (deterministic
@@ -689,7 +694,10 @@ def pipeline_curate_corpus(
     See the module docstring for the stage chain and scale notes;
     ``barrier``/``checkpoint_dir`` select the cluster-safe phase
     barrier (:func:`_barrier_fn`)."""
-    s = _stages(spark, sf_dir, barrier=barrier, checkpoint_dir=checkpoint_dir)
+    s = _stages(
+        spark, sf_dir, barrier=barrier, checkpoint_dir=checkpoint_dir,
+        semdedup_nlist=semdedup_nlist,
+    )
     packed = s["packed"]
     chk = F.conv(
         F.substring(
@@ -810,7 +818,12 @@ def pipeline_curate_dsir_sample(
     tags=("curation", "pipeline", "dedup", "quality", "sampling",
           "extension"),
 )
-def pipeline_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_curate_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    semdedup_nlist: int = 16,
+) -> DataFrame:
     """The pipeline's FUNNEL: documents and (post-normalization)
     tokens surviving after each stage — the audit row a data-curation
     run reports, and the bisection tool when the end-to-end manifest
@@ -818,7 +831,7 @@ def pipeline_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Token counts are measured on the normalized+redacted text at
     EVERY stage, so no stage double-counts tokens the transform
     changed (the r10 verdict's token-double-counting concern)."""
-    s = _stages(spark, sf_dir)
+    s = _stages(spark, sf_dir, semdedup_nlist=semdedup_nlist)
     rows = None
     for name, key in _FUNNEL_STAGES:
         r = (

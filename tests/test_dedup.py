@@ -201,3 +201,48 @@ def test_containment_flags_excerpt_not_symmetric(spark):
     assert (1, 2) not in got  # 2/10 shingles — not contained
     assert got[(3, 4)] == 1.0 and got[(4, 3)] == 1.0
     assert set(got) == {(2, 1), (3, 4), (4, 3)}
+
+
+def test_lsh_prefilter_recall_on_fixture_corpus(spark):
+    """prefilter='lsh' (r13 candidate-volume lever): output must be a
+    SUBSET of the exact query's pairs with identical jaccard values
+    (never approximate scores), and on the fixture corpus — whose
+    true pairs are near-identical (j → 1, band-miss prob → 0) — it
+    must recover EVERY exact pair."""
+    from crypto_etl_airflow_spark.operators.dedup import ngram_jaccard_pairs
+    from crypto_etl_airflow_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8, max_doc_freq=50
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8, max_doc_freq=50,
+            prefilter="lsh", portable=True,
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]  # exact jaccard, same capped universe
+    assert set(lsh) == set(exact), "fixture true pairs are j≈1 — full recall expected"
+    assert exact  # non-vacuous
+
+
+def test_lsh_prefilter_rejects_unknown_mode(spark):
+    import pytest
+
+    from crypto_etl_airflow_spark.operators.dedup import ngram_jaccard_pairs
+    from crypto_etl_airflow_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError, match="unknown prefilter"):
+        ngram_jaccard_pairs(docs, "doc_id", "text", prefilter="bogus")

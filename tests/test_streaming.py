@@ -377,3 +377,50 @@ def test_stateless_curation_projection_runs_on_stream(spark, tmp_path):
         )
     )
     assert got == want and len(got) == 3
+
+
+def test_ingest_daemon_mode_processes_new_data_across_ticks(spark, tmp_path):
+    """processing_time daemon form (the reference's @hourly scheduler
+    loop without Airflow, r13): ONE long-lived query must ingest data
+    arriving across ticks — no restart between batches — through the
+    same idempotent sink."""
+    import time as _time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(
+        spark, str(src), "events_000", [(1, _t(1), 1, "click", 1.0)]
+    )
+    warehouse = str(tmp_path / "wh")
+    query = ingest_events_stream(
+        spark,
+        str(src),
+        warehouse,
+        str(tmp_path / "ck"),
+        processing_time="1 second",
+    )
+    try:
+
+        def _wait_rows(n, timeout=60):
+            deadline = _time.time() + timeout
+            while _time.time() < deadline:
+                try:
+                    if spark.read.parquet(warehouse).count() >= n:
+                        return True
+                except Exception:
+                    pass  # warehouse not created yet
+                _time.sleep(0.5)
+            return False
+
+        assert _wait_rows(1), "first tick never ingested"
+        # second file arrives while the daemon is live
+        _write_batch(
+            spark, str(src), "events_001",
+            [(1, _t(1), 1, "click", 1.0), (2, _t(2), 2, "view", 2.0)],
+        )
+        assert _wait_rows(2), "daemon tick never picked up new file"
+    finally:
+        query.stop()
+    wh = spark.read.parquet(warehouse)
+    assert wh.count() == 2  # duplicate event_id 1 suppressed by upsert
+    assert wh.select("event_id").distinct().count() == 2

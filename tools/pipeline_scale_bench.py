@@ -1,0 +1,231 @@
+"""Decade harness for the COMPOSED curation pipeline (VERDICT r12
+item 1): x10/x100 corpora under /tmp, timed 1× vs K× with
+plan-signature fingerprints.
+
+Why the pipeline can't use tools/scale_bench.py's shared K× corpus:
+that construction suffixes EVERY token with the copy index (the
+property the dedup decade needs — no shingle shared across copies),
+which turns every stopword ``the`` into ``the<k>`` — the Gopher
+gate's ``stopwords ≥ 2`` band then rejects the ENTIRE K× corpus and
+the pipeline collapses to EmptyRelation subtrees (measured r13: a
+bogus 0.55 "ratio" with a plan diff full of empties). The pipeline
+needs corpus copies that preserve STAGE SEMANTICS:
+
+- ``documents``: doc_id + k·10⁹ (10⁹ ≡ 0 mod 10, so every copy
+  plants its own banner/junk/clone/near-dup arms — planted signals
+  grow linearly); ONLY non-stopword tokens get the copy suffix, so
+  the Gopher stopword band, mean-word-length band, and the
+  classifier/LM tokenizations keep firing, while cross-copy shingle
+  sharing needs 3 consecutive stopwords — cross-copy Jaccard stays
+  far below the 0.8 near-dup threshold and the MinHash stage's true
+  pairs still replicate per copy.
+- ``embeddings``: the shared orthogonal-transform construction
+  (scale_bench.scaled_embedding_copies) — within-copy cosines exact,
+  cross-copy directions decorrelated.
+
+SemDeDup's ``nlist`` is re-dialed ∝ corpus (16·K) so clusters stay
+constant-sized — the operator's documented scale contract; freezing
+nlist at K× would measure a config its own docstring refuses (the
+scale_bench exclusion note).
+
+Usage: python tools/pipeline_scale_bench.py [K]   (default 10).
+Prints one JSON line; paste into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+_TOOLS = str(Path(__file__).resolve().parent)
+if _TOOLS not in sys.path:
+    sys.path.insert(0, _TOOLS)
+
+
+def build_pipeline_scaled_dir(spark, src: str, out: str, factor: int) -> None:
+    """documents (stopword-preserving suffix) + embeddings (shared
+    construction) only — the two tables the pipeline loads. Staging-
+    dir rename so an interrupted build can't masquerade as complete."""
+    from pyspark.sql import functions as F
+
+    from scale_bench import _write_chunked, scaled_embedding_copies
+
+    from crypto_etl_airflow_spark.functions.text import STOPWORDS
+
+    staging = out + ".__building"
+    for leftover in (out, staging):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    os.makedirs(staging)
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    doc_copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(k * 10**9)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.when(w.isin(*STOPWORDS), w).otherwise(
+                        F.concat(w, F.lit(str(k)))
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        ).select(*docs.columns)
+        for k in range(factor)
+    ]
+    _write_chunked(doc_copies, f"{staging}/documents.parquet")
+    _write_chunked(
+        scaled_embedding_copies(spark, src, factor),
+        f"{staging}/embeddings.parquet",
+    )
+    os.rename(staging, out)
+
+
+def _sig_of(df) -> dict[str, int]:
+    sig: dict[str, int] = {}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        op = line.lstrip(" :+-*(0123456789)").split(" ", 1)[0].split("(", 1)[0]
+        if op:
+            sig[op] = sig.get(op, 0) + 1
+    return sig
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = os.environ.get(
+        "SPARK_GRAFT_PIPELINE_SCALE_DIR", f"/tmp/pipeline_scale_x{factor}"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("crypto-etl-spark-pipeline-scale-bench")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if os.path.exists(f"{out}/embeddings.parquet/_SUCCESS"):
+        build_s = 0.0
+    else:
+        t0 = time.perf_counter()
+        build_pipeline_scaled_dir(spark, src, out, factor)
+        build_s = time.perf_counter() - t0
+
+    from crypto_etl_airflow_spark.plans.pipeline_curate import (
+        pipeline_curate_corpus,
+        pipeline_curate_funnel,
+    )
+    from crypto_etl_airflow_spark.session import (
+        input_dir_bytes,
+        shuffle_partitions_for_bytes,
+    )
+
+    parts_1x = shuffle_partitions_for_bytes(
+        input_dir_bytes(
+            f"{src}/documents.parquet", f"{src}/embeddings.parquet"
+        ),
+        cpus=int(cpus),
+    )
+    parts_kx = shuffle_partitions_for_bytes(
+        input_dir_bytes(
+            f"{out}/documents.parquet", f"{out}/embeddings.parquet"
+        ),
+        cpus=int(cpus),
+    )
+    print(
+        f"# shuffle.partitions: 1x={parts_1x} {factor}x={parts_kx}",
+        file=sys.stderr,
+        flush=True,
+    )
+
+    # warm-up outside any timed window
+    spark.read.parquet(f"{src}/documents.parquet").count()
+
+    results: dict[str, dict] = {}
+    for name, builder in (
+        ("pipeline_curate_corpus", pipeline_curate_corpus),
+        ("pipeline_curate_funnel", pipeline_curate_funnel),
+    ):
+        row: dict = {}
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts_1x))
+        t1_runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cnt1 = builder(spark, src, semdedup_nlist=16).groupBy().count()
+            cnt1.collect()
+            t1_runs.append(time.perf_counter() - t0)
+        row["t1"] = round(min(t1_runs), 3)
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts_kx))
+        t0 = time.perf_counter()
+        cntK = builder(
+            spark, out, semdedup_nlist=16 * factor
+        ).groupBy().count()
+        cntK.collect()
+        row["tK"] = round(time.perf_counter() - t0, 3)
+        sig1, sigK = _sig_of(cnt1), _sig_of(cntK)
+        row["ratio"] = round(row["tK"] / row["t1"], 2)
+        row["plan_identical"] = sig1 == sigK
+        if sig1 != sigK:
+            row["plan_diff"] = {
+                op: [sig1.get(op, 0), sigK.get(op, 0)]
+                for op in sorted(set(sig1) | set(sigK))
+                if sig1.get(op, 0) != sigK.get(op, 0)
+            }
+        results[name] = row
+        print(
+            f"# {name}: 1x={row['t1']}s {factor}x={row['tK']}s "
+            f"ratio={row['ratio']}"
+            f"{'' if row['plan_identical'] else ' PLAN-DIFF'}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    # funnel stage counts at K× — the semantics check: every stage
+    # must still FIRE (drop documents) on the scaled corpus, and
+    # pre-admission stages should hold ~K× the 1× doc counts
+    funnel_k = {
+        r.stage: [int(r.n_docs), int(r.n_tokens)]
+        for r in pipeline_curate_funnel(
+            spark, out, semdedup_nlist=16 * factor
+        ).collect()
+    }
+
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_scale_curve",
+                "factor": factor,
+                "build_sec": round(build_s, 1),
+                "src": src,
+                "queries": results,
+                "funnel_kx": funnel_k,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

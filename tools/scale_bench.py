@@ -64,6 +64,9 @@ EXTRA_SCALE_QUERIES = (
     "similarity_hybrid_rrf_topk",  # two top-N rankings + N×N fusion join
     "text_repetition_signals",  # explode + (doc, n, gram) count
     "dedup_containment",  # shingle self-join (hot-capped) + 2-dir explode
+    "dedup_ngram_jaccard_lsh",  # r13: the LSH-first candidate gate —
+    # its decade factor vs dedup_ngram_jaccard's ×12 IS the lever's
+    # measurement
     "curation_pipeline_summary",  # chained dedup ops + per-lang rollup
     # round-7 curation surface (plans/curation.py):
     "dedup_lines_global",  # the only one with a corpus shuffle
@@ -168,6 +171,19 @@ def _build_tables(spark, src: str, out: str, factor: int) -> None:
     ]
     _write_chunked(doc_copies, f"{out}/documents.parquet")
 
+    _write_chunked(
+        scaled_embedding_copies(spark, src, factor),
+        f"{out}/embeddings.parquet",
+    )
+
+
+def scaled_embedding_copies(spark, src: str, factor: int):
+    """The K× embeddings construction (doc'd in the module docstring),
+    shared with tools/pipeline_scale_bench.py: per-copy orthogonal
+    transforms preserve every within-copy cosine exactly while
+    decorrelating cross-copy directions."""
+    from pyspark.sql import functions as F
+
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     # Shift modulus = the ACTUAL embedding dimension (ADVICE r6: a
     # hardcoded 64 would silently truncate/garble vectors if the
@@ -233,7 +249,10 @@ def _build_tables(spark, src: str, out: str, factor: int) -> None:
             )
         return col.alias("embedding")
 
-    emb_copies = [
+    # (the whole OUT dir is itself a staging dir renamed into place by
+    # build_scaled_dir, so the per-table completion-marker dance the
+    # embeddings table used to need is gone)
+    return [
         emb.select(
             (F.col("vec_id") + F.lit(k * 10**7)).alias("vec_id"),
             _copy_embedding(k),
@@ -241,10 +260,6 @@ def _build_tables(spark, src: str, out: str, factor: int) -> None:
         ).select(*emb.columns)
         for k in range(factor)
     ]
-    # (the whole OUT dir is itself a staging dir renamed into place by
-    # build_scaled_dir, so the per-table completion-marker dance the
-    # embeddings table used to need is gone)
-    _write_chunked(emb_copies, f"{out}/embeddings.parquet")
 
 
 def _union_all(dfs):
@@ -326,31 +341,59 @@ def main() -> None:
     print(f"# shuffle.partitions: 1x={parts_1x} {factor}x={parts_kx}",
           file=sys.stderr, flush=True)
 
+    def _sig_of(df) -> dict[str, int]:
+        """Operator-name histogram of the (executed, AQE-final) plan —
+        the store_scale_bench discipline: enough to tell 'same plan,
+        more rows' from a plan transition between scales."""
+        sig: dict[str, int] = {}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            op = line.lstrip(" :+-*(0123456789)").split(" ", 1)[0]
+            op = op.split("(", 1)[0]
+            if op:
+                sig[op] = sig.get(op, 0) + 1
+        return sig
+
     results: dict[str, dict[str, float]] = {}
     for name, spec in specs.items():
         row: dict[str, float] = {}
         # 1× twice, keep the min: the first run absorbs this plan's
         # codegen + page-cache warm-up, so the denominator is the
         # steady-state cost and the ratio is CONSERVATIVE (the single
-        # K× run still carries any first-run overhead).
+        # K× run still carries any first-run overhead). The count
+        # aggregate handle is kept so the recorded plan signature is
+        # of the SAME QueryExecution that was timed (ADVICE r11).
         spark.conf.set("spark.sql.shuffle.partitions", str(parts_1x))
         t1_runs = []
         for _ in range(2):
             t0 = time.perf_counter()
-            spec.builder(spark, src).count()
+            cnt1 = spec.builder(spark, src).groupBy().count()
+            cnt1.collect()
             t1_runs.append(time.perf_counter() - t0)
             release_reuse_caches()
         row["t1"] = round(min(t1_runs), 3)
         spark.conf.set("spark.sql.shuffle.partitions", str(parts_kx))
         t0 = time.perf_counter()
-        spec.builder(spark, out).count()
+        cntK = spec.builder(spark, out).groupBy().count()
+        cntK.collect()
         row["tK"] = round(time.perf_counter() - t0, 3)
         release_reuse_caches()
         row["ratio"] = round(row["tK"] / row["t1"], 2)
         row["control"] = name in CONTROL_QUERIES
+        sig1, sigK = _sig_of(cnt1), _sig_of(cntK)
+        row["plan_identical"] = sig1 == sigK
+        if sig1 != sigK:
+            # record only the differing operators, keeping JSON small
+            row["plan_diff"] = {
+                op: [sig1.get(op, 0), sigK.get(op, 0)]
+                for op in sorted(set(sig1) | set(sigK))
+                if sig1.get(op, 0) != sigK.get(op, 0)
+            }
         results[name] = row
         print(f"# {name}: 1x={row['t1']}s {factor}x={row['tK']}s "
-              f"ratio={row['ratio']}{' (control)' if row['control'] else ''}",
+              f"ratio={row['ratio']}"
+              f"{' (control)' if row['control'] else ''}"
+              f"{'' if row['plan_identical'] else ' PLAN-DIFF'}",
               file=sys.stderr, flush=True)
 
     print(json.dumps({
