@@ -271,6 +271,17 @@ def ngram_jaccard_pairs(
     if prefilter not in (None, "lsh"):
         raise ValueError(f"unknown prefilter {prefilter!r}")
     if prefilter == "lsh":
+        # NO global set-distinct anywhere (the r13 x1000 disk lesson:
+        # caching/distincting the full (id, sh, h) table is tens of GB
+        # per decade). Signatures come from the capped MULTISET — min
+        # over a multiset equals min over its set, and the groupBy
+        # map-side-combines to |docs| rows before the shuffle; the df
+        # cap uses count_distinct(id) per shingle (true document
+        # frequency, dedup confined to the aggregate); set-distinct
+        # shingle SETS are built only for candidate-involved docs —
+        # candidate-bounded, never corpus-bounded. Values are
+        # identical to the distinct-first construction, so the oracle
+        # is unchanged.
         base = word_shingles(df, id_col, text_col, n, distinct=False)
         if portable:
             h = portable_hash48(F.col("shingle")) % MERSENNE_P
@@ -278,34 +289,37 @@ def ngram_jaccard_pairs(
             h = (
                 F.xxhash64("shingle") % MERSENNE_P + MERSENNE_P
             ) % MERSENNE_P
-        sh = _reuse(
-            base.select(
-                F.col(id_col),
-                F.xxhash64("shingle").alias("sh"),
-                h.alias("__h"),
-            ).distinct()
+        raw = base.select(
+            F.col(id_col), F.xxhash64("shingle").alias("sh"), h.alias("__h")
         )
         if max_doc_freq is not None:
             hot = (
-                sh.groupBy("sh")
-                .agg(F.count("*").alias("df"))
+                raw.groupBy("sh")
+                .agg(F.count_distinct(F.col(id_col)).alias("df"))
                 .filter(F.col("df") > max_doc_freq)
                 .select("sh")
             )
-            sh = _reuse(sh.join(F.broadcast(hot), "sh", "left_anti"))
+            raw = raw.join(F.broadcast(hot), "sh", "left_anti")
         mins = [
             F.min(
                 (F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE_P
             ).alias(f"mh_{i}")
             for i, (a, b) in enumerate(minhash_constants(num_hashes))
         ]
-        sigs = _reuse(sh.groupBy(id_col).agg(*mins))
-        cands = minhash_lsh_candidates(
-            sigs, id_col, num_hashes, bands, portable
+        sigs = _reuse(raw.groupBy(id_col).agg(*mins))
+        cands = _reuse(
+            minhash_lsh_candidates(sigs, id_col, num_hashes, bands, portable)
         )
+        involved = (
+            cands.select(F.col("id_a").alias(id_col))
+            .unionByName(cands.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh_cand = raw.join(involved, id_col, "left_semi").select(
+            id_col, "sh"
+        ).distinct()
         return verify_pairs_exact_jaccard(
-            df, cands, id_col, text_col, n, threshold,
-            shingles=sh.select(id_col, "sh"),
+            df, cands, id_col, text_col, n, threshold, shingles=sh_cand
         )
     # the shingle set feeds several consumers (doc-freq cap, per-doc
     # sizes, both self-join sides); persist materializes the expensive
