@@ -315,7 +315,16 @@ def ngram_jaccard_pairs(
             .unionByName(cands.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        sh_cand = raw.join(involved, id_col, "left_semi").select(
+        # the semi join's small side is candidate-bounded BY
+        # CONSTRUCTION (≤ 2·|candidates| bare ids) — without the hint
+        # AQE flips this to a sort-merge that SORTS the corpus-sized
+        # shingle stream (measured at the x1000 decade: Sort 8→90,
+        # +700 s). Guarded like similarity.bounded_broadcast: one
+        # O(bound) count on the cached candidates; past the bound
+        # (degenerate corpus) fall back unhinted.
+        n_inv = involved.limit(20_000_001).count()
+        inv = F.broadcast(involved) if n_inv <= 20_000_000 else involved
+        sh_cand = raw.join(inv, id_col, "left_semi").select(
             id_col, "sh"
         ).distinct()
         return verify_pairs_exact_jaccard(
