@@ -254,10 +254,15 @@ def ngram_jaccard_pairs(
 
     ``prefilter='lsh'`` (r13, the VERDICT r12 candidate-volume
     lever): MinHash band agreement gates the pair universe BEFORE
-    any per-pair work — signatures over the (df-capped) shingle
-    sets, banded candidates, then the same exact-Jaccard
-    verification, candidate-driven (``verify_pairs_exact_jaccard``)
-    instead of the shingle self-join. The df cap attacks hot-shingle
+    any per-pair work — signatures from the df-capped shingle
+    MULTISET (min over a multiset equals min over its set; the
+    groupBy map-side-combines to one row per document, so no
+    corpus-sized set-distinct or cache exists anywhere — the shape
+    that survives the 1000× decade where the distinct-and-persist
+    form fills the disk), banded candidates, then the same
+    exact-Jaccard verification, candidate-driven
+    (``verify_pairs_exact_jaccard``) instead of the shingle
+    self-join. The df cap attacks hot-shingle
     fan-out (constant-factor); the LSH gate attacks TRUE candidate
     volume — sub-threshold pairs sharing rare shingles, the ×10/
     decade term the r12 attribution measured — at a bounded recall
@@ -293,7 +298,11 @@ def ngram_jaccard_pairs(
             F.col(id_col), F.xxhash64("shingle").alias("sh"), h.alias("__h")
         )
         if max_doc_freq is not None:
-            hot = (
+            # the hot TABLE is tiny (≤ |corpus|/cap shingles) but its
+            # aggregation is a full corpus pass — cached so raw's two
+            # consumers (signatures, candidate sets) don't run the df
+            # shuffle twice
+            hot = _reuse(
                 raw.groupBy("sh")
                 .agg(F.count_distinct(F.col(id_col)).alias("df"))
                 .filter(F.col("df") > max_doc_freq)
@@ -324,9 +333,14 @@ def ngram_jaccard_pairs(
         # (degenerate corpus) fall back unhinted.
         n_inv = involved.limit(20_000_001).count()
         inv = F.broadcast(involved) if n_inv <= 20_000_000 else involved
-        sh_cand = raw.join(inv, id_col, "left_semi").select(
-            id_col, "sh"
-        ).distinct()
+        # candidate-bounded (|involved docs| × shingles/doc) and read
+        # THREE times by the verification (a-side, b-side, sizes) —
+        # uncached, each read replays the whole corpus chain
+        # including the df aggregation (measured at x1000: 3× the
+        # base cost, Sort 0→80 in the fingerprint)
+        sh_cand = _reuse(
+            raw.join(inv, id_col, "left_semi").select(id_col, "sh").distinct()
+        )
         return verify_pairs_exact_jaccard(
             df, cands, id_col, text_col, n, threshold, shingles=sh_cand
         )
