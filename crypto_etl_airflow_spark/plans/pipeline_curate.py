@@ -67,9 +67,8 @@ from ..functions.text import (
     tokens,
 )
 from ..operators import dedup as dedup_ops
-from ..operators.classify import classifier_scores, train_bucket_weights
+from ..operators.classify import feature_bucket
 from ..operators.dedup import MERSENNE_P, minhash_constants
-from ..operators.lm import train_unigram_lm, unigram_logppl
 from ..operators.semdedup import semdedup_keep
 from ..sources.tables import load_table
 from .curation import (
@@ -516,18 +515,15 @@ def _stages(
     # pipeline materializes between phases for the same reason; at
     # cluster scale this barrier is the inter-stage parquet write
     # (barrier='parquet'|'checkpoint', _barrier_fn).
-    feat = _bar(
-        red.select(
-            "doc_id",
-            "lang",
-            "text",
-            F.size(tokens(F.col("text"))).alias("n_tokens"),
-            _admission_hash().alias("h"),
-        ),
-        "feat",
-    )
-
-    # 3: Gopher gate (same expressions as text_gopher_filter)
+    #
+    # The Gopher signals (same expressions as text_gopher_filter)
+    # ride in this SAME materialization pass: the token array is
+    # built once for n_tokens AND the four quality signals, and the
+    # downstream gate degenerates to a constant-width comparison
+    # filter — so g1 needs no barrier of its own (its three consumers
+    # re-apply a cheap filter over the feat cache instead of a
+    # tokenize-heavy expression chain). One corpus scan, one barrier
+    # job, and one tokenization replace the former two of each.
     t = F.col("text")
     toks = tokens(t)
     n_words = F.size(toks)
@@ -545,20 +541,34 @@ def _stages(
     dbf = F.when(n_words < 2, F.lit(0.0)).otherwise(
         F.round(1 - F.size(F.array_distinct(bigrams)) / (n_words - 1), 6)
     )
-    g1 = feat.filter(
-        (n_words >= 20)
-        & (n_words <= 100000)
-        & (mwl >= 3)
-        & (mwl <= 10)
-        & (fra >= 0.8)
-        & (nst >= 2)
-        & (dbf <= 0.5)
+    feat_wide = _bar(
+        red.select(
+            "doc_id",
+            "lang",
+            "text",
+            n_words.alias("n_tokens"),
+            _admission_hash().alias("h"),
+            mwl.alias("__mwl"),
+            fra.alias("__fra"),
+            nst.alias("__nst"),
+            dbf.alias("__dbf"),
+        ),
+        "feat",
     )
+    feat = feat_wide.select("doc_id", "lang", "text", "n_tokens", "h")
 
-    # barrier: the classifier below trains on g1, scores g1, and g2
-    # joins back against it — three consumers of the tokenize-heavy
-    # gate chain
-    g1 = _bar(g1, "g1")
+    # 3: Gopher gate — a pure comparison filter over the materialized
+    # signals (n_words ≡ n_tokens, computed once above)
+    nt = F.col("n_tokens")
+    g1 = feat_wide.filter(
+        (nt >= 20)
+        & (nt <= 100000)
+        & (F.col("__mwl") >= 3)
+        & (F.col("__mwl") <= 10)
+        & (F.col("__fra") >= 0.8)
+        & (F.col("__nst") >= 2)
+        & (F.col("__dbf") <= 0.5)
+    ).select("doc_id", "lang", "text", "n_tokens", "h")
 
     # 4: classifier gate with TRAINED weights (VERDICT r12 item 2):
     # blocklist weak supervision — the seed label is "no junk-lexicon
@@ -569,27 +579,104 @@ def _stages(
     # rather than just the literal blocklist. Weights are dyadic-
     # quantized (k/1024, the lm.py discipline) so per-doc margin sums
     # are association-order-exact in both engines.
-    seed_pos = ~F.col("text").contains(_JUNK)
-    weights = train_bucket_weights(g1, seed_pos).select(
-        "bucket",
-        (F.round(F.col("weight") * F.lit(1024)) / F.lit(1024)).alias(
-            "weight"
-        ),
-    )
-    cs = classifier_scores(g1.select("doc_id", "text"), weights=weights)
-    g2 = _bar(
-        g1.join(cs.filter(F.col("kept")).select("doc_id"), "doc_id"),
-        "g2",
-    )
+    # Fit and inference share ONE exploded bucket table (persisted):
+    # the train aggregation and the per-doc margin scoring consume the
+    # same (doc_id, label, bucket) rows instead of each re-tokenizing
+    # and re-hashing the gate survivors — one corpus-tokens pass where
+    # :func:`train_bucket_weights` + :func:`classifier_scores` chained
+    # naively would take two. Same closed form, same dyadic-quantized
+    # weights, same kept set (a no-token doc appears in no bucket row
+    # and is dropped by the inner join, exactly classifier_scores'
+    # kept=false verdict — and cannot occur post-Gopher anyway).
+    from ..operators.dedup import _reuse
 
-    # 5: perplexity percentile gate; LM trains on surviving 'en' docs
-    vocab, stats = train_unigram_lm(
-        g2.filter(F.col("lang") == "en"), text_col="text", vocab_size=4096
+    seed_pos = ~F.col("text").contains(_JUNK)
+    btok = _reuse(
+        g1.select(
+            "doc_id",
+            seed_pos.alias("__pos"),
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", "__pos", feature_bucket(F.col("tok")).alias("bucket"))
+    )
+    counts = btok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("n_neg"),
+    )
+    totals = counts.agg(
+        F.sum("n_pos").alias("tot_pos"), F.sum("n_neg").alias("tot_neg")
+    )
+    raw_w = (
+        F.log((F.col("n_pos") + F.lit(0.5)) / (F.col("tot_pos") + F.lit(0.5)))
+        - F.log((F.col("n_neg") + F.lit(0.5)) / (F.col("tot_neg") + F.lit(0.5)))
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (F.round(raw_w * F.lit(1024)) / F.lit(1024)).alias("weight"),
+    )
+    kept_ids = (
+        btok.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(F.avg(F.coalesce("weight", F.lit(0.0))).alias("margin"))
+        .filter(F.col("margin") >= 0)
+        .select("doc_id")
+    )
+    g2 = _bar(g1.join(kept_ids, "doc_id"), "g2")
+
+    # 5: perplexity percentile gate; LM trains on surviving 'en' docs.
+    # Same shared-token-pass fusion as the classifier gate above: ONE
+    # exploded token table (persisted) feeds both the LM fit (its 'en'
+    # slice) and the scoring of every survivor, where
+    # :func:`train_unigram_lm` + :func:`unigram_logppl` chained
+    # naively each re-tokenize g2. Identical closed form: add-α
+    # smoothing over the top-4096 types of the 'en' slice, proper OOV
+    # tail mass, dyadic-quantized ln-probabilities (operators/lm.py) —
+    # a tokenless doc appears in no token row, gets no ppl, and is
+    # dropped exactly as the isNotNull filter on unigram_logppl's
+    # NULL-ppl row dropped it.
+    _VOCAB_SIZE, _ALPHA = 4096, 0.5
+    _dy = lambda x: F.round(x * F.lit(1024)) / F.lit(1024)  # noqa: E731
+    ltok = _reuse(
+        g2.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("__en"),
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        ).filter(F.col("tok") != "")
+    )
+    lm_counts = (
+        ltok.filter(F.col("__en")).groupBy("tok").agg(F.count("*").alias("c"))
+    )
+    ranked = lm_counts.withColumn(
+        "__rn", F.row_number().over(W.orderBy(F.desc("c"), F.asc("tok")))
+    )
+    lm_totals = ranked.agg(
+        F.sum("c").alias("t"),
+        F.least(F.count("*"), F.lit(_VOCAB_SIZE)).alias("v"),
+        F.sum(
+            F.when(F.col("__rn") <= _VOCAB_SIZE, F.col("c")).otherwise(F.lit(0))
+        ).alias("tc"),
+    )
+    a = F.lit(_ALPHA)
+    denom = F.col("t") + a * (F.col("v") + F.lit(1))
+    vocab = (
+        ranked.filter(F.col("__rn") <= _VOCAB_SIZE)
+        .crossJoin(F.broadcast(lm_totals))
+        .select("tok", _dy(F.log((F.col("c") + a) / denom)).alias("lnp"))
+    )
+    stats = lm_totals.select(
+        _dy(F.log((F.col("t") - F.col("tc") + a) / denom)).alias("oov_lnp")
     )
     ppl = (
-        unigram_logppl(g2, vocab, stats, id_col="doc_id", text_col="text")
-        .select("doc_id", "ppl")
-        .filter(F.col("ppl").isNotNull())
+        ltok.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.coalesce("lnp", F.col("oov_lnp")).alias("lnp"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.exp(-F.sum("lnp") / F.count("*")), 6
+            ).alias("ppl")
+        )
     )
     keep_ids = (
         ppl.select(
