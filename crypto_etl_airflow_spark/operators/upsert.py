@@ -19,8 +19,11 @@ partition-pruning filter on the key range cuts the read further
 (``prune_filter``). Join strategy is left to AQE: a small key slice
 broadcasts, a huge one sort-merges. Like the reference (single
 Airflow DAG writer), this assumes a single writer — a read-append
-race under concurrent writers needs a transactional table format
-(Delta/Iceberg ``MERGE INTO``), noted in SURVEY.md §7.4.
+race under concurrent writers needs a commit protocol. The
+MULTI-WRITER form lives in :mod:`.txlog` (optimistic-concurrency
+commit log over plain parquet, ``tx_append_if_absent`` /
+``tx_merge``); a managed deployment can equally swap onto
+Delta/Iceberg ``MERGE INTO`` (SURVEY.md §7.4).
 """
 
 from __future__ import annotations

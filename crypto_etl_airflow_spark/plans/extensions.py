@@ -3296,3 +3296,101 @@ def dedup_clusters_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
     ).select(F.col("id").alias("doc_id"), "component")
+
+
+@register(
+    "upsert_transactional_lifecycle",
+    oracle="""
+    SELECT c_custkey AS k,
+           c_mktsegment AS seg,
+           CASE WHEN c_custkey % 7 = 0 THEN round(c_acctbal - 500, 2)
+                WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 1000, 2)
+                WHEN c_custkey % 3 = 0 THEN round(c_acctbal, 2)
+                ELSE round(c_acctbal * 2, 2) END AS val
+    FROM customer
+    WHERE (c_custkey % 7 = 0 AND c_custkey % 2 = 1)
+       OR (c_custkey % 7 != 0
+           AND (c_custkey % 3 = 0 OR c_custkey % 2 = 0
+                OR c_custkey % 5 = 0))
+    """,
+    tags=("upsert", "transactions", "sink", "extension"),
+)
+def upsert_transactional_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full lifecycle of the MULTI-WRITER transactional table
+    (operators/txlog.py — the concurrency-safe form of the
+    reference's Postgres ``ON CONFLICT`` sink, reference
+    dags/crypto-etl-pipeline-psql.py:85-89): five commits exercise
+    every action and the oracle pins the RESOLVED end state.
+
+    1. append-if-absent  custkey %3 == 0  at acctbal        (insert)
+    2. append-if-absent  custkey %2 == 0  at acctbal × 2    — the
+       %6 overlap must KEEP commit 1's value (DO NOTHING, not UPDATE)
+    3. merge             custkey %5 == 0  at acctbal + 1000 — must
+       OVERRIDE every earlier value and insert the %5-only keys
+    4. delete            custkey %7 == 0  (tombstone)
+    5. append-if-absent  custkey %7 == 0 AND odd at acctbal − 500 —
+       re-insert after delete must be visible again
+
+    The store builds once per process (`_cached_store` — the
+    lifecycle is deterministic, so the post-commit table is a fixed
+    point) and the query returns the LIVE ``tx_read`` resolution
+    plan: per-commit parquet scans unioned, the max-effect-version
+    key join, the visibility filter — the plan a reader runs at any
+    scale. Protocol-level concurrency (claim races, orphan deltas,
+    compaction folding) is pinned by tests/test_txlog.py."""
+    from ..operators.txlog import (
+        tx_append_if_absent,
+        tx_delete,
+        tx_merge,
+        tx_read,
+    )
+
+    def _build(path: str) -> None:
+        cust = load_table(spark, sf_dir, "customer")
+        k = F.col("c_custkey")
+        base = cust.select(
+            k.alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("c_acctbal"), 2).alias("val"),
+        )
+        tx_append_if_absent(
+            spark, base.filter(k % 3 == 0), path, ["k"]
+        )
+        tx_append_if_absent(
+            spark,
+            cust.filter(k % 2 == 0).select(
+                k.alias("k"),
+                F.col("c_mktsegment").alias("seg"),
+                F.round(F.col("c_acctbal") * 2, 2).alias("val"),
+            ),
+            path,
+            ["k"],
+        )
+        tx_merge(
+            spark,
+            cust.filter(k % 5 == 0).select(
+                k.alias("k"),
+                F.col("c_mktsegment").alias("seg"),
+                F.round(F.col("c_acctbal") + 1000, 2).alias("val"),
+            ),
+            path,
+            ["k"],
+        )
+        tx_delete(
+            spark, cust.filter(k % 7 == 0).select(k.alias("k")), path, ["k"]
+        )
+        tx_append_if_absent(
+            spark,
+            cust.filter((k % 7 == 0) & (k % 2 == 1)).select(
+                k.alias("k"),
+                F.col("c_mktsegment").alias("seg"),
+                F.round(F.col("c_acctbal") - 500, 2).alias("val"),
+            ),
+            path,
+            ["k"],
+        )
+
+    path = _cached_store("txlife", sf_dir, _build)
+    return tx_read(spark, path)
