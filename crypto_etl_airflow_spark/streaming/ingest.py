@@ -70,3 +70,41 @@ def ingest_events_stream(
     query = writer.trigger(availableNow=True).start()
     query.awaitTermination()
     return None
+
+
+def ingest_events_stream_transactional(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("event_id",),
+    processing_time: str | None = None,
+) -> StreamingQuery | None:
+    """The MULTI-WRITER form of :func:`ingest_events_stream`: each
+    micro-batch commits through the transactional table
+    (operators/txlog.py ``tx_append_if_absent``) instead of the
+    single-writer parquet writer, so a streaming ingest can run
+    CONCURRENTLY with batch writers (or other streams) against the
+    same table and still land exactly-once-per-key — redelivered
+    micro-batches re-resolve the snapshot and write nothing, racing
+    writers lose the version claim and re-check, precisely the
+    serialization Postgres row locks gave the reference's loader
+    (dags/crypto-etl-pipeline-psql.py:85-89). Trigger semantics match
+    :func:`ingest_events_stream` (AvailableNow drain vs
+    processing-time daemon)."""
+    from ..operators.txlog import tx_append_if_absent
+
+    sdf = stream_events(spark, source_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tx_append_if_absent(spark, batch_df, table_path, keys=list(keys))
+
+    writer = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if processing_time is not None:
+        return writer.trigger(processingTime=processing_time).start()
+    query = writer.trigger(availableNow=True).start()
+    query.awaitTermination()
+    return None

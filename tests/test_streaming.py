@@ -424,3 +424,51 @@ def test_ingest_daemon_mode_processes_new_data_across_ticks(spark, tmp_path):
     wh = spark.read.parquet(warehouse)
     assert wh.count() == 2  # duplicate event_id 1 suppressed by upsert
     assert wh.select("event_id").distinct().count() == 2
+
+
+def test_ingest_stream_transactional_with_concurrent_batch_writer(spark, tmp_path):
+    """The txlog-backed streaming sink: exactly-once-per-key across a
+    fresh-checkpoint redelivery AND a concurrent batch writer into
+    the SAME transactional table — the multi-writer race the plain
+    parquet sink documents away is exercised here for real."""
+    from crypto_etl_airflow_spark.operators.txlog import (
+        tx_append_if_absent,
+        tx_read,
+    )
+    from crypto_etl_airflow_spark.streaming.ingest import (
+        ingest_events_stream_transactional,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [(1, _t(1), 1, "click", 1.0), (2, _t(2), 2, "view", 2.0)]
+    _write_batch(spark, str(src), "events_000", rows1)
+
+    table = str(tmp_path / "tx")
+    ck_a = str(tmp_path / "ck_a")
+    ingest_events_stream_transactional(spark, str(src), table, ck_a)
+    assert tx_read(spark, table).count() == 2
+
+    # a BATCH writer lands event 3 (and retries event 2) concurrently
+    batch = spark.createDataFrame(
+        [(2, _t(2), 2, "view", 2.0), (3, _t(3), 3, "error", 3.0)], SCHEMA
+    )
+    tx_append_if_absent(spark, batch, table, ["event_id"])
+
+    # fresh-checkpoint redelivery of the stream writes NOTHING new
+    ingest_events_stream_transactional(
+        spark, str(src), table, str(tmp_path / "ck_b")
+    )
+    out = tx_read(spark, table)
+    assert out.count() == 3
+    assert out.select("event_id").distinct().count() == 3
+
+    # new file + original checkpoint: only event 4 lands
+    _write_batch(
+        spark, str(src), "events_001",
+        [(3, _t(3), 3, "error", 3.0), (4, _t(4), 4, "click", 4.0)],
+    )
+    ingest_events_stream_transactional(spark, str(src), table, ck_a)
+    assert sorted(
+        r["event_id"] for r in tx_read(spark, table).collect()
+    ) == [1, 2, 3, 4]
