@@ -3394,3 +3394,42 @@ def upsert_transactional_lifecycle(
 
     path = _cached_store("txlife", sf_dir, _build)
     return tx_read(spark, path)
+
+
+@register(
+    "upsert_transactional_time_travel",
+    oracle="""
+    SELECT c_custkey AS k,
+           c_mktsegment AS seg,
+           CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 1000, 2)
+                WHEN c_custkey % 3 = 0 THEN round(c_acctbal, 2)
+                ELSE round(c_acctbal * 2, 2) END AS val
+    FROM customer
+    WHERE c_custkey % 3 = 0 OR c_custkey % 2 = 0 OR c_custkey % 5 = 0
+    """,
+    tags=("upsert", "transactions", "sink", "extension"),
+)
+def upsert_transactional_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot isolation as a QUERY: the same committed lifecycle as
+    ``upsert_transactional_lifecycle`` (same process-cached store —
+    five commits), read AS OF version 3, i.e. after both inserts and
+    the merge but BEFORE the delete and the re-insert. The oracle is
+    the version-3 state recomputed from the fixture: the delete's
+    tombstone and the post-delete insert must be invisible even
+    though both are committed in the log being read — the
+    time-travel contract a transactional table adds over plain
+    parquet (operators/txlog.py ``tx_read(version=)``)."""
+    import os
+
+    from ..operators.txlog import tx_read
+
+    # reuse (or build) the exact store the lifecycle query certifies
+    root = _STORE_BENCH_CACHE.get(("txlife", sf_dir))
+    if root is None or not os.path.exists(
+        os.path.join(root, "_BENCH_READY")
+    ):
+        upsert_transactional_lifecycle(spark, sf_dir).count()
+        root = _STORE_BENCH_CACHE[("txlife", sf_dir)]
+    return tx_read(spark, os.path.join(root, "store"), version=3)
