@@ -68,6 +68,10 @@ collect); the visibility join shuffles on the key — or broadcasts
 when AQE sees a small effect table — and prunes to key columns on
 the effects scan. Keys are assumed non-null (null never equals null
 in the join, so a null-keyed row would be invisible to replacement).
+One logical schema and ONE key set per table: every commit must
+write the same columns (the reader unions by name, strictly) and
+declare the same key columns — schema evolution is out of scope, as
+is a composite-key change mid-history.
 """
 
 from __future__ import annotations
@@ -110,8 +114,14 @@ def _committed(path: str) -> list[dict]:
         stem, ext = os.path.splitext(name)
         if ext != ".json" or not stem.isdigit():
             continue
-        with open(os.path.join(log, name)) as f:
-            out.append(json.load(f))
+        try:
+            with open(os.path.join(log, name)) as f:
+                out.append(json.load(f))
+        except FileNotFoundError:
+            # a concurrent vacuum dropped a pre-compact commit
+            # between our listdir and open — it was below the compact
+            # base, so the resolution is unaffected
+            continue
     out.sort(key=lambda c: c["version"])
     return out
 
@@ -359,4 +369,18 @@ def tx_vacuum(path: str, retain_seconds: float = 3600.0) -> list[str]:
                 os.path.join(_log_dir(path), f"{c['version']:0{_PAD}d}.json")
             )
             removed.append(f"{_LOG}/{c['version']:0{_PAD}d}.json")
+    # claim bodies a writer wrote but never linked (died mid-claim):
+    # same age gate as data dirs — a live writer is between write and
+    # link for milliseconds, not hours
+    log = _log_dir(path)
+    for name in os.listdir(log):
+        if not name.startswith(".tmp-"):
+            continue
+        full = os.path.join(log, name)
+        try:
+            if now - os.path.getmtime(full) >= retain_seconds:
+                os.unlink(full)
+                removed.append(f"{_LOG}/{name}")
+        except FileNotFoundError:
+            pass
     return removed

@@ -233,3 +233,40 @@ def test_commit_log_is_valid_json_metadata(spark, tmp_path):
         with open(os.path.join(log, name)) as f:
             c = json.load(f)
         assert {"version", "action", "delta", "effects", "keys"} <= set(c)
+
+
+def test_vacuum_cleans_aged_claim_tmp_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx_append_if_absent(spark, _mk(spark, [(1, "a")]), path, ["k"])
+    log = os.path.join(path, "_txlog")
+    ghost = os.path.join(log, ".tmp-deadwriter")
+    with open(ghost, "w") as f:
+        f.write("{}")
+    assert tx_vacuum(path, retain_seconds=3600) == []  # young: kept
+    os.utime(ghost, (1, 1))
+    assert tx_vacuum(path, retain_seconds=3600) == ["_txlog/.tmp-deadwriter"]
+    assert not os.path.exists(ghost)
+
+
+def test_reader_tolerates_commit_vacuumed_mid_listing(spark, tmp_path, monkeypatch):
+    """A concurrent vacuum unlinking a pre-compact commit between the
+    reader's listdir and open must be skipped, not crash the read."""
+    import builtins
+
+    import crypto_etl_airflow_spark.operators.txlog as tx
+
+    path = str(tmp_path / "t")
+    tx_append_if_absent(spark, _mk(spark, [(1, "a")]), path, ["k"])
+    tx_merge(spark, _mk(spark, [(1, "b")]), path, ["k"])
+    tx_compact(spark, path)
+    victim = os.path.join(path, "_txlog", f"{1:010d}.json")
+
+    real_open = builtins.open
+
+    def racing_open(file, *a, **kw):
+        if str(file) == victim and os.path.exists(victim):
+            os.unlink(victim)  # the vacuum wins the race
+        return real_open(file, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", racing_open)
+    assert _rows(tx_read(spark, path)) == [(1, "b")]
