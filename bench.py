@@ -113,23 +113,33 @@ def main() -> None:
         extra_runs[name] = len(runs) - n_runs
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "median": medians,
-                "median_total": round(sum(medians.values()), 4),
-                "spread": spreads,
-                "min_gap": min_gaps,
-                "extra_runs": {k: v for k, v in extra_runs.items() if v},
-                "runs_per_query": n_runs,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "median": medians,
+        "median_total": round(sum(medians.values()), 4),
+        "spread": spreads,
+        "min_gap": min_gaps,
+        "extra_runs": {k: v for k, v in extra_runs.items() if v},
+        "runs_per_query": n_runs,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # The driver records only the stdout TAIL, which truncates the
+    # per-query detail (BENCH_r12/r13 both lost medians to it) — so
+    # the full payload is also written to a file the next round's
+    # review can diff query-by-query.
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", str(Path(_REPO_ROOT) / "BENCH_LOCAL.json")
     )
+    try:
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     spark.stop()
 
 

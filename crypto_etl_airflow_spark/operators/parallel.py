@@ -19,13 +19,32 @@ degrades instead of failing where the RDD API is unavailable.
 
 from __future__ import annotations
 
+import os
 import weakref
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 
 # df -> probed partition count. WeakKeyDictionary so memoization never
 # pins a DataFrame (and its plan) in memory past its natural lifetime.
 _probed: "weakref.WeakKeyDictionary[DataFrame, int]" = weakref.WeakKeyDictionary()
+
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(value: str) -> int:
+    """Spark byte-string conf values: "134217728", "134217728b",
+    "128MB", ... (the JavaUtils.byteStringAs surface the file-source
+    confs accept)."""
+    s = value.strip().lower()
+    digits = s.rstrip("kmgtb")
+    return int(digits) * _BYTE_SUFFIX[s[len(digits):]]
 
 
 def _target_parallelism(df: DataFrame) -> int:
@@ -38,6 +57,42 @@ def _target_parallelism(df: DataFrame) -> int:
             return 0
 
 
+def _estimated_scan_tasks(df: DataFrame, files: list[str]) -> int | None:
+    """Task count the file-source split planner would produce for
+    these files — the same arithmetic FilePartition uses: splittable
+    files are cut at ``maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, (Σbytes + nfiles·openCost) / parallelism))``.
+    A bare ``len(files)`` proxy calls a few LARGE splittable files
+    "narrow" and widens them with a corpus-sized shuffle the scan
+    never needed; folding sizes in keeps the probe metadata-only
+    (os.stat, no physical planning) while agreeing with the planner
+    on exactly the case that matters. None when any file is on a
+    scheme we cannot stat locally (hdfs://, s3:// from the driver's
+    POV) — the caller falls back to the exact rdd probe there."""
+    sizes = []
+    for u in files:
+        parsed = urlparse(u)
+        if parsed.scheme not in ("file", ""):
+            return None
+        try:
+            sizes.append(os.stat(unquote(parsed.path) or u).st_size)
+        except OSError:
+            return None
+    conf = df.sparkSession.conf
+    try:
+        mpb = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+        open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    except Exception:
+        mpb, open_cost = 128 << 20, 4 << 20
+    parallelism = max(_target_parallelism(df), 1)
+    padded_total = sum(sizes) + open_cost * len(sizes)
+    max_split = max(1, min(mpb, max(open_cost, padded_total // parallelism)))
+    # per-file split count; bin-packing can only merge pieces, so this
+    # upper-bounds the real task count — an overestimate skips a widen
+    # on an already-wide scan (cheap), never widens a wide one
+    return sum(max(1, -(-s // max_split)) for s in sizes)
+
+
 def _input_width(df: DataFrame) -> int | None:
     """Best-effort current parallelism of ``df``; None if unknowable."""
     try:
@@ -47,15 +102,13 @@ def _input_width(df: DataFrame) -> int | None:
     width: int | None
     try:
         # Scan width proxy, tried FIRST because it is metadata-only
-        # (no physical planning): one task per input file is the
-        # shape the guard exists to fix (few-file small tables).
-        # Large files split into MORE tasks than files, so this
-        # underestimates only on big scans — where a widening
-        # repartition is cheap relative to the scan and the
-        # expression stage it feeds. Measured: ~0.05 s vs ~0.2 s for
-        # the df.rdd probe, paid per widened-operator call.
+        # (no physical planning, ~4× cheaper than the df.rdd probe):
+        # file count folded with file SIZES through the planner's own
+        # split arithmetic, so few-file-small tables (the shape the
+        # guard exists to fix) read as narrow while few-file-LARGE
+        # splittable tables read as the many tasks they really scan as.
         files = df.inputFiles()
-        width = len(files) if files else None
+        width = _estimated_scan_tasks(df, files) if files else None
     except Exception:  # non-file sources / Spark Connect quirks
         width = None
     if width is None:

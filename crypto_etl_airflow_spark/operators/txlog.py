@@ -23,12 +23,16 @@ Layout under the table root::
 
 Protocol:
 
-- **claim** — the commit body is fully written to a temp file, then
-  ``os.link(tmp, _txlog/N.json)`` claims version N create-exclusively
-  (atomic on POSIX and HDFS; object stores need a putIfAbsent or a
-  coordination service — same caveat Delta documents). The loser gets
-  ``FileExistsError``, re-reads, and retries at N+1. Because content
-  lands before the name, a reader can never observe a partial commit.
+- **claim** — the commit body is bound create-exclusively to
+  ``_txlog/N.json`` through a pluggable :class:`ClaimBackend`. The
+  default (:class:`PosixLinkClaim`) writes the content to a temp file
+  then hard-links it into place (atomic on POSIX and HDFS);
+  object stores implement the same one-method contract over their
+  conditional put (S3 ``If-None-Match: *`` et al. — the putIfAbsent
+  caveat Delta documents, here an injection point instead of a
+  rewrite). The loser sees the claim fail, re-reads, and retries at
+  N+1 with jittered backoff. Because content lands before the name,
+  a reader can never observe a partial commit.
 - **merge / delete are blind commits**: their semantics ("replace /
   delete every row of key K committed below my version") do not
   depend on the writer's snapshot, so last-writer-wins per key is
@@ -78,6 +82,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import time
 import uuid
 
@@ -90,6 +95,57 @@ _PAD = 10
 
 class TxConflictError(RuntimeError):
     """Raised when a commit cannot be claimed within ``max_retries``."""
+
+
+class ClaimBackend:
+    """Pluggable atomicity primitive behind every version claim.
+
+    The protocol needs exactly ONE storage guarantee: ``claim`` binds
+    fully-written content to a version-numbered name such that at most
+    one concurrent caller per name succeeds (a compare-and-swap on
+    existence). Everything else — snapshot resolution, blind commits,
+    insert re-resolution, compact-at-snapshot+1 — is backend-agnostic,
+    so an object-store deployment implements this one method over its
+    conditional put (S3 ``If-None-Match: *``, GCS
+    ``ifGenerationMatch=0``, Azure ``If-None-Match: *``) or a
+    coordination service, and passes it as ``backend=`` to the tx_*
+    functions without touching protocol code.
+    """
+
+    def claim(self, log_dir: str, name: str, payload: str) -> bool:
+        """Atomically create ``log_dir/name`` with ``payload``; return
+        False (without clobbering) when the name already exists."""
+        raise NotImplementedError
+
+
+class PosixLinkClaim(ClaimBackend):
+    """Default backend: payload to a temp file (flushed + fsynced),
+    then ``os.link`` gives the name to exactly one writer — atomic on
+    POSIX filesystems and HDFS. Because content lands before the name,
+    a reader can never observe a partial commit."""
+
+    def claim(self, log_dir: str, name: str, payload: str) -> bool:
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, os.path.join(log_dir, name))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+DEFAULT_CLAIM_BACKEND: ClaimBackend = PosixLinkClaim()
+
+
+def _backoff(attempt: int) -> None:
+    """Jittered exponential pause between lost claims so N contending
+    writers stop hot-spinning the log listing (capped ~1.3 s)."""
+    time.sleep(random.uniform(0.0, 0.02 * min(2**attempt, 64)))
 
 
 def _log_dir(path: str) -> str:
@@ -127,28 +183,31 @@ def _committed(path: str) -> list[dict]:
 
 
 def _next_version(path: str) -> int:
-    commits = _committed(path)
-    return (commits[-1]["version"] + 1) if commits else 1
-
-
-def _claim(path: str, version: int, body: dict) -> bool:
-    """Atomically claim ``version``: full content first (temp file,
-    flushed + fsynced), then a create-exclusive hard link gives the
-    name to exactly one writer."""
+    """Next claimable version from the MAX numeric commit filename —
+    a directory listing only, never a JSON parse of every commit body
+    (retry loops call this per attempt; under contention the parse
+    form is O(commits) work per lost claim)."""
     log = _log_dir(path)
-    tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump({**body, "version": version}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    target = os.path.join(log, f"{version:0{_PAD}d}.json")
-    try:
-        os.link(tmp, target)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+    if not os.path.isdir(log):
+        return 1
+    top = 0
+    for name in os.listdir(log):
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and stem.isdigit():
+            v = int(stem)
+            if v > top:
+                top = v
+    return top + 1
+
+
+def _claim(
+    path: str, version: int, body: dict, backend: ClaimBackend | None = None
+) -> bool:
+    """Atomically claim ``version`` through the claim backend (default
+    POSIX create-exclusive hard link)."""
+    payload = json.dumps({**body, "version": version})
+    be = backend if backend is not None else DEFAULT_CLAIM_BACKEND
+    return be.claim(_log_dir(path), f"{version:0{_PAD}d}.json", payload)
 
 
 def _write_dir(df: DataFrame, path: str, kind: str) -> str:
@@ -212,6 +271,7 @@ def tx_append_if_absent(
     path: str,
     keys: list[str],
     max_retries: int = 10,
+    backend: ClaimBackend | None = None,
 ) -> dict:
     """Concurrent-safe insert-if-absent: exactly-once-per-key across
     ANY number of writers (the multi-writer form of
@@ -241,11 +301,12 @@ def tx_append_if_absent(
         if _claim(path, v, {
             "action": "append", "delta": rel, "effects": None,
             "keys": keys, "ts": time.time(),
-        }):
+        }, backend):
             return {"version": v, "rows_written": n, "retries": attempt}
         # lost the claim: the written delta may now conflict — leave
         # it unreferenced (vacuumable) and recompute against the new
         # snapshot
+        _backoff(attempt)
     raise TxConflictError(f"append_if_absent: {max_retries} claims lost")
 
 
@@ -255,6 +316,7 @@ def tx_merge(
     path: str,
     keys: list[str],
     max_retries: int = 50,
+    backend: ClaimBackend | None = None,
 ) -> int:
     """MERGE (replace-by-key): every committed row of a batch key is
     hidden, the batch rows become current — the reference's
@@ -274,8 +336,9 @@ def tx_merge(
         if _claim(path, v, {
             "action": "merge", "delta": rel, "effects": eff,
             "keys": keys, "ts": time.time(),
-        }):
+        }, backend):
             return v
+        _backoff(attempt)
     raise TxConflictError(f"merge: {max_retries} claims lost")
 
 
@@ -285,6 +348,7 @@ def tx_delete(
     path: str,
     keys: list[str],
     max_retries: int = 50,
+    backend: ClaimBackend | None = None,
 ) -> int:
     """Delete-by-key tombstone commit (blind, like merge): hides
     every committed row of the given keys; a later insert of the same
@@ -296,20 +360,30 @@ def tx_delete(
         if _claim(path, v, {
             "action": "delete", "delta": None, "effects": eff,
             "keys": keys, "ts": time.time(),
-        }):
+        }, backend):
             return v
+        _backoff(attempt)
     raise TxConflictError(f"delete: {max_retries} claims lost")
 
 
 def tx_compact(
-    spark: SparkSession, path: str, max_retries: int = 10
+    spark: SparkSession, path: str, max_retries: int = 10,
+    backend: ClaimBackend | None = None,
 ) -> int | None:
     """Rewrite the resolved snapshot as ONE delta so readers scan one
     dir instead of the whole commit history. Valid only as the
     immediate successor of the resolved version: any interleaved
     commit fails the claim and forces a fresh resolve (folding a
     concurrent mutation away is the data-loss mode this guards).
-    Returns the compact version, or None on an empty table."""
+    Returns the compact version, or None on a table with no commits.
+
+    A history whose visible row set is EMPTY (tombstone-only: deletes
+    were committed but no insert ever was, or every insert's keys were
+    later deleted below the last compact) still compacts — as an
+    empty commit (``delta=None``) — so a delete-heavy log can always
+    be truncated by vacuum instead of growing unboundedly. When the
+    base compact is already the only live commit there is nothing to
+    fold, so the existing base version is returned unchanged."""
     for attempt in range(max_retries):
         commits = _committed(path)
         if not commits:
@@ -317,30 +391,72 @@ def tx_compact(
         v = commits[-1]["version"] + 1
         snap = tx_read(spark, path)
         if snap is None:
-            return None
+            base = 0
+            for c in commits:
+                if c["action"] == "compact":
+                    base = c["version"]
+            live = [c for c in commits if c["version"] >= base]
+            if len(live) == 1 and live[0]["action"] == "compact":
+                return base  # already fully compacted (and empty)
+            if _claim(path, v, {
+                "action": "compact", "delta": None, "effects": None,
+                "keys": [], "ts": time.time(),
+            }, backend):
+                return v
+            _backoff(attempt)
+            continue
         rel = _write_dir(snap, path, "delta")
         if _claim(path, v, {
             "action": "compact", "delta": rel, "effects": None,
             "keys": [], "ts": time.time(),
-        }):
+        }, backend):
             return v
+        _backoff(attempt)
     raise TxConflictError(f"compact: {max_retries} claims lost")
 
 
 def tx_vacuum(path: str, retain_seconds: float = 3600.0) -> list[str]:
-    """Remove delta/effects dirs no commit references — the residue
-    of writers that lost a claim or died before one. Age-gated
-    (mtime older than ``retain_seconds``) because a LIVE writer may
-    be between its data write and its claim; also drops commits
-    strictly below the latest compact (their data dirs follow).
+    """Remove delta/effects dirs no LIVE commit references. Two
+    residue classes, two gates (Delta publishes the same split —
+    deletion-timestamp retention for superseded files, age retention
+    for orphans):
+
+    - **superseded by a compact** (referenced only by commits below
+      the latest compact): removable once the COMPACT COMMIT is older
+      than ``retain_seconds`` — ``now - compact.ts``, never the data
+      dir's own mtime, which predates the compact by arbitrarily long
+      (a fresh compact must not instantly strand a reader that
+      resolved its scan just before it, nor a time-travel read pinned
+      below the new base). The pre-compact commit JSONs are gated
+      identically, so ``tx_read(version=...)`` below the base keeps
+      resolving for the full retention window after every compact.
+    - **never referenced** (a writer lost its claim or died before
+      one): age-gated on the dir's own mtime, because a live writer
+      may be between its data write and its claim.
+
     Returns the removed relative paths."""
     import shutil
 
     commits = _committed(path)
     base = 0
+    compact_ts: float | None = None
     for c in commits:
         if c["action"] == "compact":
             base = c["version"]
+            compact_ts = c.get("ts")
+    if base and compact_ts is None:
+        # pre-ts log format: fall back to the compact FILE's mtime
+        # (still the supersession instant, not the data's write time)
+        try:
+            compact_ts = os.path.getmtime(
+                os.path.join(_log_dir(path), f"{base:0{_PAD}d}.json")
+            )
+        except OSError:
+            compact_ts = time.time()  # unknowable — treat as fresh
+    now = time.time()
+    compact_aged = (
+        compact_ts is not None and now - compact_ts >= retain_seconds
+    )
     live = {
         c[k]
         for c in commits
@@ -348,8 +464,14 @@ def tx_vacuum(path: str, retain_seconds: float = 3600.0) -> list[str]:
         for k in ("delta", "effects")
         if c.get(k)
     }
+    superseded = {
+        c[k]
+        for c in commits
+        if c["version"] < base
+        for k in ("delta", "effects")
+        if c.get(k)
+    }
     removed: list[str] = []
-    now = time.time()
     for kind in ("delta", "effects"):
         root = os.path.join(path, kind)
         if not os.path.isdir(root):
@@ -359,16 +481,22 @@ def tx_vacuum(path: str, retain_seconds: float = 3600.0) -> list[str]:
             full = os.path.join(root, name)
             if rel in live:
                 continue
-            if now - os.path.getmtime(full) < retain_seconds:
+            if rel in superseded:
+                if not compact_aged:
+                    continue
+            elif now - os.path.getmtime(full) < retain_seconds:
                 continue
             shutil.rmtree(full, ignore_errors=True)
             removed.append(rel)
-    for c in commits:
-        if c["version"] < base:
-            os.unlink(
-                os.path.join(_log_dir(path), f"{c['version']:0{_PAD}d}.json")
-            )
-            removed.append(f"{_LOG}/{c['version']:0{_PAD}d}.json")
+    if compact_aged:
+        for c in commits:
+            if c["version"] < base:
+                os.unlink(
+                    os.path.join(
+                        _log_dir(path), f"{c['version']:0{_PAD}d}.json"
+                    )
+                )
+                removed.append(f"{_LOG}/{c['version']:0{_PAD}d}.json")
     # claim bodies a writer wrote but never linked (died mid-claim):
     # same age gate as data dirs — a live writer is between write and
     # link for milliseconds, not hours

@@ -9,6 +9,8 @@ tests/test_similarity.py).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -39,6 +41,8 @@ from .registry import register
 # a fixed point and reuse cannot change any certified value. Dirs die
 # at interpreter exit.
 _STORE_BENCH_CACHE: dict[tuple[str, str], str] = {}
+_STORE_BENCH_LOCKS: dict[tuple[str, str], threading.Lock] = {}
+_STORE_BENCH_LOCKS_GUARD = threading.Lock()
 
 
 def _cached_store(key: str, sf_dir: str, build) -> str:
@@ -47,17 +51,24 @@ def _cached_store(key: str, sf_dir: str, build) -> str:
     import shutil
     import tempfile
 
-    root = _STORE_BENCH_CACHE.get((key, sf_dir))
-    if root and os.path.exists(os.path.join(root, "_BENCH_READY")):
-        return os.path.join(root, "store")
-    root = tempfile.mkdtemp(prefix=f"{key}_bench_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    path = os.path.join(root, "store")
-    build(path)
-    with open(os.path.join(root, "_BENCH_READY"), "w") as f:
-        f.write("ok")
-    _STORE_BENCH_CACHE[(key, sf_dir)] = root
-    return path
+    # per-key lock (dedup.py's _REUSE_HANDLES discipline): parallel
+    # sweep/bench runners share this process, and an unguarded
+    # check-then-build runs the expensive store build twice and leaks
+    # the loser's tempdir until interpreter exit
+    with _STORE_BENCH_LOCKS_GUARD:
+        lock = _STORE_BENCH_LOCKS.setdefault((key, sf_dir), threading.Lock())
+    with lock:
+        root = _STORE_BENCH_CACHE.get((key, sf_dir))
+        if root and os.path.exists(os.path.join(root, "_BENCH_READY")):
+            return os.path.join(root, "store")
+        root = tempfile.mkdtemp(prefix=f"{key}_bench_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = os.path.join(root, "store")
+        build(path)
+        with open(os.path.join(root, "_BENCH_READY"), "w") as f:
+            f.write("ok")
+        _STORE_BENCH_CACHE[(key, sf_dir)] = root
+        return path
 
 
 _TOKS = "string_split_regex(lower(text), '\\s+')"

@@ -177,12 +177,17 @@ def test_compact_preserves_state_and_bounds_the_log(spark, tmp_path):
     # post-compact mutations still apply on top
     tx_merge(spark, _mk(spark, [(2, "B5")]), path, ["k"])
     assert _rows(tx_read(spark, path)) == [(2, "B5")]
-    # vacuum drops the pre-compact history and its data dirs
+    # within the retention window of a FRESH compact, the pre-compact
+    # history stays (old data-dir mtimes are irrelevant — supersession
+    # time, not write time, gates removal)
     for kind in ("delta", "effects"):
         root = os.path.join(path, kind)
         for name in os.listdir(root):
             os.utime(os.path.join(root, name), (1, 1))
-    tx_vacuum(path, retain_seconds=3600)
+    assert tx_vacuum(path, retain_seconds=3600) == []
+    assert [c["version"] for c in tx_history(path)] == [1, 2, 3, 4, 5]
+    # once the compact itself has aged past retention, history drops
+    tx_vacuum(path, retain_seconds=0)
     versions = [c["version"] for c in tx_history(path)]
     assert versions == [4, 5]
     assert _rows(tx_read(spark, path)) == [(2, "B5")]
@@ -200,11 +205,11 @@ def test_compact_refuses_to_fold_away_a_concurrent_commit(spark, tmp_path, monke
     real_claim = tx._claim
     fired = {"done": False}
 
-    def racing_claim(p, version, body):
+    def racing_claim(p, version, body, backend=None):
         if body["action"] == "compact" and not fired["done"]:
             fired["done"] = True
             tx_merge(spark, _mk(spark, [(1, "RACED")]), p, ["k"])
-        return real_claim(p, version, body)
+        return real_claim(p, version, body, backend)
 
     monkeypatch.setattr(tx, "_claim", racing_claim)
     cv = tx_compact(spark, path)
@@ -270,3 +275,126 @@ def test_reader_tolerates_commit_vacuumed_mid_listing(spark, tmp_path, monkeypat
 
     monkeypatch.setattr(builtins, "open", racing_open)
     assert _rows(tx_read(spark, path)) == [(1, "b")]
+
+
+def test_vacuum_preserves_time_travel_within_retention(spark, tmp_path):
+    """A fresh compact must not strand a reader pinned below the new
+    base: within the retention window tx_vacuum keeps the pre-compact
+    commits AND their data dirs, so tx_read(version=...) keeps
+    resolving; past it (compact commit older than retain_seconds)
+    the history truncates and time travel below the base degrades to
+    None — the documented Delta-style retention contract."""
+    path = str(tmp_path / "t")
+    tx_append_if_absent(spark, _mk(spark, [(1, "a"), (2, "b")]), path, ["k"])
+    tx_merge(spark, _mk(spark, [(2, "B2")]), path, ["k"])
+    pinned = _rows(tx_read(spark, path, version=1))
+    assert pinned == [(1, "a"), (2, "b")]
+    cv = tx_compact(spark, path)
+    # make every data dir LOOK ancient — supersession recency, not
+    # write recency, is what must protect them
+    for kind in ("delta", "effects"):
+        root = os.path.join(path, kind)
+        for name in os.listdir(root):
+            os.utime(os.path.join(root, name), (1, 1))
+    assert tx_vacuum(path, retain_seconds=3600) == []
+    # the pinned read still resolves, and to the same rows
+    assert _rows(tx_read(spark, path, version=1)) == pinned
+    assert _rows(tx_read(spark, path, version=2)) == [(1, "a"), (2, "B2")]
+    # age the compact past retention: history (and the pin) drop
+    removed = tx_vacuum(path, retain_seconds=0)
+    assert any(r.startswith("_txlog/") for r in removed)
+    assert tx_read(spark, path, version=1) is None
+    assert _rows(tx_read(spark, path, version=cv)) == [(1, "a"), (2, "B2")]
+
+
+def test_claim_backend_injection_runs_full_lifecycle(spark, tmp_path):
+    """The claim primitive is pluggable: an object-store-style
+    backend (conditional put emulated with an in-process CAS set —
+    the S3 If-None-Match shape) drives every mutator through the
+    unchanged protocol, and the POSIX link path is never taken."""
+    import threading
+
+    import crypto_etl_airflow_spark.operators.txlog as tx
+
+    class PutIfAbsentClaim(tx.ClaimBackend):
+        def __init__(self):
+            self._lock = threading.Lock()
+            self._names = set()
+            self.calls = 0
+
+        def claim(self, log_dir, name, payload):
+            self.calls += 1
+            with self._lock:  # the store's conditional-put atomicity
+                if name in self._names or os.path.exists(
+                    os.path.join(log_dir, name)
+                ):
+                    return False
+                self._names.add(name)
+            with open(os.path.join(log_dir, name), "w") as f:
+                f.write(payload)
+            return True
+
+    be = PutIfAbsentClaim()
+    path = str(tmp_path / "t")
+    tx_append_if_absent(
+        spark, _mk(spark, [(1, "a"), (2, "b")]), path, ["k"], backend=be
+    )
+    tx_merge(spark, _mk(spark, [(2, "B")]), path, ["k"], backend=be)
+    tx_delete(
+        spark, spark.createDataFrame([(1,)], "k long"), path, ["k"],
+        backend=be,
+    )
+    cv = tx_compact(spark, path, backend=be)
+    assert _rows(tx_read(spark, path)) == [(2, "B")]
+    assert cv == 4 and be.calls == 4
+    # a second backend instance (fresh CAS state) still can't steal a
+    # committed version: the filesystem existence check refuses it
+    assert not PutIfAbsentClaim().claim(
+        os.path.join(path, "_txlog"), f"{1:010d}.json", "{}"
+    )
+
+
+def test_tombstone_only_history_still_compacts(spark, tmp_path):
+    """Deletes committed against a table that never saw an insert (or
+    whose inserts were all deleted below the last compact) must not
+    leave an untruncatable log: compact claims an EMPTY commit, the
+    log vacuums down to it, and the table stays usable."""
+    path = str(tmp_path / "t")
+    tx_init(path)
+    tx_delete(spark, spark.createDataFrame([(1,)], "k long"), path, ["k"])
+    tx_delete(spark, spark.createDataFrame([(2,)], "k long"), path, ["k"])
+    assert tx_read(spark, path) is None  # nothing visible
+    cv = tx_compact(spark, path)
+    assert cv == 3
+    assert tx_history(path)[-1]["delta"] is None
+    # compacting again is a no-op returning the existing base
+    assert tx_compact(spark, path) == 3
+    tx_vacuum(path, retain_seconds=0)
+    assert [c["version"] for c in tx_history(path)] == [3]
+    # the table is still writable and resolves normally afterwards
+    tx_append_if_absent(spark, _mk(spark, [(1, "back")]), path, ["k"])
+    assert _rows(tx_read(spark, path)) == [(1, "back")]
+
+
+def test_next_version_listing_only(tmp_path, monkeypatch):
+    """_next_version must come from the filename listing, not a JSON
+    parse of every commit body (hot-spin cost under contention)."""
+    import builtins
+
+    import crypto_etl_airflow_spark.operators.txlog as tx
+
+    path = str(tmp_path / "t")
+    tx_init(path)
+    log = os.path.join(path, "_txlog")
+    for v in (1, 2, 7):
+        with open(os.path.join(log, f"{v:010d}.json"), "w") as f:
+            json.dump({"version": v, "action": "append"}, f)
+
+    real_open = builtins.open
+
+    def no_reads(file, *a, **kw):
+        assert not str(file).endswith(".json"), "parsed a commit body"
+        return real_open(file, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", no_reads)
+    assert tx._next_version(path) == 8
