@@ -4,10 +4,13 @@ Images/audio/video travel through the engine as ``binary`` columns
 with a typed metadata struct alongside (BASELINE.json ``north_star``;
 SURVEY.md §7.5). The Spark-side plumbing — schemas, Arrow-batched
 ``mapInPandas`` decode stage, partition-sized batches, frame
-explosion — is real and tested; the actual codec step is STUBBED
-(this container ships no image/audio libraries) behind
-``decoder=None`` → deterministic fake features, or a user-supplied
-decoder callable for real deployments.
+explosion — is real and tested. The codec step is REAL for every
+format stdlib can express byte-for-byte: RIFF/WAV (PCM-16 chunk
+walk), binary PPM (P6), and PNG (zlib inflate + CRC-32 chunk
+framing + all five scanline filters). Formats that need codec
+libraries the container lacks (JPEG's DCT/huffman, MP3) fall back to
+a deterministic sha256 feature stub, or a user-supplied ``decoder=``
+callable for real deployments.
 
 Scale posture: binary payloads ride the columnar format untouched
 (parquet keeps them compressed); decode happens ONCE per row inside
@@ -76,11 +79,14 @@ def extract_features(
     stage. The DEFAULT decoder does real byte parsing for the formats
     stdlib can handle — RIFF/WAV payloads yield
     ``[sample_rate, n_channels, bit_depth, n_samples, peak_abs,
-    sum_abs, duration_us, data_bytes]`` and binary PPM (P6) payloads
+    sum_abs, duration_us, data_bytes]``, binary PPM (P6) payloads
     yield ``[width, height, maxval, n_pixels, sum_r, sum_g, sum_b,
-    sum_all]`` (all exact integers, hash-stable as doubles); anything
-    else falls back to the deterministic sha256 feature stub (this
-    container ships no image/audio libs for JPEG/MP3/...). With
+    sum_all]``, and PNG payloads (8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced — full five-filter reconstruction, zlib+struct
+    only) yield ``[width, height, channels, n_pixels, sum_c0, sum_c1,
+    sum_c2, sum_all]`` (all exact integers, hash-stable as doubles);
+    anything else falls back to the deterministic sha256 feature stub
+    (JPEG/MP3/... remain env-blocked: no codec libs). With
     ``strict=True`` a payload whose magic matches WAV/PPM but fails to
     parse raises instead of falling back — use for pipelines that own
     their payload formats. ``decoder(payload, media_type) ->
@@ -94,6 +100,7 @@ def extract_features(
     # ``<locals>`` closures, which cloudpickle serializes by value.
     feature_dim = FEATURE_DIM
     _, wav_dec, _, ppm_dec = _make_codecs()
+    _, png_dec = _make_png_codec()
 
     def run(batches: Iterator[Any]) -> Iterator[Any]:
         import hashlib as _hashlib
@@ -109,7 +116,20 @@ def extract_features(
         def default_decode(payload: bytes) -> list[float]:
             is_wav = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
             is_ppm = payload[:2] == b"P6" and payload[2:3].isspace()
+            is_png = payload[:8] == b"\x89PNG\r\n\x1a\n"
             try:
+                if is_png:
+                    s = png_dec(payload)
+                    return [
+                        float(s["width"]),
+                        float(s["height"]),
+                        float(s["channels"]),
+                        float(s["n_pixels"]),
+                        float(s["sum_c0"]),
+                        float(s["sum_c1"]),
+                        float(s["sum_c2"]),
+                        float(s["sum_all"]),
+                    ]
                 if is_wav:
                     s = wav_dec(payload)
                     return [
@@ -305,6 +325,188 @@ def _make_codecs():
 wav_encode, wav_decode, ppm_encode, ppm_decode = _make_codecs()
 
 
+def _make_png_codec():
+    """Stdlib-only PNG codec (zlib + struct are all PNG needs for the
+    non-interlaced 8-bit profile): chunk framing with CRC-32
+    validation, IDAT concatenation, zlib inflate, and full
+    reconstruction of ALL FIVE scanline filter types (None/Sub/Up/
+    Average/Paeth, RFC 2083 §6). Supported profile: bit depth 8,
+    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced — anything else raises ValueError (JPEG remains
+    the one genuinely env-blocked codec: no DCT/huffman lib in the
+    container, and stdlib has none).
+
+    Factory-scoped for the same cloudpickle reason as
+    :func:`_make_codecs`; the per-byte filter loops are fine for the
+    fixture-sized images here — a production decode stage would swap
+    in numpy rows via the ``decoder=`` injection point, same
+    plumbing.
+    """
+    import struct
+    import zlib
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+    CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def png_encode(
+        width: int, height: int, color_type: int, pixels: bytes
+    ) -> bytes:
+        """8-bit non-interlaced PNG. Each scanline r is filtered with
+        type ``r % 5``, so a decoder must implement every filter to
+        get the pixel values back — the property the oracle checks.
+        IDAT is split in two chunks so decoders must concatenate."""
+        ch = CHANNELS[color_type]
+        stride = width * ch
+        if len(pixels) != stride * height:
+            raise ValueError("pixel buffer size mismatch")
+        raw = bytearray()
+        prior = bytes(stride)
+        for r in range(height):
+            row = pixels[r * stride : (r + 1) * stride]
+            ft = r % 5
+            raw.append(ft)
+            for i in range(stride):
+                x = row[i]
+                a = row[i - ch] if i >= ch else 0
+                b = prior[i]
+                c = prior[i - ch] if i >= ch else 0
+                if ft == 0:
+                    f = x
+                elif ft == 1:
+                    f = x - a
+                elif ft == 2:
+                    f = x - b
+                elif ft == 3:
+                    f = x - (a + b) // 2
+                else:
+                    f = x - _paeth(a, b, c)
+                raw.append(f & 0xFF)
+            prior = row
+        comp = zlib.compress(bytes(raw))
+        split = max(1, len(comp) // 2)
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        return (
+            SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", comp[:split])
+            + _chunk(b"IDAT", comp[split:])
+            + _chunk(b"IEND", b"")
+        )
+
+    def png_decode(payload: bytes) -> dict:
+        """Parse + reconstruct: signature, CRC-checked chunk walk,
+        IDAT concatenation, inflate, per-row unfilter. Returns channel
+        sums over the RECONSTRUCTED pixels, so any filter-math error
+        shows up as a value mismatch, not a crash. Raises ValueError
+        on any malformed or out-of-profile input."""
+        if payload[:8] != SIG:
+            raise ValueError("not a PNG payload")
+        pos = 8
+        ihdr = None
+        idat = bytearray()
+        ended = False
+        while pos + 12 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) != length or pos + 12 + length > len(payload):
+                raise ValueError(f"truncated chunk {typ!r}")
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"CRC mismatch in {typ!r}")
+            if typ == b"IHDR":
+                w, h, depth, color_type, comp_m, filt_m, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+                if depth != 8:
+                    raise ValueError("only bit depth 8 supported")
+                if color_type not in CHANNELS:
+                    raise ValueError(f"unsupported color type {color_type}")
+                if comp_m != 0 or filt_m != 0:
+                    raise ValueError("unknown compression/filter method")
+                if interlace != 0:
+                    raise ValueError("interlaced PNG not supported")
+                ihdr = (w, h, color_type)
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                ended = True
+                break
+            pos += 12 + length
+        if ihdr is None or not idat or not ended:
+            raise ValueError("missing IHDR/IDAT/IEND")
+        w, h, color_type = ihdr
+        ch = CHANNELS[color_type]
+        stride = w * ch
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error as exc:
+            raise ValueError(f"bad IDAT stream: {exc}") from exc
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("scanline data size mismatch")
+        sums = [0, 0, 0, 0]
+        total = 0
+        prior = bytearray(stride)
+        for r in range(h):
+            ft = raw[r * (stride + 1)]
+            line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+            recon = bytearray(stride)
+            for i in range(stride):
+                a = recon[i - ch] if i >= ch else 0
+                b = prior[i]
+                c = prior[i - ch] if i >= ch else 0
+                if ft == 0:
+                    x = line[i]
+                elif ft == 1:
+                    x = line[i] + a
+                elif ft == 2:
+                    x = line[i] + b
+                elif ft == 3:
+                    x = line[i] + (a + b) // 2
+                elif ft == 4:
+                    x = line[i] + _paeth(a, b, c)
+                else:
+                    raise ValueError(f"bad filter type {ft}")
+                x &= 0xFF
+                recon[i] = x
+                sums[i % ch] += x
+                total += x
+            prior = recon
+        return {
+            "width": w,
+            "height": h,
+            "channels": ch,
+            "color_type": color_type,
+            "n_pixels": w * h,
+            "sum_c0": sums[0],
+            "sum_c1": sums[1],
+            "sum_c2": sums[2],
+            "sum_all": total,
+        }
+
+    return png_encode, png_decode
+
+
+png_encode, png_decode = _make_png_codec()
+
+
 def synthesize_codec_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-format media fixture: even doc_ids become
     mono PCM-16 WAV payloads, odd doc_ids become binary PPM images —
@@ -357,6 +559,53 @@ def synthesize_codec_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "n_chars").mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-PNG fixture: every doc_id becomes an 8-bit
+    non-interlaced PNG whose pixel bytes are closed-form in doc_id —
+    so a SQL oracle predicts the DECODED channel sums analytically
+    while the Spark side genuinely deflates, chunk-frames (split
+    IDAT, CRC-32), and on read re-inflates and unfilters:
+
+    - color type cycles doc_id % 3 → 0 (gray, 1ch), 2 (RGB, 3ch),
+      6 (RGBA, 4ch)
+    - w = doc_id % 13 + 4, h = doc_id % 9 + 3  (h ≥ 3 and the encoder
+      filters row r with type r % 5, so the corpus exercises every
+      filter; h ≥ 5 rows hit all five in one image)
+    - byte_k = (doc_id*11 + k*5) % 256 over k < w*h*channels
+
+    Arrow-batched mapInPandas; payloads are built executor-side."""
+    png_enc, _ = _make_png_codec()
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        def synth(doc_id: int):
+            color_type = (0, 2, 6)[doc_id % 3]
+            ch = {0: 1, 2: 3, 6: 4}[color_type]
+            w, h = doc_id % 13 + 4, doc_id % 9 + 3
+            px = bytes(
+                (doc_id * 11 + k * 5) % 256 for k in range(w * h * ch)
+            )
+            return png_enc(w, h, color_type, px), w, h
+
+        for pdf in batches:
+            out = pdf[["doc_id"]].rename(columns={"doc_id": "media_id"})
+            payloads, widths, heights = [], [], []
+            for doc_id in pdf["doc_id"]:
+                p, w, h = synth(int(doc_id))
+                payloads.append(p)
+                widths.append(w)
+                heights.append(h)
+            out["payload"] = payloads
+            out["media_type"] = "image"
+            out["width"] = widths
+            out["height"] = heights
+            out["n_frames"] = 1
+            yield out[
+                ["media_id", "payload", "media_type", "width", "height", "n_frames"]
+            ]
+
+    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:

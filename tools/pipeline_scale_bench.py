@@ -160,32 +160,68 @@ def main() -> None:
         flush=True,
     )
 
-    # warm-up outside any timed window
+    # warm-up outside any timed window — page cache + parquet footers
+    # on BOTH sides, so IO (linear anyway) doesn't ride the first
+    # timed run.
     spark.read.parquet(f"{src}/documents.parquet").count()
+    spark.read.parquet(f"{src}/embeddings.parquet").count()
+    spark.read.parquet(f"{out}/documents.parquet").count()
+    spark.read.parquet(f"{out}/embeddings.parquet").count()
+
+    # REGIME-SPLIT protocol (r14). The pipeline's _reuse persists hit
+    # Spark's CacheManager BY CANONICAL PLAN, so the first builder
+    # call at a scale pays the true cost of the big intermediates
+    # (exploded token tables, semdedup assignment) and every later
+    # same-plan call silently reuses the cached blocks — measured at
+    # ×100: whichever query ran FIRST cost 606 s, every subsequent
+    # run (even the bigger corpus query) ~120 s. r13's single-regime
+    # numbers mixed the two. Each (builder, scale) cell is therefore
+    # measured twice from a declared cache state:
+    #   first  — caches cleared; the true single-pass cost (what one
+    #            production run over the corpus pays);
+    #   steady — immediately after, same plan; the cache-assisted
+    #            cost (what repeated analytics over one session pay).
+    # Ratios are only comparable within a regime.
+    # SPARK_GRAFT_PIPE_BENCH_MODE=fast skips the corpus FIRST run
+    # (it shares the funnel's chain; at ×1000 a second true run
+    # doubles an hour-long measurement for a known ~equal number).
+    from crypto_etl_airflow_spark.operators.dedup import (
+        release_reuse_caches,
+    )
+
+    mode = os.environ.get("SPARK_GRAFT_PIPE_BENCH_MODE", "full")
+
+    def _clear_caches() -> None:
+        release_reuse_caches()
+        spark.catalog.clearCache()
+
+    def _timed(builder, d: str, nlist: int):
+        t0 = time.perf_counter()
+        cnt = builder(spark, d, semdedup_nlist=nlist).groupBy().count()
+        cnt.collect()
+        return round(time.perf_counter() - t0, 3), cnt
 
     results: dict[str, dict] = {}
     for name, builder in (
-        ("pipeline_curate_corpus", pipeline_curate_corpus),
         ("pipeline_curate_funnel", pipeline_curate_funnel),
+        ("pipeline_curate_corpus", pipeline_curate_corpus),
     ):
         row: dict = {}
+        skip_first = mode == "fast" and name == "pipeline_curate_corpus"
         spark.conf.set("spark.sql.shuffle.partitions", str(parts_1x))
-        t1_runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            cnt1 = builder(spark, src, semdedup_nlist=16).groupBy().count()
-            cnt1.collect()
-            t1_runs.append(time.perf_counter() - t0)
-        row["t1"] = round(min(t1_runs), 3)
+        if not skip_first:
+            _clear_caches()
+            row["t1_first"], _ = _timed(builder, src, 16)
+        row["t1_steady"], cnt1 = _timed(builder, src, 16)
         spark.conf.set("spark.sql.shuffle.partitions", str(parts_kx))
-        t0 = time.perf_counter()
-        cntK = builder(
-            spark, out, semdedup_nlist=16 * factor
-        ).groupBy().count()
-        cntK.collect()
-        row["tK"] = round(time.perf_counter() - t0, 3)
+        if not skip_first:
+            _clear_caches()
+            row["tK_first"], _ = _timed(builder, out, 16 * factor)
+        row["tK_steady"], cntK = _timed(builder, out, 16 * factor)
+        if not skip_first:
+            row["ratio_first"] = round(row["tK_first"] / row["t1_first"], 2)
+        row["ratio_steady"] = round(row["tK_steady"] / row["t1_steady"], 2)
         sig1, sigK = _sig_of(cnt1), _sig_of(cntK)
-        row["ratio"] = round(row["tK"] / row["t1"], 2)
         row["plan_identical"] = sig1 == sigK
         if sig1 != sigK:
             row["plan_diff"] = {
@@ -195,9 +231,11 @@ def main() -> None:
             }
         results[name] = row
         print(
-            f"# {name}: 1x={row['t1']}s {factor}x={row['tK']}s "
-            f"ratio={row['ratio']}"
-            f"{'' if row['plan_identical'] else ' PLAN-DIFF'}",
+            f"# {name}: "
+            + " ".join(
+                f"{k}={v}" for k, v in row.items() if isinstance(v, float)
+            )
+            + ("" if row["plan_identical"] else " PLAN-DIFF"),
             file=sys.stderr,
             flush=True,
         )
