@@ -184,7 +184,10 @@ def main() -> None:
     # Ratios are only comparable within a regime.
     # SPARK_GRAFT_PIPE_BENCH_MODE=fast skips the corpus FIRST run
     # (it shares the funnel's chain; at ×1000 a second true run
-    # doubles an hour-long measurement for a known ~equal number).
+    # doubles an hour-long measurement for a known ~equal number);
+    # =funnel-only also skips the corpus rows and the K× stage-count
+    # collection entirely (both already measured at the previous
+    # decade — the third-decade question is the funnel curve).
     from crypto_etl_airflow_spark.operators.dedup import (
         release_reuse_caches,
     )
@@ -201,11 +204,11 @@ def main() -> None:
         cnt.collect()
         return round(time.perf_counter() - t0, 3), cnt
 
+    builders = [("pipeline_curate_funnel", pipeline_curate_funnel)]
+    if mode != "funnel-only":
+        builders.append(("pipeline_curate_corpus", pipeline_curate_corpus))
     results: dict[str, dict] = {}
-    for name, builder in (
-        ("pipeline_curate_funnel", pipeline_curate_funnel),
-        ("pipeline_curate_corpus", pipeline_curate_corpus),
-    ):
+    for name, builder in builders:
         row: dict = {}
         skip_first = mode == "fast" and name == "pipeline_curate_corpus"
         spark.conf.set("spark.sql.shuffle.partitions", str(parts_1x))
@@ -243,12 +246,14 @@ def main() -> None:
     # funnel stage counts at K× — the semantics check: every stage
     # must still FIRE (drop documents) on the scaled corpus, and
     # pre-admission stages should hold ~K× the 1× doc counts
-    funnel_k = {
-        r.stage: [int(r.n_docs), int(r.n_tokens)]
-        for r in pipeline_curate_funnel(
-            spark, out, semdedup_nlist=16 * factor
-        ).collect()
-    }
+    funnel_k = None
+    if mode != "funnel-only":
+        funnel_k = {
+            r.stage: [int(r.n_docs), int(r.n_tokens)]
+            for r in pipeline_curate_funnel(
+                spark, out, semdedup_nlist=16 * factor
+            ).collect()
+        }
 
     print(
         json.dumps(
