@@ -678,10 +678,40 @@ def _stages(
             ).alias("ppl")
         )
     )
-    keep_ids = (
-        ppl.select(
-            "doc_id", F.percent_rank().over(W.orderBy("ppl")).alias("pr")
+    # percentile gate WITHOUT the global percent_rank window (which
+    # funnels one (doc_id, ppl) row per surviving document through a
+    # single sort task): two-phase rank, same decomposition as the
+    # packing stages — buckets from a MONOTONE function of ppl are
+    # order-aligned, ties share a value hence a bucket, so
+    # bucket-offset + local rank() reproduces global rank() exactly
+    # and percent_rank = (rank−1)/(n−1) is arithmetic on top.
+    n_ppl = ppl.agg(F.count("*").alias("__n"))
+    pplb = ppl.withColumn("__pb", F.floor("ppl").cast("long"))
+    pb_off = (
+        pplb.groupBy("__pb")
+        .agg(F.count("*").alias("__c"))
+        .select(
+            "__pb",
+            F.coalesce(
+                F.sum("__c").over(
+                    W.orderBy("__pb").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__roff"),
         )
+    )
+    grank = (
+        F.col("__roff")
+        + F.rank().over(W.partitionBy("__pb").orderBy("ppl"))
+        - 1
+    )
+    pr = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+        grank / (F.col("__n") - 1)
+    )
+    keep_ids = (
+        pplb.join(F.broadcast(pb_off), "__pb")
+        .crossJoin(F.broadcast(n_ppl))
+        .select("doc_id", pr.alias("pr"))
         .filter(F.col("pr") <= _PPL_KEEP)
         .select("doc_id")
     )
