@@ -37,10 +37,15 @@ byte-identical through the transform stages.
 
 Scale posture: the transform/gate stages are shuffle-free
 projections; dedup stages are banded/cluster-blocked (never n²); the
-admission windows are per-language; the only single-partition windows
-are the perplexity percent_rank and the final shard row_number —
-both the documented global-rank edges whose distributed two-phase
-prefix-sum twin is certified by ``sample_token_budget_distributed``.
+gate/dedup/admission chain is NARROW (r14 — the first ×1000 funnel
+run filled the node's 79 GB spill disk because corpus text rode
+through every id-filter sort-merge join; the chain now carries
+~40 B/row of (id, lang, n_tokens, h, fp) and text joins back exactly
+twice: at the g4/MinHash barrier and at final packing); the
+admission and packing ranks are two-phase distributed prefix sums
+over order-aligned hash buckets (certified equivalent by
+``sample_token_budget_distributed``), so no single-task window
+touches corpus-sized data.
 Cross-engine exactness: every double that feeds a comparison is
 rounded or dyadic-quantized in BOTH engines (the registry-wide
 discipline), so the oracle compares value-for-value.
@@ -62,6 +67,7 @@ from ..functions.text import (
     ACCENT_FROM,
     ACCENT_TO,
     STOPWORDS,
+    fingerprint,
     mean_token_length,
     strip_accents_latin,
     tokens,
@@ -541,6 +547,10 @@ def _stages(
     dbf = F.when(n_words < 2, F.lit(0.0)).otherwise(
         F.round(1 - F.size(F.array_distinct(bigrams)) / (n_words - 1), 6)
     )
+    # The exact-dedup fingerprint also rides the barrier (32-char md5
+    # — computed once here so the dedup stage downstream is a NARROW
+    # window over (doc_id, fp), never a text shuffle: the r14 ×1000
+    # disk lesson below).
     feat_wide = _bar(
         red.select(
             "doc_id",
@@ -548,6 +558,7 @@ def _stages(
             "text",
             n_words.alias("n_tokens"),
             _admission_hash().alias("h"),
+            fingerprint(F.col("text")).alias("fp"),
             mwl.alias("__mwl"),
             fra.alias("__fra"),
             nst.alias("__nst"),
@@ -556,11 +567,25 @@ def _stages(
         "feat",
     )
     feat = feat_wide.select("doc_id", "lang", "text", "n_tokens", "h")
+    featn = feat_wide.select("doc_id", "lang", "n_tokens", "h")
+
+    # NARROW DATAFLOW through the gates — the r14 ×1000 lesson. The
+    # first ×1000 funnel run filled 79 GB of spill disk and died: the
+    # text column (the corpus itself) was riding through every
+    # id-filter sort-merge join (g2, g3, g4, g5, g6) and both
+    # admission prefix-sum shuffles, so each gate re-shuffled the
+    # whole corpus and the accumulated shuffle files exceeded the
+    # node's disk. The gates only DECIDE ids — so the chain below
+    # carries (doc_id, lang, n_tokens, h, fp) at ~40 B/row and text
+    # is joined back exactly TWICE: once building the g4 barrier
+    # (MinHash needs shingles) and once at final packing. At 100 TB
+    # the same math holds: id+meta rows are ~3 orders smaller than
+    # documents, and the two text joins are the irreducible ones.
 
     # 3: Gopher gate — a pure comparison filter over the materialized
     # signals (n_words ≡ n_tokens, computed once above)
     nt = F.col("n_tokens")
-    g1 = feat_wide.filter(
+    _gopher = (
         (nt >= 20)
         & (nt <= 100000)
         & (F.col("__mwl") >= 3)
@@ -568,7 +593,15 @@ def _stages(
         & (F.col("__fra") >= 0.8)
         & (F.col("__nst") >= 2)
         & (F.col("__dbf") <= 0.5)
-    ).select("doc_id", "lang", "text", "n_tokens", "h")
+    )
+    g1n = feat_wide.filter(_gopher).select(
+        "doc_id", "lang", "n_tokens", "h", "fp"
+    )
+    # text view of the same survivors: a pure FILTER over the barrier
+    # (narrow lineage, no shuffle) — the only text source downstream
+    g1 = feat_wide.filter(_gopher).select(
+        "doc_id", "lang", "text", "n_tokens", "h"
+    )
 
     # 4: classifier gate with TRAINED weights (VERDICT r12 item 2):
     # blocklist weak supervision — the seed label is "no junk-lexicon
@@ -590,15 +623,22 @@ def _stages(
     # kept=false verdict — and cannot occur post-Gopher anyway).
     from ..operators.dedup import _reuse
 
+    # ONE exploded token table serves the classifier gate AND the LM
+    # gate (r14: formerly two separate persisted explodes — btok from
+    # g1's text, ltok from g2's text-join — i.e. two corpus tokenize
+    # passes and one corpus-text shuffle; now the LM slice is a
+    # narrow id join against this shared cache).
     seed_pos = ~F.col("text").contains(_JUNK)
-    btok = _reuse(
+    exploded = _reuse(
         g1.select(
             "doc_id",
+            (F.col("lang") == "en").alias("__en"),
             seed_pos.alias("__pos"),
             F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .select("doc_id", "__pos", feature_bucket(F.col("tok")).alias("bucket"))
+        ).filter(F.col("tok") != "")
+    )
+    btok = exploded.select(
+        "doc_id", "__pos", feature_bucket(F.col("tok")).alias("bucket")
     )
     counts = btok.groupBy("bucket").agg(
         F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("n_pos"),
@@ -622,7 +662,13 @@ def _stages(
         .filter(F.col("margin") >= 0)
         .select("doc_id")
     )
-    g2 = _bar(g1.join(kept_ids, "doc_id"), "g2")
+    # barrier the ID LIST, not a text-bearing join result (the r12
+    # driver-heap rationale was cutting recomputation of the
+    # classifier chain per consumer — an id barrier gives the same
+    # protection at ~1/1000 the block size)
+    kept_ids = _bar(kept_ids, "g2")
+    g2n = g1n.join(kept_ids, "doc_id")
+    g2 = g1.join(kept_ids, "doc_id")  # lazy text view (tests/audits)
 
     # 5: perplexity percentile gate; LM trains on surviving 'en' docs.
     # Same shared-token-pass fusion as the classifier gate above: ONE
@@ -637,12 +683,10 @@ def _stages(
     # NULL-ppl row dropped it.
     _VOCAB_SIZE, _ALPHA = 4096, 0.5
     _dy = lambda x: F.round(x * F.lit(1024)) / F.lit(1024)  # noqa: E731
-    ltok = _reuse(
-        g2.select(
-            "doc_id",
-            (F.col("lang") == "en").alias("__en"),
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
-        ).filter(F.col("tok") != "")
+    # LM token slice: narrow id join against the SHARED exploded
+    # cache — token rows only, never a corpus-text shuffle
+    ltok = exploded.join(kept_ids, "doc_id").select(
+        "doc_id", "__en", "tok"
     )
     lm_counts = (
         ltok.filter(F.col("__en")).groupBy("tok").agg(F.count("*").alias("c"))
@@ -715,14 +759,33 @@ def _stages(
         .filter(F.col("pr") <= _PPL_KEEP)
         .select("doc_id")
     )
-    g3 = g2.join(keep_ids, "doc_id")
+    g3n = g2n.join(keep_ids, "doc_id")
+    g3 = g2.join(keep_ids, "doc_id")  # lazy text view
 
-    # 6: exact dedup (min-id canonical)
-    ex = dedup_ops.exact_duplicates(g3, "doc_id", "text")
-    # barrier: the MinHash banded self-join would otherwise recompute
-    # the entire upstream once per band side
+    # 6: exact dedup (min-id canonical) — a NARROW window over the
+    # barrier-precomputed fingerprint (dedup_ops.exact_duplicates'
+    # exact shape, minus its text pass: fp is the same md5 of the
+    # normalized text, computed once in the feat barrier)
+    wfp = W.partitionBy("fp")
+    # barriered like its text twin below: g5n/g6n/adm all build on
+    # g4n, and without the cut each would re-inline the whole
+    # classifier+LM subplan (driver-heap blowup — the r12 lesson,
+    # re-observed on the narrow chain in r14). Rows are ~32 B, so
+    # this barrier is effectively free.
+    g4n = _bar(
+        g3n.withColumn("__keep", F.min("doc_id").over(wfp))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .select("doc_id", "lang", "n_tokens", "h"),
+        "g4n",
+    )
+    # TEXT JOIN #1 (of exactly two): the MinHash stage needs shingles,
+    # so the surviving ids pull text from the g1 filter view over the
+    # feat barrier. Barriered: the banded self-join would otherwise
+    # recompute the entire upstream once per band side.
     g4 = _bar(
-        g3.join(ex.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"),
+        g1.select("doc_id", "text").join(g4n, "doc_id").select(
+            "doc_id", "lang", "text", "n_tokens", "h"
+        ),
         "g4",
     )
 
@@ -731,11 +794,9 @@ def _stages(
         g4, "doc_id", "text", n=3, threshold=0.8, num_hashes=32, bands=8,
         portable=True,
     )
-    g5 = g4.join(
-        mh.select(F.col("id_b").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_anti",
-    )
+    mh_ids = mh.select(F.col("id_b").alias("doc_id")).distinct()
+    g5n = g4n.join(mh_ids, "doc_id", "left_anti")
+    g5 = g4.join(mh_ids, "doc_id", "left_anti")  # lazy text view
 
     # 8: SemDeDup verdicts from the embedding space, applied by id
     verd = semdedup_keep(
@@ -745,13 +806,11 @@ def _stages(
         nlist=semdedup_nlist,
         threshold=0.4,
     )
-    g6 = g5.join(
-        verd.filter(F.col("is_duplicate")).select(
-            F.col("vec_id").alias("doc_id")
-        ),
-        "doc_id",
-        "left_anti",
+    verd_ids = verd.filter(F.col("is_duplicate")).select(
+        F.col("vec_id").alias("doc_id")
     )
+    g6n = g5n.join(verd_ids, "doc_id", "left_anti")
+    g6 = g5.join(verd_ids, "doc_id", "left_anti")  # text view (DSIR)
 
     # 9: mixture-weighted token-budget admission (md5 order, per lang).
     # NOT a per-lang window — that sorts each language's ENTIRE corpus
@@ -766,7 +825,7 @@ def _stages(
     budget = F.lit(0)
     for k, v in _MIX_WEIGHTS.items():
         budget = F.when(F.col("lang") == k, v).otherwise(budget)
-    g6b = g6.withColumn("__b", F.shiftright("h", 24))
+    g6b = g6n.withColumn("__b", F.shiftright("h", 24))
     adm_off = (
         g6b.groupBy("lang", "__b")
         .agg(F.sum("n_tokens").alias("__bt"))
@@ -825,10 +884,12 @@ def _stages(
         .orderBy("h", "doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    packed = admb.join(F.broadcast(pack_off), "__b").select(
+    # gcum/rn are computed over NARROW rows; TEXT JOIN #2 (the last)
+    # attaches the document bytes to the admitted set only after the
+    # packing windows have sorted 16-byte rows, not documents
+    packedn = admb.join(F.broadcast(pack_off), "__b").select(
         "doc_id",
         "n_tokens",
-        "text",
         (F.col("__toff") + F.sum("n_tokens").over(wg)).alias("gcum"),
         (
             F.col("__roff")
@@ -837,9 +898,15 @@ def _stages(
             )
         ).alias("rn"),
     )
+    packed = packedn.join(g4.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "n_tokens", "text", "gcum", "rn"
+    )
     return {
-        "feat": feat, "g1": g1, "g2": g2, "g3": g3, "g4": g4,
-        "g5": g5, "g6": g6, "adm": adm, "packed": packed,
+        "feat": feat, "featn": featn,
+        "g1": g1, "g1n": g1n, "g2": g2, "g2n": g2n,
+        "g3": g3, "g3n": g3n, "g4": g4, "g4n": g4n,
+        "g5": g5, "g5n": g5n, "g6": g6, "g6n": g6n,
+        "adm": adm, "packed": packed,
     }
 
 
@@ -1008,8 +1075,11 @@ def pipeline_curate_funnel(
     s = _stages(spark, sf_dir, semdedup_nlist=semdedup_nlist)
     rows = None
     for name, key in _FUNNEL_STAGES:
+        # count the NARROW twin of each stage where one exists (the
+        # key doubles as the oracle's CTE name, so the mapping to the
+        # text-free dataflow happens here, not in _FUNNEL_STAGES)
         r = (
-            s[key]
+            s.get(f"{key}n", s[key])
             .agg(
                 F.count("*").cast("long").alias("n_docs"),
                 F.coalesce(F.sum("n_tokens"), F.lit(0))

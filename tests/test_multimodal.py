@@ -335,3 +335,203 @@ def test_synthesized_png_decodes_in_spark(spark):
         for c in range(min(ch, 3)):
             assert f[4 + c] == sum(px[c::ch])
         assert f[7] == sum(px)
+
+
+def _jpeg_flat_px(doc_id: int, w: int, h: int, ncomp: int):
+    """The fixture's flat-per-block pixel construction + its expected
+    per-channel sum (each block decodes bit-exactly to its flat v)."""
+    import numpy as np
+
+    px = np.empty((h, w, ncomp), dtype=np.uint8)
+    vals, b = [], 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            v = (doc_id * 7 + b * 13) % 256
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] = v
+            vals.append(v)
+            b += 1
+    return px, 64 * sum(vals)
+
+
+@pytest.mark.parametrize("ncomp", [1, 3])
+def test_jpeg_flat_blocks_bit_exact(ncomp):
+    """Flat 8x8 blocks survive the lossy format EXACTLY (all AC = 0,
+    DC quant step 8): decoded channel sums equal the closed form the
+    SQL oracle predicts — through real Huffman DC-difference coding."""
+    from crypto_etl_airflow_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    w, h = 24, 16  # 6 blocks -> 6 distinct DC diffs through Huffman
+    px, expect = _jpeg_flat_px(9, w, h, ncomp)
+    stats = jpeg_decode(jpeg_encode(w, h, ncomp, px.tobytes()))
+    assert (stats["width"], stats["height"], stats["channels"]) == (w, h, ncomp)
+    assert stats["n_pixels"] == w * h
+    assert stats["sum_c0"] == expect
+    if ncomp == 3:
+        assert stats["sum_c1"] == expect and stats["sum_c2"] == expect
+    assert stats["sum_all"] == ncomp * expect
+
+
+def _jpeg_gray_reference(px):
+    """Independent dequant/IDCT reference (test-local math, shares
+    nothing with the codec under test but the T.81 definitions)."""
+    import numpy as np
+
+    x = np.arange(8)
+    T = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    T[0, :] *= 1 / np.sqrt(2.0)
+    Q = np.array([8] + [16] * 63, dtype=np.float64)
+    ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    h, w = px.shape
+    total = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
+            F = T @ (blk - 128.0) @ T.T
+            qc = np.rint(F.reshape(64)[ZZ] / Q)
+            deq = (qc * Q)[np.argsort(np.array(ZZ))].reshape(8, 8)
+            rec = np.clip(np.rint(T.T @ deq @ T + 128.0), 0, 255)
+            total += int(rec.sum())
+    return total
+
+
+def test_jpeg_arbitrary_gray_matches_independent_reference():
+    """Non-flat images exercise the AC Huffman path (run/size symbols,
+    EOB, magnitude extension): decode(encode(px)) must equal a
+    test-local dequant+IDCT reference, not just 'not crash'."""
+    import numpy as np
+
+    from crypto_etl_airflow_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rng = np.random.RandomState(42)
+    for _ in range(5):
+        h, w = 8 * rng.randint(1, 4), 8 * rng.randint(1, 4)
+        px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        stats = jpeg_decode(jpeg_encode(w, h, 1, px.tobytes()))
+        assert stats["sum_c0"] == _jpeg_gray_reference(px)
+
+
+def test_jpeg_sparse_high_frequency_zero_runs():
+    """A block that is DC + one late-zigzag coefficient forces long
+    AC zero runs (ZRL symbols) — the reference compare catches a
+    wrong run-length walk."""
+    import numpy as np
+
+    from crypto_etl_airflow_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    x = np.arange(8)
+    T = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    T[0, :] *= 1 / np.sqrt(2.0)
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 160.0  # DC
+    coef[7, 6] = 320.0  # zigzag position 61: a ~60-zero run before it
+    blk = T.T @ coef @ T
+    px = np.clip(np.rint(blk + 128.0), 0, 255).astype(np.uint8)
+    stats = jpeg_decode(jpeg_encode(8, 8, 1, px.tobytes()))
+    assert stats["sum_c0"] == _jpeg_gray_reference(px)
+
+
+def test_jpeg_flat_color_exact_for_non_gray_rgb():
+    """Flat blocks with R!=G!=B: the YCbCr planes are flat rounded
+    ints, each survives the DC path exactly, and the test recomputes
+    the inverse transform independently."""
+    import numpy as np
+
+    from crypto_etl_airflow_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    r, g, b = 200, 60, 140
+    y = int(np.rint(0.299 * r + 0.587 * g + 0.114 * b))
+    cb = int(np.rint(128 - 0.168736 * r - 0.331264 * g + 0.5 * b))
+    cr = int(np.rint(128 + 0.5 * r - 0.418688 * g - 0.081312 * b))
+    exp = [
+        int(np.clip(np.rint(y + 1.402 * (cr - 128)), 0, 255)),
+        int(np.clip(np.rint(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255)),
+        int(np.clip(np.rint(y + 1.772 * (cb - 128)), 0, 255)),
+    ]
+    px = np.empty((8, 8, 3), dtype=np.uint8)
+    px[..., 0], px[..., 1], px[..., 2] = r, g, b
+    stats = jpeg_decode(jpeg_encode(8, 8, 3, px.tobytes()))
+    assert [stats["sum_c0"], stats["sum_c1"], stats["sum_c2"]] == [
+        64 * v for v in exp
+    ]
+
+
+def test_jpeg_decode_rejects_malformed():
+    import numpy as np
+
+    from crypto_etl_airflow_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode(b"\x89PNG\r\n\x1a\nnope")
+    px = np.full((8, 8), 77, dtype=np.uint8)
+    good = jpeg_encode(8, 8, 1, px.tobytes())
+
+    # progressive (SOF2) is out of profile, refused not mis-decoded
+    prog = bytearray(good)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(prog))
+
+    # 2x2 subsampling in the frame header
+    sub = bytearray(good)
+    sub[sub.index(b"\xff\xc0") + 11] = 0x22
+    with pytest.raises(ValueError, match="subsampled"):
+        jpeg_decode(bytes(sub))
+
+    # restart intervals (DRI) are out of profile
+    dri = good[:2] + b"\xff\xdd\x00\x04\x00\x10" + good[2:]
+    with pytest.raises(ValueError, match="restart"):
+        jpeg_decode(dri)
+
+    # truncated entropy-coded data
+    with pytest.raises(ValueError, match="truncated|missing"):
+        jpeg_decode(good[: len(good) - 4])
+
+
+def test_synthesized_jpeg_decodes_in_spark(spark):
+    """End-to-end through the Arrow stage: real baseline-JPEG bytes
+    built executor-side (Huffman DC coding, byte stuffing), decoded
+    back through the marker walk + IDCT, sums exact for one even
+    (gray) and one odd (color) doc_id."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.operators.multimodal import (
+        extract_features,
+        synthesize_jpeg_media,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id").isin([4, 5])
+    )
+    out = {
+        int(r.media_id): r.features
+        for r in extract_features(
+            synthesize_jpeg_media(docs), strict=True
+        ).collect()
+    }
+    assert set(out) == {4, 5}
+    for doc_id in (4, 5):
+        w, h = 8 * (doc_id % 3 + 1), 8 * (doc_id % 2 + 1)
+        ncomp = 1 if doc_id % 2 == 0 else 3
+        _, expect = _jpeg_flat_px(doc_id, w, h, ncomp)
+        f = out[doc_id]
+        assert (f[0], f[1], f[2], f[3]) == (w, h, ncomp, w * h)
+        assert f[4] == expect
+        assert f[7] == ncomp * expect
