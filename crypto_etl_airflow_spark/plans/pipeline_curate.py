@@ -458,21 +458,37 @@ def _barrier_fn(
 
     All three cut Catalyst's projection-collapse re-inlining equally
     (the r12 driver-heap lesson); they differ only in fault posture
-    and IO cost."""
+    and IO cost.
+
+    Every mode triggers a driver GC after the eager materialization:
+    a barrier truncates lineage, so the pre-barrier job's shuffle
+    files are dead the moment it returns — but Spark's ContextCleaner
+    only reclaims them when the JVM garbage-collects the dropped
+    shuffle dependencies. Across the pipeline's chain of barrier jobs
+    the dead files otherwise ACCUMULATE; measured at the ×1000 decade
+    (r14): 39 GB of superseded shuffle data from the token-table
+    chains filled the node's spill disk. The GC bounds peak disk at
+    max-single-job instead of sum-of-jobs, at ~0.1-0.3 s per barrier.
+    """
+
+    def _reclaim(df: DataFrame) -> DataFrame:
+        spark.sparkContext._jvm.System.gc()
+        return df
+
     if barrier == "local":
-        return lambda df, _name: df.localCheckpoint(eager=True)
+        return lambda df, _name: _reclaim(df.localCheckpoint(eager=True))
     if checkpoint_dir is None:
         raise ValueError(f"barrier={barrier!r} requires checkpoint_dir")
     if barrier == "checkpoint":
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
-        return lambda df, _name: df.checkpoint(eager=True)
+        return lambda df, _name: _reclaim(df.checkpoint(eager=True))
     if barrier == "parquet":
         import os
 
         def _parquet_barrier(df: DataFrame, name: str) -> DataFrame:
             p = os.path.join(checkpoint_dir, name)
             df.write.mode("overwrite").parquet(p)
-            return spark.read.parquet(p)
+            return _reclaim(spark.read.parquet(p))
 
         return _parquet_barrier
     raise ValueError(
@@ -752,13 +768,23 @@ def _stages(
     pr = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
         grank / (F.col("__n") - 1)
     )
-    keep_ids = (
+    # id barrier, symmetric with kept_ids: every downstream consumer
+    # (g3n count, g4n build) would otherwise re-run the whole LM +
+    # perplexity chain — at ×1000 that is another full round of
+    # token-table shuffles per consumer (r14 disk lesson)
+    keep_ids = _bar(
         pplb.join(F.broadcast(pb_off), "__pb")
         .crossJoin(F.broadcast(n_ppl))
         .select("doc_id", pr.alias("pr"))
         .filter(F.col("pr") <= _PPL_KEEP)
-        .select("doc_id")
+        .select("doc_id"),
+        "g3",
     )
+    # both token-table consumers (classifier fit via kept_ids, LM fit
+    # via keep_ids) are now materialized — the exploded cache is dead
+    # weight from here; free its blocks before the dedup stages start
+    # filling the same disk
+    exploded.unpersist()
     g3n = g2n.join(keep_ids, "doc_id")
     g3 = g2.join(keep_ids, "doc_id")  # lazy text view
 

@@ -59,7 +59,10 @@ def main() -> None:
     order = ["feat", "g1", "g2", "g3", "g4", "g5", "g6", "adm", "packed"]
     for key in order:
         t0 = time.perf_counter()
-        n = s[key].count()
+        # profile the NARROW twin where one exists — the production
+        # dataflow; the text-bearing g2/g3/g5/g6 entries are lazy
+        # compatibility views whose joins the pipeline never runs
+        n = s.get(f"{key}n", s[key]).count()
         cum = round(build_sec + time.perf_counter() - t0, 3)
         # NOTE: stages downstream of a barrier recompute their suffix
         # chain per count; delta ≈ suffix cost from the last barrier

@@ -117,6 +117,12 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd for shuffle/spill instead of default lz4: the decade
+        # corpora are text-heavy and a single node carries the WHOLE
+        # shuffle footprint (a cluster spreads it) — zstd roughly
+        # halves on-disk shuffle bytes, the knob a shuffle-heavy text
+        # pipeline sets in production too (r14 ×1000 disk lesson)
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config(
             "spark.driver.memory",
