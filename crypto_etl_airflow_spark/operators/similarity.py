@@ -415,25 +415,42 @@ def _nearest_centroid(
     vecs: DataFrame, cents: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """Best-cosine centroid id for every row of ``vecs`` (centroid
-    table is tiny → broadcast). The argmax is ``groupBy(id).agg(
-    min_by(payload, (−sim, centroid_id)))`` so the shuffle key is the
-    8-byte id — never the embedding array itself (an array-typed
-    partition key would hash/compare the full vector on every
-    exchange) — and ties resolve deterministically to the lowest
-    centroid id."""
-    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", _dot(F.col(vec_col), F.col("c_vec")) / (F.col("c_norm"))
-    )
-    payload = F.struct(
-        *[F.col(c) for c in vecs.columns if c != id_col], F.col("centroid_id")
+    table is tiny → broadcast). Ties resolve deterministically to the
+    lowest centroid id.
+
+    The argmax aggregates NARROW rows only — ``(id, sim,
+    centroid_id)`` — and re-attaches the vector payload with one id
+    join afterwards. The pre-r14 shape carried the embedding array
+    through ``min_by``'s aggregation buffer, which forces a
+    sort-based aggregate over the FULL |vecs| × |cents| cross-score:
+    at the SemDeDup decade point (2M vectors × 16k centroids — the
+    nlist ∝ corpus contract) that sorted 32G rows of ~600 B each and
+    filled the node's spill disk. Narrow rows hash-aggregate with
+    map-side partial collapse (one surviving row per vector per
+    partition), so the cross-score never materializes — the winner is
+    IDENTICAL (same unrounded sims, same (−sim, centroid_id) order).
+    """
+    scored = (
+        vecs.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            (_dot(F.col(vec_col), F.col("c_vec")) / F.col("c_norm")).alias(
+                "__sim"
+            ),
+            "centroid_id",
+        )
     )
     order = F.struct(
         (-F.col("__sim")).alias("neg_sim"), F.col("centroid_id").alias("cid")
     )
-    return (
-        scored.groupBy(id_col)
-        .agg(F.min_by(payload, order).alias("__best"))
-        .select(id_col, "__best.*")
+    best = scored.groupBy(id_col).agg(
+        F.min_by(F.col("centroid_id"), order).alias("centroid_id")
+    )
+    return vecs.join(best, id_col).select(
+        F.col(id_col),
+        *[F.col(c) for c in vecs.columns if c != id_col],
+        "centroid_id",
     )
 
 
