@@ -418,34 +418,44 @@ def _nearest_centroid(
     table is tiny → broadcast). Ties resolve deterministically to the
     lowest centroid id.
 
-    The argmax aggregates NARROW rows only — ``(id, sim,
-    centroid_id)`` — and re-attaches the vector payload with one id
-    join afterwards. The pre-r14 shape carried the embedding array
-    through ``min_by``'s aggregation buffer, which forces a
-    sort-based aggregate over the FULL |vecs| × |cents| cross-score:
-    at the SemDeDup decade point (2M vectors × 16k centroids — the
-    nlist ∝ corpus contract) that sorted 32G rows of ~600 B each and
-    filled the node's spill disk. Narrow rows hash-aggregate with
-    map-side partial collapse (one surviving row per vector per
-    partition), so the cross-score never materializes — the winner is
-    IDENTICAL (same unrounded sims, same (−sim, centroid_id) order).
+    The argmax runs as TWO all-hash-aggregable passes over the
+    cross-score instead of one ``min_by``: pass 1 keeps ``max(sim)``
+    per vector; pass 2 recomputes the IDENTICAL sim expression (same
+    codegen, same fold order → bit-identical doubles), keeps the rows
+    equal to the per-vector max, and resolves ties with
+    ``min(centroid_id)``. Both aggregates collapse map-side in the
+    hash aggregate, so the |vecs| × |cents| cross-score is never
+    materialized OR sorted. The pre-r14 single-pass ``min_by``
+    carried a struct buffer, which Spark can only sort-aggregate — at
+    the SemDeDup decade point (2M vectors × 16k centroids under the
+    nlist ∝ corpus contract) each task sorted its whole slice of the
+    32G-row cross-score and filled the node's spill disk; paying the
+    dot products twice is minutes of codegen arithmetic instead.
+    NaN/±Inf parity with the old ordering: sims are folded through
+    ``nanvl(sim, -Inf)``, so a NaN score never wins unless every
+    score is NaN — exactly the old (−sim, centroid_id) ordering's
+    behavior (Spark sorts NaN above every double).
     """
-    scored = (
-        vecs.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col),
-            (_dot(F.col(vec_col), F.col("c_vec")) / F.col("c_norm")).alias(
-                "__sim"
-            ),
-            "centroid_id",
+
+    def _sim() -> F.Column:
+        return F.nanvl(
+            _dot(F.col(vec_col), F.col("c_vec")) / F.col("c_norm"),
+            F.lit(float("-inf")),
         )
+
+    narrow = vecs.select(F.col(id_col), F.col(vec_col))
+    best_sim = (
+        narrow.crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), _sim().alias("__sim"))
+        .groupBy(id_col)
+        .agg(F.max("__sim").alias("__best_sim"))
     )
-    order = F.struct(
-        (-F.col("__sim")).alias("neg_sim"), F.col("centroid_id").alias("cid")
-    )
-    best = scored.groupBy(id_col).agg(
-        F.min_by(F.col("centroid_id"), order).alias("centroid_id")
+    best = (
+        narrow.join(best_sim, id_col)
+        .crossJoin(F.broadcast(cents))
+        .filter(_sim() == F.col("__best_sim"))
+        .groupBy(id_col)
+        .agg(F.min("centroid_id").alias("centroid_id"))
     )
     return vecs.join(best, id_col).select(
         F.col(id_col),
