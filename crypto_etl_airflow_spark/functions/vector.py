@@ -22,6 +22,26 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Bit-identical twin of :func:`dot` for a KNOWN fixed dimension,
+    unrolled into a left-to-right chain of ``element_at`` products —
+    ``((0.0 + a₁b₁) + a₂b₂) + …`` is exactly ``aggregate``'s fold
+    order, so the IEEE result is the same double. The difference is
+    execution: higher-order functions (``zip_with``/``aggregate``)
+    are interpreted per row, while this chain compiles into
+    whole-stage codegen — measured ~10-20× faster, which is the
+    difference between minutes and hours on the |vectors|×|centroids|
+    cross-score of a decade-scale nearest-centroid assignment
+    (r14 ×1000 lesson)."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (
+            F.element_at(a, i).cast("double")
+            * F.element_at(b, i).cast("double")
+        )
+    return acc
+
+
 def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -435,13 +435,27 @@ def _nearest_centroid(
     ``nanvl(sim, -Inf)``, so a NaN score never wins unless every
     score is NaN — exactly the old (−sim, centroid_id) ordering's
     behavior (Spark sorts NaN above every double).
+
+    The dot product itself runs UNROLLED for the known embedding
+    dimension (functions/vector.py::dot_unrolled — bit-identical fold
+    order, but whole-stage-codegen instead of interpreted
+    higher-order functions: the cross-score is the one place the
+    engine evaluates billions of dots, and the interpreted form was
+    measured ~10-20× slower — hours, not minutes, at the ×1000
+    decade).
     """
+    from ..functions.vector import dot_unrolled
+
+    head = vecs.select(F.size(F.col(vec_col)).alias("d")).head(1)
+    dim = int(head[0]["d"]) if head else None
 
     def _sim() -> F.Column:
-        return F.nanvl(
-            _dot(F.col(vec_col), F.col("c_vec")) / F.col("c_norm"),
-            F.lit(float("-inf")),
+        d = (
+            dot_unrolled(F.col(vec_col), F.col("c_vec"), dim)
+            if dim is not None
+            else _dot(F.col(vec_col), F.col("c_vec"))
         )
+        return F.nanvl(d / F.col("c_norm"), F.lit(float("-inf")))
 
     narrow = vecs.select(F.col(id_col), F.col(vec_col))
     best_sim = (

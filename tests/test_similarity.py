@@ -201,3 +201,27 @@ def test_neardup_lsh_is_subset_with_recall(spark):
     assert lsh <= exact  # scored candidates: no false positives
     if exact:
         assert len(lsh & exact) / len(exact) >= 0.5  # multi-table recall floor
+
+
+def test_dot_unrolled_bit_identical_to_hof_dot(spark):
+    """dot_unrolled must reproduce dot's left-to-right IEEE fold
+    EXACTLY — the nearest-centroid assignment relies on bit-identical
+    sims between the two passes and against the HOF form."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.functions.vector import dot, dot_unrolled
+
+    rng = random.Random(13)
+    rows = [
+        ([rng.uniform(-2, 2) for _ in range(64)],
+         [rng.uniform(-2, 2) for _ in range(64)])
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(rows, "a: array<double>, b: array<double>")
+    out = df.select(
+        dot("a", "b").alias("hof"), dot_unrolled("a", "b", 64).alias("unr")
+    ).collect()
+    for r in out:
+        assert r.hof == r.unr  # exact double equality, not approx
