@@ -46,12 +46,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from crypto_etl_airflow_spark.plans.registry import all_specs
-    from crypto_etl_airflow_spark.session import tune_shuffle_partitions
+    from crypto_etl_airflow_spark.session import tune_execution
 
-    # the engine's size-aware partition heuristic (session.py) — at
-    # sf0.1 it floors to the core count, so headline numbers are
-    # unchanged, but the harness exercises the default code path
-    tune_shuffle_partitions(spark, sf_dir)
+    # the engine's size-aware execution posture (session.py): shuffle
+    # partitions proportional to input size, AQE off below the
+    # scheduling-bound threshold (sf0.1 is 17 MB — per-stage latency,
+    # not data, is the cost there), AQE on + core-floored partitions
+    # at real scale. Physical strategy only; results are identical.
+    posture = tune_execution(spark, sf_dir)
 
     specs = {n: s for n, s in all_specs().items() if s.bench}
 
@@ -113,6 +115,20 @@ def main() -> None:
         extra_runs[name] = len(runs) - n_runs
 
     total = round(sum(timings.values()), 4)
+    # testdata fingerprint (VERDICT r14 item 5): two rounds in a row a
+    # bench delta was confounded by driver-side testdata regeneration;
+    # recording per-table (bytes, mtime) makes "same code, new data"
+    # distinguishable from a real regression in the round log.
+    fingerprint = {}
+    try:
+        for ent in sorted(os.scandir(sf_dir), key=lambda e: e.name):
+            st = ent.stat()
+            fingerprint[ent.name] = {
+                "bytes": st.st_size,
+                "mtime": int(st.st_mtime),
+            }
+    except OSError:
+        pass
     payload = {
         "metric": "headline_queries_total",
         "value": total,
@@ -125,6 +141,8 @@ def main() -> None:
         "extra_runs": {k: v for k, v in extra_runs.items() if v},
         "runs_per_query": n_runs,
         "sf": sf,
+        "posture": posture,
+        "testdata_fingerprint": fingerprint,
     }
     print(json.dumps(payload))
     # The driver records only the stdout TAIL, which truncates the

@@ -32,7 +32,26 @@ def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     whole-stage codegen — measured ~10-20× faster, which is the
     difference between minutes and hours on the |vectors|×|centroids|
     cross-score of a decade-scale nearest-centroid assignment
-    (r14 ×1000 lesson)."""
+    (r14 ×1000 lesson).
+
+    When ``a``/``b`` are plain column NAMES the chain is built as ONE
+    SQL string through ``F.expr`` instead of ``6·dim`` Column calls:
+    each PySpark Column operation is a py4j roundtrip, and at dim=64
+    the loop form cost ~2-3 s of DRIVER wall-clock per call site just
+    to CONSTRUCT the expression (r15 cProfile: expression build, not
+    execution, dominated the curation pipeline's plan build). The
+    parsed AST is operator-identical — ``0.0D`` is a double literal
+    and SQL ``+``/``*`` associate left — so codegen and the IEEE
+    result are unchanged (the bit-identity pytest covers both
+    construction paths)."""
+    if isinstance(a, str) and isinstance(b, str):
+        qa, qb = f"`{a}`", f"`{b}`"
+        terms = "".join(
+            f" + (CAST(element_at({qa}, {i}) AS DOUBLE)"
+            f" * CAST(element_at({qb}, {i}) AS DOUBLE))"
+            for i in range(1, dim + 1)
+        )
+        return F.expr("0.0D" + terms)
     acc: Column = F.lit(0.0)
     for i in range(1, dim + 1):
         acc = acc + (

@@ -816,6 +816,13 @@ def _make_jpeg_codec():
             elif marker == 0xDD:
                 raise ValueError("restart intervals not supported")
             elif marker == 0xDA:  # SOS — entropy data follows
+                # bounds first (ADVICE r14): bare indexing raised
+                # IndexError on a truncated SOS header, which escapes
+                # extract_features' ValueError fallback net and kills
+                # the whole mapInPandas task instead of falling back
+                # to the stub
+                if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                    raise ValueError("truncated SOS header")
                 nc = body[0]
                 tables = {}
                 for ci in range(nc):

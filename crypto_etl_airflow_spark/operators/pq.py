@@ -258,7 +258,11 @@ def train_pq_codebook(
 
 
 def _with_residuals(
-    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, __v raw double vector, centroid_id, resid) — the residual
     of every vector to its assigned coarse centroid, the quantity the
@@ -275,6 +279,7 @@ def _with_residuals(
         cents,
         id_col,
         "__v",
+        dim=dim,
     )
     return assigned.join(
         F.broadcast(cents.select("centroid_id", "c_vec")), "centroid_id"
@@ -357,9 +362,11 @@ def build_ivfpq_index(
         "encoding": "residual",
     }
     _validate_params(path, params)
-    cents = ivf_centroids(corpus, id_col, vec_col, nlist)
+    d = params["dim"]
+    dim = int(d) if d is not None and d > 0 else None
+    cents = ivf_centroids(corpus, id_col, vec_col, nlist, dim=dim)
     cents.write.mode("error").parquet(f"{path}/centroids")
-    res = _with_residuals(corpus, cents, id_col, vec_col)
+    res = _with_residuals(corpus, cents, id_col, vec_col, dim=dim)
     codebook = train_pq_codebook(res, id_col, "resid", m, ksub)
     codebook.write.mode("error").parquet(f"{path}/codebook")
 
@@ -427,7 +434,11 @@ def add_to_ivfpq_index(
     fresh = new_vecs.join(existing, id_col, "left_anti")
     # frozen-quantizer residual encoding: assign, subtract the
     # centroid, encode the residual, keep the RAW norm
-    res = _with_residuals(fresh, cents, id_col, vec_col)
+    d = _read_params(path).get("dim")
+    res = _with_residuals(
+        fresh, cents, id_col, vec_col,
+        dim=int(d) if d is not None and d > 0 else None,
+    )
     encoded = encode_pq(res, codebook, id_col, "resid", norm_vec_col="__v")
     lists = res.select(
         F.col(id_col).alias("neighbor_id"), "centroid_id"

@@ -40,24 +40,41 @@ def assign_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nlist: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, v double-array, nrm, centroid_id) — nearest refined IVF
-    centroid per vector, deterministic (lowest-centroid tiebreak)."""
-    cents = ivf_centroids(corpus, id_col, vec_col, nlist)
+    centroid per vector, deterministic (lowest-centroid tiebreak).
+
+    One guarded dimension probe serves BOTH assignment passes (seed
+    assignment inside ivf_centroids + the final assignment), so the
+    dot products unroll into codegen with a single head(1) job."""
+    from .similarity import _probe_dim
+
+    if dim is None:
+        dim = _probe_dim(corpus, vec_col)
+    cents = ivf_centroids(corpus, id_col, vec_col, nlist, dim=dim)
     v = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    return _nearest_centroid(v, cents, id_col, "v").withColumn(
+    return _nearest_centroid(v, cents, id_col, "v", dim=dim).withColumn(
         "nrm", _norm(F.col("v"))
     )
 
 
 def _pairs_from_assigned(
-    assigned: DataFrame, id_col: str, threshold: float
+    assigned: DataFrame, id_col: str, threshold: float,
+    dim: int | None = None,
 ) -> DataFrame:
     """Within-cluster pair search over an already-clustered table —
     shared by :func:`semdedup_pairs` and :func:`semdedup_keep` so the
-    keep path never re-runs the clustering."""
+    keep path never re-runs the clustering. ``dim``: known embedding
+    dimension → the pair dot products unroll into codegen
+    (functions/vector.py::dot_unrolled, bit-identical fold); this is
+    the SAME interpreted-HOF hotspot the r14 ×1000 run hit on the
+    centroid cross-score, and the pair volume (Σ_c |cluster_c|²) is
+    even larger than the cross-score at small nlist."""
+    from ..functions.vector import dot_unrolled
+
     a = assigned.select(
         "centroid_id", F.col(id_col).alias("id_a"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
@@ -66,9 +83,12 @@ def _pairs_from_assigned(
         "centroid_id", F.col(id_col).alias("id_b"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
-    sim = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    d = (
+        dot_unrolled("va", "vb", dim)
+        if dim is not None
+        else _dot(F.col("va"), F.col("vb"))
     )
+    sim = F.round(d / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -87,8 +107,11 @@ def semdedup_pairs(
     """Within-cluster cosine-similar pairs:
     ``(centroid_id, id_a, id_b, cosine_sim)`` with id_a < id_b and
     cosine_sim ≥ threshold (rounded to 6 — oracle-stable)."""
-    assigned = assign_clusters(corpus, id_col, vec_col, nlist)
-    return _pairs_from_assigned(assigned, id_col, threshold)
+    from .similarity import _probe_dim
+
+    dim = _probe_dim(corpus, vec_col)
+    assigned = assign_clusters(corpus, id_col, vec_col, nlist, dim=dim)
+    return _pairs_from_assigned(assigned, id_col, threshold, dim=dim)
 
 
 def semdedup_keep(
@@ -110,10 +133,14 @@ def semdedup_keep(
     at corpus scale the clustering pass is the dominant cost, so
     re-deriving it per consumer would double the corpus scans."""
     from .dedup import _reuse
+    from .similarity import _probe_dim
 
-    assigned = _reuse(assign_clusters(corpus, id_col, vec_col, nlist))
+    dim = _probe_dim(corpus, vec_col)
+    assigned = _reuse(
+        assign_clusters(corpus, id_col, vec_col, nlist, dim=dim)
+    )
     dups = (
-        _pairs_from_assigned(assigned, id_col, threshold)
+        _pairs_from_assigned(assigned, id_col, threshold, dim=dim)
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("__dup", F.lit(True))
@@ -155,7 +182,7 @@ def incremental_semantic_pairs(
     scan; candidate volume is Σ_c |store_c|·|batch_c| — linear in the
     store for a fixed batch. The failure mode is the same as batch
     SemDeDup: a skewed giant cluster (grow nlist; rebuild)."""
-    from .ann_index import read_ivf_centroids, read_ivf_lists
+    from .ann_index import _stored_dim, read_ivf_centroids, read_ivf_lists
     from .dedup import _reuse
 
     spark = new_vecs.sparkSession
@@ -168,6 +195,7 @@ def incremental_semantic_pairs(
             cents,
             id_col,
             "v",
+            dim=_stored_dim(path),
         ).withColumn("nrm", _norm(F.col("v")))
     )
     b_side = batch.select(
@@ -189,9 +217,15 @@ def incremental_semantic_pairs(
         .join(b_side, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
     )
-    sim = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    from ..functions.vector import dot_unrolled
+
+    _sdim = _stored_dim(path)
+    _d = (
+        dot_unrolled("va", "vb", _sdim)
+        if _sdim is not None
+        else _dot(F.col("va"), F.col("vb"))
     )
+    sim = F.round(_d / (F.col("na") * F.col("nb")), 6)
     return (
         sb_leg.unionByName(bb_leg)
         .select(

@@ -411,8 +411,27 @@ def cosine_topk_lsh(
     )
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Guarded embedding-dimension probe: ONE ``head(1)`` job, and
+    ``None`` (→ callers fall back to the interpreted, length-agnostic
+    :func:`_dot`) unless the sampled vector has a positive length.
+    The guard matters (ADVICE r14): ``F.size(NULL)`` is −1 under the
+    legacy ``sizeOfNull``, and an unguarded ``int(-1)`` would unroll a
+    ZERO-term dot product, silently scoring every vector 0.0 against
+    every centroid."""
+    head = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
+    if not head:
+        return None
+    d = head[0]["d"]
+    return int(d) if d is not None and d > 0 else None
+
+
 def _nearest_centroid(
-    vecs: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+    vecs: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """Best-cosine centroid id for every row of ``vecs`` (centroid
     table is tiny → broadcast). Ties resolve deterministically to the
@@ -434,7 +453,21 @@ def _nearest_centroid(
     NaN/±Inf parity with the old ordering: sims are folded through
     ``nanvl(sim, -Inf)``, so a NaN score never wins unless every
     score is NaN — exactly the old (−sim, centroid_id) ordering's
-    behavior (Spark sorts NaN above every double).
+    behavior (Spark sorts NaN above every double). NULL sims (a NULL
+    embedding, a NULL element, a length-mismatched vector under the
+    interpreted ``zip_with`` dot) additionally coalesce to −Inf, so
+    the operator is TOTAL — every input vector gets exactly one
+    verdict row (lowest centroid id when all scores are −Inf), never
+    a silent drop through the final equality join (ADVICE r14: the
+    bare two-pass form vanished all-NULL vectors, which downstream
+    SemDeDup would have read as "not a duplicate").
+
+    ``dim``: the embedding dimension when the CALLER knows it (index
+    sidecar, build-time params) — passing it makes this operator
+    issue ZERO driver actions, which matters because it sits on the
+    hot path of every IVF/SQ/PQ/SemDeDup build and add. Left None,
+    one guarded :func:`_probe_dim` job samples it (falling back to
+    the interpreted dot when the sample is NULL/empty).
 
     The dot product itself runs UNROLLED for the known embedding
     dimension (functions/vector.py::dot_unrolled — bit-identical fold
@@ -446,16 +479,20 @@ def _nearest_centroid(
     """
     from ..functions.vector import dot_unrolled
 
-    head = vecs.select(F.size(F.col(vec_col)).alias("d")).head(1)
-    dim = int(head[0]["d"]) if head else None
+    if dim is None:
+        dim = _probe_dim(vecs, vec_col)
 
     def _sim() -> F.Column:
         d = (
-            dot_unrolled(F.col(vec_col), F.col("c_vec"), dim)
+            # name (str) form: the chain builds as ONE parsed SQL
+            # string — the Column-loop form cost seconds of driver
+            # wall-clock PER CALL SITE in py4j roundtrips (r15)
+            dot_unrolled(vec_col, "c_vec", dim)
             if dim is not None
             else _dot(F.col(vec_col), F.col("c_vec"))
         )
-        return F.nanvl(d / F.col("c_norm"), F.lit(float("-inf")))
+        neg_inf = F.lit(float("-inf"))
+        return F.coalesce(F.nanvl(d / F.col("c_norm"), neg_inf), neg_inf)
 
     narrow = vecs.select(F.col(id_col), F.col(vec_col))
     best_sim = (
@@ -483,13 +520,18 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nlist: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic IVF coarse quantizer: the ``nlist`` lowest-id
     vectors seed the lists; one k-means-style refinement (assign →
     per-list component mean) produces the final centroids.
 
     Returns (centroid_id, c_vec, c_norm). Fully deterministic — no
-    RNG, stable across runs/engines."""
+    RNG, stable across runs/engines. ``dim``: see
+    :func:`_nearest_centroid` — pass it when known so the seed
+    assignment unrolls its dots with zero extra driver actions."""
+    if dim is None:
+        dim = _probe_dim(corpus, vec_col)
     seeds = (
         corpus.orderBy(F.asc(id_col))
         .limit(nlist)
@@ -504,6 +546,7 @@ def ivf_centroids(
         seeds,
         id_col,
         "v",
+        dim=dim,
     )
     # refine: element-wise mean per list (partial sums shuffle, not
     # vectors), rounded to 6 decimals so the refined centroids are
@@ -522,7 +565,17 @@ def ivf_centroids(
         )
         .withColumn("c_norm", _norm(F.col("c_vec")))
     )
-    return means
+    # persist the nlist-row result: every consumer BROADCASTS the
+    # centroids, and _nearest_centroid broadcasts them twice (both
+    # hash-agg passes) — unpersisted, each broadcast re-evaluates this
+    # whole subplan (seed assignment + refinement = several corpus
+    # scans), which r15 measured as ~half of SemDeDup's wall-clock.
+    # The table is nlist × dim doubles (~8 MB at the decade point
+    # under nlist ∝ corpus), so MEMORY_AND_DISK persist is free and
+    # lineage survives block loss (the _reuse discipline).
+    from .dedup import _reuse
+
+    return _reuse(means)
 
 
 def cosine_topk_ivf(
@@ -542,7 +595,8 @@ def cosine_topk_ivf(
 
     Same output schema as the brute-force baseline."""
     corpus = _widen(corpus)
-    cents = ivf_centroids(corpus, id_col, vec_col, nlist)
+    dim = _probe_dim(corpus, vec_col)
+    cents = ivf_centroids(corpus, id_col, vec_col, nlist, dim=dim)
 
     c_lists = _nearest_centroid(
         corpus.select(
@@ -552,6 +606,7 @@ def cosine_topk_ivf(
         cents,
         "neighbor_id",
         "c_v",
+        dim=dim,
     ).withColumn("c_nrm", _norm(F.col("c_v")))
 
     p = probes.select(

@@ -139,6 +139,49 @@ class PosixLinkClaim(ClaimBackend):
             os.unlink(tmp)
 
 
+class DirRenameClaim(ClaimBackend):
+    """Object-store-shaped backend: the claim is an atomic DIRECTORY
+    rename instead of a hard link. The payload is written (flushed +
+    fsynced) as the single file inside a staging directory, then
+    ``os.rename(staging, log_dir/name + ".d")`` publishes it — rename
+    onto an existing non-empty directory fails on POSIX, so at most
+    one concurrent writer per name wins, and content lands before the
+    name exactly like :class:`PosixLinkClaim`.
+
+    Why it exists: hard links are the one primitive object stores and
+    some network filesystems lack. This backend uses only
+    write + rename, the portable subset (NFS, FUSE mounts, and the
+    commit dance most table formats use on HDFS). For a REAL object
+    store, replace ``os.rename`` with the store's conditional put —
+    S3 ``PutObject`` + ``If-None-Match: *``, GCS
+    ``ifGenerationMatch=0``, Azure ``Put Blob`` + ``If-None-Match:
+    *`` — the rest of this class (stage content fully, then bind the
+    name once) is already that recipe's shape. Readers resolve claims
+    through :func:`_commit_entries`, which lists both the flat file
+    and the directory form, so a table MIGRATED between backends
+    stays readable; concurrent writers must share one backend (the
+    existence CAS is per-name, and the forms use different names).
+    """
+
+    def claim(self, log_dir: str, name: str, payload: str) -> bool:
+        staging = os.path.join(log_dir, f".stage-{uuid.uuid4().hex}")
+        os.makedirs(staging)
+        with open(os.path.join(staging, "payload"), "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        target = os.path.join(log_dir, name + ".d")
+        try:
+            os.rename(staging, target)
+            return True
+        except OSError:
+            # target already exists (ENOTEMPTY/EEXIST) — lost the race
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            return False
+
+
 DEFAULT_CLAIM_BACKEND: ClaimBackend = PosixLinkClaim()
 
 
@@ -158,6 +201,31 @@ def tx_init(path: str) -> None:
         os.makedirs(os.path.join(path, sub), exist_ok=True)
 
 
+def _commit_entries(log: str) -> list[tuple[int, str]]:
+    """(version, payload path) for every committed name in the log
+    dir, resolving BOTH claim forms: flat ``N.json``
+    (:class:`PosixLinkClaim`) and directory ``N.json.d/payload``
+    (:class:`DirRenameClaim`). Listing-only — no payload reads.
+
+    Mixing forms is a READ capability (e.g. a table migrated between
+    backends); concurrent WRITERS must share one backend per table,
+    because the existence CAS is per-name and the two forms use
+    different names for the same version."""
+    out = []
+    for name in os.listdir(log):
+        if name.endswith(".json.d"):
+            stem = name[: -len(".json.d")]
+            if stem.isdigit():
+                out.append(
+                    (int(stem), os.path.join(log, name, "payload"))
+                )
+            continue
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and stem.isdigit():
+            out.append((int(stem), os.path.join(log, name)))
+    return out
+
+
 def _committed(path: str) -> list[dict]:
     """All committed versions, ascending. Only fully-linked commit
     files are visible (see module docstring), so no partial-read
@@ -166,14 +234,11 @@ def _committed(path: str) -> list[dict]:
     log = _log_dir(path)
     if not os.path.isdir(log):
         return out
-    for name in os.listdir(log):
-        stem, ext = os.path.splitext(name)
-        if ext != ".json" or not stem.isdigit():
-            continue
+    for _v, payload_path in _commit_entries(log):
         try:
-            with open(os.path.join(log, name)) as f:
+            with open(payload_path) as f:
                 out.append(json.load(f))
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
             # a concurrent vacuum dropped a pre-compact commit
             # between our listdir and open — it was below the compact
             # base, so the resolution is unaffected
@@ -191,12 +256,9 @@ def _next_version(path: str) -> int:
     if not os.path.isdir(log):
         return 1
     top = 0
-    for name in os.listdir(log):
-        stem, ext = os.path.splitext(name)
-        if ext == ".json" and stem.isdigit():
-            v = int(stem)
-            if v > top:
-                top = v
+    for v, _p in _commit_entries(log):
+        if v > top:
+            top = v
     return top + 1
 
 
@@ -447,9 +509,10 @@ def tx_vacuum(path: str, retain_seconds: float = 3600.0) -> list[str]:
     if base and compact_ts is None:
         # pre-ts log format: fall back to the compact FILE's mtime
         # (still the supersession instant, not the data's write time)
+        flat = os.path.join(_log_dir(path), f"{base:0{_PAD}d}.json")
         try:
             compact_ts = os.path.getmtime(
-                os.path.join(_log_dir(path), f"{base:0{_PAD}d}.json")
+                flat if os.path.exists(flat) else flat + ".d"
             )
         except OSError:
             compact_ts = time.time()  # unknowable — treat as fresh
@@ -491,23 +554,28 @@ def tx_vacuum(path: str, retain_seconds: float = 3600.0) -> list[str]:
     if compact_aged:
         for c in commits:
             if c["version"] < base:
-                os.unlink(
-                    os.path.join(
-                        _log_dir(path), f"{c['version']:0{_PAD}d}.json"
-                    )
+                flat = os.path.join(
+                    _log_dir(path), f"{c['version']:0{_PAD}d}.json"
                 )
+                if os.path.exists(flat):
+                    os.unlink(flat)
+                else:  # DirRenameClaim form
+                    shutil.rmtree(flat + ".d", ignore_errors=True)
                 removed.append(f"{_LOG}/{c['version']:0{_PAD}d}.json")
     # claim bodies a writer wrote but never linked (died mid-claim):
     # same age gate as data dirs — a live writer is between write and
     # link for milliseconds, not hours
     log = _log_dir(path)
     for name in os.listdir(log):
-        if not name.startswith(".tmp-"):
+        if not (name.startswith(".tmp-") or name.startswith(".stage-")):
             continue
         full = os.path.join(log, name)
         try:
             if now - os.path.getmtime(full) >= retain_seconds:
-                os.unlink(full)
+                if os.path.isdir(full):  # DirRenameClaim staging dir
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    os.unlink(full)
                 removed.append(f"{_LOG}/{name}")
         except FileNotFoundError:
             pass

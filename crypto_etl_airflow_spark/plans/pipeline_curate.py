@@ -440,6 +440,7 @@ def _barrier_fn(
     spark: SparkSession,
     barrier: str = "local",
     checkpoint_dir: str | None = None,
+    reclaim_disk: bool = True,
 ):
     """The pipeline's phase-barrier strategy (VERDICT r12: pluggable,
     mirroring operators/graph.py's ``checkpoint_dir=``), as a
@@ -460,19 +461,29 @@ def _barrier_fn(
     (the r12 driver-heap lesson); they differ only in fault posture
     and IO cost.
 
-    Every mode triggers a driver GC after the eager materialization:
-    a barrier truncates lineage, so the pre-barrier job's shuffle
-    files are dead the moment it returns — but Spark's ContextCleaner
-    only reclaims them when the JVM garbage-collects the dropped
-    shuffle dependencies. Across the pipeline's chain of barrier jobs
-    the dead files otherwise ACCUMULATE; measured at the ×1000 decade
-    (r14): 39 GB of superseded shuffle data from the token-table
-    chains filled the node's spill disk. The GC bounds peak disk at
-    max-single-job instead of sum-of-jobs, at ~0.1-0.3 s per barrier.
+    When ``reclaim_disk`` is set, every mode triggers a driver GC
+    after the eager materialization: a barrier truncates lineage, so
+    the pre-barrier job's shuffle files are dead the moment it
+    returns — but Spark's ContextCleaner only reclaims them when the
+    JVM garbage-collects the dropped shuffle dependencies. Across the
+    pipeline's chain of barrier jobs the dead files otherwise
+    ACCUMULATE; measured at the ×1000 decade (r14): 39 GB of
+    superseded shuffle data from the token-table chains filled the
+    node's spill disk. The GC bounds peak disk at max-single-job
+    instead of sum-of-jobs, at ~0.1-0.3 s per barrier — which is why
+    it is GATED on input size (:func:`_stages` passes
+    ``reclaim_disk=False`` below ``session.SMALL_INPUT_BYTES``, where
+    the dead shuffle files are MBs and the GC pause is pure
+    overhead). The JVM handle is classic-Spark-only (ADVICE r14):
+    under Spark Connect there is no ``_jvm``, so the nudge degrades
+    to a no-op instead of failing the pipeline.
     """
 
     def _reclaim(df: DataFrame) -> DataFrame:
-        spark.sparkContext._jvm.System.gc()
+        if reclaim_disk:
+            jvm = getattr(spark.sparkContext, "_jvm", None)
+            if jvm is not None:
+                jvm.System.gc()
         return df
 
     if barrier == "local":
@@ -510,8 +521,21 @@ def _stages(
     nlist ∝ corpus size so clusters stay constant-sized (the decade
     harness re-dials it per scale, tools/pipeline_scale_bench.py)."""
     from ..operators.parallel import widen_small_input
+    from ..session import SMALL_INPUT_BYTES, input_dir_bytes
 
-    _bar = _barrier_fn(spark, barrier, checkpoint_dir)
+    # disk-reclaim GC only when the input is big enough that dead
+    # shuffle files are a disk hazard (the r14 ×1000 lesson); at
+    # few-MB scale the per-barrier GC pause is pure overhead. An
+    # unstattable input (remote FS — input_dir_bytes sees 0) keeps
+    # the reclaim ON: at unknown scale the safe failure mode is a
+    # short GC pause, not a filled disk.
+    _in_bytes = input_dir_bytes(sf_dir)
+    _bar = _barrier_fn(
+        spark,
+        barrier,
+        checkpoint_dir,
+        reclaim_disk=_in_bytes == 0 or _in_bytes >= SMALL_INPUT_BYTES,
+    )
 
     # widen BEFORE the transform: the documents table arrives in a
     # handful of file partitions, and the regexp redaction chain is
@@ -783,7 +807,17 @@ def _stages(
     # both token-table consumers (classifier fit via kept_ids, LM fit
     # via keep_ids) are now materialized — the exploded cache is dead
     # weight from here; free its blocks before the dedup stages start
-    # filling the same disk
+    # filling the same disk.
+    # INVARIANT (ADVICE r14): this unpersist runs at PLAN-BUILD time
+    # and is correct only because every _barrier_fn mode is EAGER —
+    # the kept_ids and keep_ids barriers above have already consumed
+    # the cache by the time control reaches here. A lazy barrier mode
+    # would silently turn both gate stages into full re-tokenize
+    # passes; refuse it here rather than degrade.
+    assert exploded.storageLevel.useMemory or exploded.storageLevel.useDisk, (
+        "exploded token cache was never persisted — the shared-token-"
+        "pass optimization is broken"
+    )
     exploded.unpersist()
     g3n = g2n.join(keep_ids, "doc_id")
     g3 = g2.join(keep_ids, "doc_id")  # lazy text view

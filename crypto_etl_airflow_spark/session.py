@@ -35,6 +35,17 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PARTITION_INPUT_BYTES = 4 * 1024 * 1024
 MAX_SHUFFLE_PARTITIONS = 65536
 
+#: Below this TOTAL input size a workload is scheduling-bound, not
+#: data-bound: a multi-stage plan over a few MB spends its wall-clock
+#: launching 32-task stages and (with AQE) re-planning after every
+#: exchange, not computing. Measured r15 on the 17 MB sf0.1 set: the
+#: curation pipeline ran ~35 s with AQE + a 32-partition floor and
+#: ~18 s with AQE off + size-proportional partitions — identical
+#: values either way (AQE and partition count never change results).
+#: At or above this size the classic posture (AQE on, core floor)
+#: wins and is essential at 100 TB.
+SMALL_INPUT_BYTES = 64 * 1024 * 1024
+
 
 def shuffle_partitions_for_bytes(
     n_bytes: int, cpus: int | None = None
@@ -45,9 +56,21 @@ def shuffle_partitions_for_bytes(
     overhead. On a real cluster the same formula runs with the
     cluster's total core count — partitions scale with BOTH the data
     and the machine, which is what the fixed-resource scale harness
-    exists to emulate."""
+    exists to emulate.
+
+    EXCEPT for tiny inputs (< ``SMALL_INPUT_BYTES``): there the core
+    floor inverts — 32 tasks per shuffle stage costs more scheduler
+    latency than the parallelism recovers on a few MB, so partitions
+    stay proportional to the data (≥1). Expression-heavy narrow
+    stages are independently widened to the core count by
+    ``operators/parallel.py::widen_small_input``, so CPU-bound scans
+    keep their parallelism; this bound governs only post-shuffle
+    stages."""
     cpus = cpus or DEFAULT_SHUFFLE_PARTITIONS
-    return max(cpus, min(MAX_SHUFFLE_PARTITIONS, n_bytes // PARTITION_INPUT_BYTES))
+    raw = max(1, n_bytes // PARTITION_INPUT_BYTES)
+    if n_bytes < SMALL_INPUT_BYTES:
+        return min(cpus, raw)
+    return max(cpus, min(MAX_SHUFFLE_PARTITIONS, raw))
 
 
 def input_dir_bytes(*paths: str) -> int:
@@ -73,6 +96,36 @@ def tune_shuffle_partitions(spark: SparkSession, *paths: str) -> int:
     n = shuffle_partitions_for_bytes(input_dir_bytes(*paths))
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     return n
+
+
+def tune_execution(spark: SparkSession, *paths: str) -> dict:
+    """Size-aware execution posture, set from the ACTUAL input size
+    (both confs are runtime-settable; they affect every plan compiled
+    afterwards and never change query RESULTS — only physical
+    strategy):
+
+    - ``spark.sql.shuffle.partitions`` — proportional for tiny
+      inputs, core-floored otherwise (:func:`shuffle_partitions_for_bytes`).
+    - ``spark.sql.adaptive.enabled`` — OFF below
+      ``SMALL_INPUT_BYTES``: AQE materializes every exchange as its
+      own query stage and re-plans between them, which is pure
+      latency when the statically-chosen plan is already right
+      (everything broadcastable, nothing skewed — guaranteed by
+      construction on a few-MB input). ON at or above the bound,
+      where runtime re-planning (BHJ flips, skew splits, partition
+      coalescing) is the thing that keeps 100 TB plans honest.
+
+    Returns the chosen posture for logging."""
+    n_bytes = input_dir_bytes(*paths)
+    n = shuffle_partitions_for_bytes(n_bytes)
+    adaptive = n_bytes >= SMALL_INPUT_BYTES
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
+    return {
+        "input_bytes": n_bytes,
+        "shuffle_partitions": n,
+        "adaptive": adaptive,
+    }
 
 
 def get_spark(

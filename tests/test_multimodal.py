@@ -504,6 +504,41 @@ def test_jpeg_decode_rejects_malformed():
     with pytest.raises(ValueError, match="truncated|missing"):
         jpeg_decode(good[: len(good) - 4])
 
+    # truncated SOS header (ADVICE r14): bare indexing here raised
+    # IndexError, which escapes extract_features' ValueError fallback
+    # net and kills the whole mapInPandas task instead of stubbing.
+    # SOS with segment length 3 → 1-byte body → body[0] read the
+    # component count but body[1 + 2*ci] walked off the end.
+    sos_short = good[:2] + b"\xff\xda\x00\x03\x01" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="truncated SOS"):
+        jpeg_decode(sos_short)
+    # empty SOS body (length 2) must also refuse, not IndexError
+    sos_empty = good[:2] + b"\xff\xda\x00\x02" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="truncated SOS"):
+        jpeg_decode(sos_empty)
+    # declared component count larger than the body provides
+    sos_nc = good[:2] + b"\xff\xda\x00\x05\x03\x01\x00" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="truncated SOS"):
+        jpeg_decode(sos_nc)
+
+
+def test_jpeg_truncated_sos_falls_back_to_stub_in_spark(spark):
+    """A JPEG-magic payload with a corrupt SOS header must flow to
+    the default sha256 stub (the pre-codec contract), never crash the
+    Arrow task (ADVICE r14 regression test)."""
+    from crypto_etl_airflow_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    bad = b"\xff\xd8\xff\xda\x00\x03\x01\xff\xd9"
+    df = spark.createDataFrame(
+        [(1, "image", bad)],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = extract_features(df).collect()
+    assert len(rows) == 1  # task survived; stub features present
+    assert rows[0]["features"] is not None
+
 
 def test_synthesized_jpeg_decodes_in_spark(spark):
     """End-to-end through the Arrow stage: real baseline-JPEG bytes

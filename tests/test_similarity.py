@@ -225,3 +225,59 @@ def test_dot_unrolled_bit_identical_to_hof_dot(spark):
     ).collect()
     for r in out:
         assert r.hof == r.unr  # exact double equality, not approx
+    # the Column-input construction path must agree with the SQL-string
+    # fast path term for term
+    out2 = df.select(
+        dot_unrolled(F.col("a"), F.col("b"), 64).alias("col_form"),
+        dot_unrolled("a", "b", 64).alias("str_form"),
+    ).collect()
+    for r in out2:
+        assert r.col_form == r.str_form
+
+
+def test_probe_dim_guards_null_and_empty(spark):
+    """ADVICE r14: an unguarded head(1) probe turned a NULL first
+    vector into dim=-1 (F.size legacy sizeOfNull) and silently scored
+    every vector 0.0. The guarded probe must return None for NULL /
+    empty samples and the true dim otherwise."""
+    from crypto_etl_airflow_spark.operators.similarity import _probe_dim
+
+    null_first = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0])], "id int, v array<double>"
+    )
+    assert _probe_dim(null_first.orderBy("id"), "v") is None
+    empty_first = spark.createDataFrame(
+        [(1, []), (2, [1.0, 2.0])], "id int, v array<double>"
+    )
+    assert _probe_dim(empty_first.orderBy("id"), "v") is None
+    good = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id int, v array<double>")
+    assert _probe_dim(good, "v") == 3
+    assert _probe_dim(good.filter("id < 0"), "v") is None  # empty table
+
+
+def test_nearest_centroid_total_over_null_vectors(spark):
+    """ADVICE r14: the two-pass argmax must emit one verdict row per
+    input vector even when every similarity is NULL (NULL embedding)
+    — a vanished row would silently read as 'not duplicate' in
+    SemDeDup. NULL sims coalesce to -Inf, so the all-NULL vector
+    resolves to the lowest centroid id."""
+    from crypto_etl_airflow_spark.operators.similarity import (
+        _nearest_centroid,
+        _norm,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id int, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])],
+        "centroid_id int, c_vec array<double>",
+    ).withColumn("c_norm", _norm(F.col("c_vec")))
+    out = {
+        r.vec_id: r.centroid_id
+        for r in _nearest_centroid(vecs, cents, "vec_id", "v").collect()
+    }
+    assert set(out) == {1, 2, 3}  # total: no silent drops
+    assert out[1] == 10 and out[3] == 20
+    assert out[2] == 10  # all-(-Inf) ties resolve to the lowest id

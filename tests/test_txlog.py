@@ -398,3 +398,113 @@ def test_next_version_listing_only(tmp_path, monkeypatch):
 
     monkeypatch.setattr(builtins, "open", no_reads)
     assert tx._next_version(path) == 8
+
+
+@pytest.mark.parametrize("backend_name", ["PosixLinkClaim", "DirRenameClaim"])
+def test_real_backends_full_lifecycle(spark, tmp_path, backend_name):
+    """VERDICT r14 item 7: the lifecycle must run against BOTH real
+    filesystem backends — the hard-link claim and the rename-a-staged-
+    directory claim (the portable putIfAbsent recipe for filesystems
+    without link(2); the S3 conditional-put shape)."""
+    import crypto_etl_airflow_spark.operators.txlog as tx
+
+    be = getattr(tx, backend_name)()
+    path = str(tmp_path / "t")
+    tx_append_if_absent(
+        spark, _mk(spark, [(1, "a"), (2, "b")]), path, ["k"], backend=be
+    )
+    tx_merge(spark, _mk(spark, [(2, "B")]), path, ["k"], backend=be)
+    tx_delete(
+        spark, spark.createDataFrame([(1,)], "k long"), path, ["k"],
+        backend=be,
+    )
+    cv = tx_compact(spark, path, backend=be)
+    assert cv == 4
+    assert _rows(tx_read(spark, path)) == [(2, "B")]
+    assert [c["version"] for c in tx_history(path)] == [1, 2, 3, 4]
+    # time travel resolves through the backend's claim form too
+    assert _rows(tx_read(spark, path, version=1)) == [(1, "a"), (2, "b")]
+    # vacuum reaps the pre-compact commits in WHICHEVER form they
+    # were claimed, and the table stays writable
+    removed = tx_vacuum(path, retain_seconds=0)
+    assert any(r.startswith("_txlog/") for r in removed)
+    assert [c["version"] for c in tx_history(path)] == [4]
+    tx_append_if_absent(spark, _mk(spark, [(9, "z")]), path, ["k"], backend=be)
+    assert _rows(tx_read(spark, path)) == [(2, "B"), (9, "z")]
+
+
+def test_dir_rename_backend_racing_writers(spark, tmp_path):
+    """Four writers race overlapping batches through DirRenameClaim:
+    exactly-once-per-key must hold on the rename CAS exactly as it
+    does on the link CAS."""
+    import crypto_etl_airflow_spark.operators.txlog as tx
+
+    be = tx.DirRenameClaim()
+    path = str(tmp_path / "t")
+    tx_init(path)
+    errors = []
+
+    def writer(wid):
+        try:
+            batch = _mk(spark, [(k, f"w{wid}") for k in range(wid, wid + 6)])
+            tx_append_if_absent(
+                spark, batch, path, ["k"], max_retries=30, backend=be
+            )
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    keys = sorted(r["k"] for r in tx_read(spark, path).collect())
+    assert keys == list(range(0, 8 + 1))
+    versions = [c["version"] for c in tx_history(path)]
+    assert versions == list(range(1, len(versions) + 1))
+
+
+def test_dir_rename_claim_cas_and_staging_residue(tmp_path):
+    """The rename CAS itself: second claim on a name loses without
+    clobbering the winner's payload; a dead writer's staging dir is
+    age-gated residue that tx_vacuum reaps."""
+    import crypto_etl_airflow_spark.operators.txlog as tx
+
+    path = str(tmp_path / "t")
+    tx_init(path)
+    log = os.path.join(path, "_txlog")
+    be = tx.DirRenameClaim()
+    assert be.claim(log, f"{1:010d}.json", '{"version": 1, "action": "append"}')
+    assert not be.claim(log, f"{1:010d}.json", '{"version": 1, "action": "thief"}')
+    with open(os.path.join(log, f"{1:010d}.json.d", "payload")) as f:
+        assert json.load(f)["version"] == 1
+    # loser left no staging dir behind
+    assert not [n for n in os.listdir(log) if n.startswith(".stage-")]
+    # a writer that died between staging and rename leaves one; aged
+    # out by vacuum exactly like the link backend's .tmp- files
+    os.makedirs(os.path.join(log, ".stage-dead"))
+    with open(os.path.join(log, ".stage-dead", "payload"), "w") as f:
+        f.write("{}")
+    removed = tx_vacuum(path, retain_seconds=0)
+    assert any(".stage-dead" in r for r in removed)
+    assert not os.path.exists(os.path.join(log, ".stage-dead"))
+
+
+def test_mixed_claim_forms_read_as_one_log(spark, tmp_path):
+    """A table migrated between backends (flat commits then dir
+    commits) must resolve as one history — reads, time travel, and
+    _next_version see both forms."""
+    import crypto_etl_airflow_spark.operators.txlog as tx
+
+    path = str(tmp_path / "t")
+    tx_append_if_absent(
+        spark, _mk(spark, [(1, "a")]), path, ["k"], backend=tx.PosixLinkClaim()
+    )
+    tx_merge(
+        spark, _mk(spark, [(1, "A2")]), path, ["k"], backend=tx.DirRenameClaim()
+    )
+    assert tx._next_version(path) == 3
+    assert [c["version"] for c in tx_history(path)] == [1, 2]
+    assert _rows(tx_read(spark, path)) == [(1, "A2")]
+    assert _rows(tx_read(spark, path, version=1)) == [(1, "a")]
