@@ -147,6 +147,20 @@ def minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
+def _minhash_min_exprs(num_hashes: int) -> list:
+    """The ``min((a_i·h + b_i) mod p)`` signature aggregates as ONE
+    parsed SQL expression each instead of ~7 Column calls each —
+    expression CONSTRUCTION is driver py4j wall-clock (the r15
+    finding on dot_unrolled), and signature builders run 32+ of
+    these per call site. Long-literal suffixes pin the same int64
+    arithmetic the Column form promoted to; a·h < 2⁶² for p = 2³¹−1,
+    so no overflow either way and values are bit-identical."""
+    return [
+        F.expr(f"min(({a}L * __h + {b}L) % {MERSENNE_P}L) AS mh_{i}")
+        for i, (a, b) in enumerate(minhash_constants(num_hashes))
+    ]
+
+
 def normalized_text(text_col: str = "text") -> F.Column:
     return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
 
@@ -309,12 +323,7 @@ def ngram_jaccard_pairs(
                 .select("sh")
             )
             raw = raw.join(F.broadcast(hot), "sh", "left_anti")
-        mins = [
-            F.min(
-                (F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE_P
-            ).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(minhash_constants(num_hashes))
-        ]
+        mins = _minhash_min_exprs(num_hashes)
         sigs = _reuse(raw.groupBy(id_col).agg(*mins))
         cands = _reuse(
             minhash_lsh_candidates(sigs, id_col, num_hashes, bands, portable)
@@ -516,10 +525,7 @@ def minhash_signatures(
     # would re-evaluate the md5/xxhash k times per row (subexpression
     # elimination is not guaranteed across aggregate expressions)
     hashed = sh.select(F.col(id_col), h.alias("__h"))
-    mins = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(minhash_constants(num_hashes))
-    ]
+    mins = _minhash_min_exprs(num_hashes)
     return hashed.groupBy(id_col).agg(*mins)
 
 
@@ -672,10 +678,7 @@ def minhash_lsh_pairs(
             F.col(id_col), F.xxhash64("shingle").alias("sh"), h.alias("__h")
         ).distinct()
     )
-    mins = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(minhash_constants(num_hashes))
-    ]
+    mins = _minhash_min_exprs(num_hashes)
     # persisted because the band-bucket self-join reads the signature
     # table on both sides (exchange reuse across a self-join's renamed
     # sides is not guaranteed) — lineage kept for executor-loss
