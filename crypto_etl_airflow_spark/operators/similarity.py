@@ -426,71 +426,27 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
     return int(d) if d is not None and d > 0 else None
 
 
-def _nearest_centroid(
+def _nearest_centroid_expr(
     vecs: DataFrame,
     cents: DataFrame,
     id_col: str,
     vec_col: str,
-    dim: int | None = None,
 ) -> DataFrame:
-    """Best-cosine centroid id for every row of ``vecs`` (centroid
-    table is tiny → broadcast). Ties resolve deterministically to the
-    lowest centroid id.
+    """Pure-Column fallback assignment for an UNKNOWN embedding
+    dimension (empty/NULL-headed input — :func:`_probe_dim` returned
+    None): the two hash-aggregable argmax passes over the interpreted
+    ``zip_with`` dot. Semantics are the contract the fast path
+    reproduces — NaN/NULL sims fold to −Inf (total: every vector gets
+    a verdict row; all-−Inf resolves to the lowest centroid id).
 
-    The argmax runs as TWO all-hash-aggregable passes over the
-    cross-score instead of one ``min_by``: pass 1 keeps ``max(sim)``
-    per vector; pass 2 recomputes the IDENTICAL sim expression (same
-    codegen, same fold order → bit-identical doubles), keeps the rows
-    equal to the per-vector max, and resolves ties with
-    ``min(centroid_id)``. Both aggregates collapse map-side in the
-    hash aggregate, so the |vecs| × |cents| cross-score is never
-    materialized OR sorted. The pre-r14 single-pass ``min_by``
-    carried a struct buffer, which Spark can only sort-aggregate — at
-    the SemDeDup decade point (2M vectors × 16k centroids under the
-    nlist ∝ corpus contract) each task sorted its whole slice of the
-    32G-row cross-score and filled the node's spill disk; paying the
-    dot products twice is minutes of codegen arithmetic instead.
-    NaN/±Inf parity with the old ordering: sims are folded through
-    ``nanvl(sim, -Inf)``, so a NaN score never wins unless every
-    score is NaN — exactly the old (−sim, centroid_id) ordering's
-    behavior (Spark sorts NaN above every double). NULL sims (a NULL
-    embedding, a NULL element, a length-mismatched vector under the
-    interpreted ``zip_with`` dot) additionally coalesce to −Inf, so
-    the operator is TOTAL — every input vector gets exactly one
-    verdict row (lowest centroid id when all scores are −Inf), never
-    a silent drop through the final equality join (ADVICE r14: the
-    bare two-pass form vanished all-NULL vectors, which downstream
-    SemDeDup would have read as "not a duplicate").
-
-    ``dim``: the embedding dimension when the CALLER knows it (index
-    sidecar, build-time params) — passing it makes this operator
-    issue ZERO driver actions, which matters because it sits on the
-    hot path of every IVF/SQ/PQ/SemDeDup build and add. Left None,
-    one guarded :func:`_probe_dim` job samples it (falling back to
-    the interpreted dot when the sample is NULL/empty).
-
-    The dot product itself runs UNROLLED for the known embedding
-    dimension (functions/vector.py::dot_unrolled — bit-identical fold
-    order, but whole-stage-codegen instead of interpreted
-    higher-order functions: the cross-score is the one place the
-    engine evaluates billions of dots, and the interpreted form was
-    measured ~10-20× slower — hours, not minutes, at the ×1000
-    decade).
-    """
-    from ..functions.vector import dot_unrolled
-
-    if dim is None:
-        dim = _probe_dim(vecs, vec_col)
+    Pass 2 expresses the max-equality as a PROJECTED conditional,
+    never a filter: a Filter over a cross join is pushed into the
+    BroadcastNestedLoopJoin as its join CONDITION, and BNLJ evaluates
+    join conditions interpreted per (row × centroid) — the r15 ×100
+    finding that motivated the Arrow fast path below."""
 
     def _sim() -> F.Column:
-        d = (
-            # name (str) form: the chain builds as ONE parsed SQL
-            # string — the Column-loop form cost seconds of driver
-            # wall-clock PER CALL SITE in py4j roundtrips (r15)
-            dot_unrolled(vec_col, "c_vec", dim)
-            if dim is not None
-            else _dot(F.col(vec_col), F.col("c_vec"))
-        )
+        d = _dot(F.col(vec_col), F.col("c_vec"))
         neg_inf = F.lit(float("-inf"))
         return F.coalesce(F.nanvl(d / F.col("c_norm"), neg_inf), neg_inf)
 
@@ -504,15 +460,176 @@ def _nearest_centroid(
     best = (
         narrow.join(best_sim, id_col)
         .crossJoin(F.broadcast(cents))
-        .filter(_sim() == F.col("__best_sim"))
+        .select(
+            F.col(id_col),
+            F.when(
+                _sim() == F.col("__best_sim"), F.col("centroid_id")
+            ).alias("__cand"),
+        )
         .groupBy(id_col)
-        .agg(F.min("centroid_id").alias("centroid_id"))
+        .agg(F.min("__cand").alias("centroid_id"))
     )
     return vecs.join(best, id_col).select(
         F.col(id_col),
         *[F.col(c) for c in vecs.columns if c != id_col],
         "centroid_id",
     )
+
+
+def _nearest_centroid(
+    vecs: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int | None = None,
+) -> DataFrame:
+    """Best-cosine centroid id for every row of ``vecs``. Ties
+    resolve deterministically to the lowest centroid id; the operator
+    is TOTAL (a vector whose every score is NULL/NaN folds to −Inf
+    and resolves to the lowest centroid id — ADVICE r14).
+
+    Execution: an Arrow-batched ``mapInPandas`` kernel. The centroid
+    table (nlist ≤ ~16k rows by the nlist ∝ corpus contract, ~8 MB at
+    the decade point) is collected once — the moral equivalent of the
+    broadcast build it replaces — and each Arrow batch computes the
+    |batch| × nlist score matrix VECTORIZED OVER ROWS, SEQUENTIAL
+    OVER DIMENSIONS::
+
+        acc[r, c] = 0.0
+        for i in 1..dim:  acc[r, c] += v[r, i] * c_vec[c, i]
+        sim[r, c] = nanvl(acc[r, c] / c_norm[c], -inf)
+
+    Per (row, centroid) that is EXACTLY the engine's canonical
+    left-to-right IEEE fold ``((0.0 + v₁c₁) + v₂c₂) + …`` — numpy
+    elementwise double ops are plain IEEE doubles, so every sim is
+    bit-identical to the Column form and to the DuckDB oracle's fold,
+    and the argmax/tie decisions cannot diverge.
+
+    WHY a Python kernel, when the repo's discipline is JVM-first
+    (this is the one measured exception): the r14 answer — unroll the
+    dot into a 64-term codegen chain — was re-measured honestly in
+    r15 after the ×100 funnel stalled, and the unrolled chain runs at
+    ~1-10 µs/dot because the generated method exceeds HotSpot's
+    DontCompileHugeMethods bytecode limit and executes as INTERPRETED
+    BYTECODE (jstack: the hashAgg consume never JITs; r14's 10-20×
+    claim was an artifact of count() pruning the aggregate values —
+    the dots never ran). JVM remedies were measured and rejected:
+    ``spark.sql.codegen.hugeMethodLimit=8000`` (split fallback) 327 s
+    → 40 s per 32M dots, ``-XX:-DontCompileHugeMethods`` → 23 s —
+    both still ~1 µs/dot and both session-owner confs the engine
+    cannot rely on under a vanilla driver session. The Arrow kernel
+    runs the same 32M dots in well under a second of vectorized
+    numpy, scales linearly in |vecs| × nlist, and ships the batch's
+    vectors once (Arrow columnar, no per-row Python).
+
+    ``dim``: the embedding dimension when the CALLER knows it (index
+    sidecar, build-time params); left None, one guarded
+    :func:`_probe_dim` job samples it. When even the probe cannot
+    name a dimension (empty input), the pure-Column
+    :func:`_nearest_centroid_expr` fallback preserves the plan-only
+    behavior on empty/degenerate tables.
+
+    Semantics parity notes (pinned by tests): a NULL vector, a
+    NULL-element vector (Arrow surfaces NULL doubles as NaN; the
+    engine fold turns a NULL term into a NULL → −Inf sim — same
+    verdict), and a SHORTER-than-dim vector (``element_at`` past the
+    end is NULL → −Inf) all resolve to the lowest centroid id; a
+    LONGER vector scores on its first ``dim`` components exactly as
+    the unrolled chain did; NaN scores lose to any real score
+    (nanvl) and ±Inf scores propagate IEEE-identically."""
+    if dim is None:
+        dim = _probe_dim(vecs, vec_col)
+    if dim is None:
+        return _nearest_centroid_expr(vecs, cents, id_col, vec_col)
+
+    from pyspark.sql.types import StructField, StructType
+
+    crows = cents.select("centroid_id", "c_vec", "c_norm").collect()
+    crows.sort(key=lambda r: r["centroid_id"])
+    out_schema = StructType(
+        list(vecs.schema.fields)
+        + [StructField("centroid_id", cents.schema["centroid_id"].dataType)]
+    )
+    if not crows:
+        # empty quantizer (empty-corpus build): assignment is empty,
+        # exactly as the old inner join against an empty best table
+        return vecs.sparkSession.createDataFrame([], out_schema)
+    c_ids = [r["centroid_id"] for r in crows]
+    c_vecs = [
+        None
+        if r["c_vec"] is None or len(r["c_vec"]) < dim
+        else [
+            float(x) if x is not None else float("nan")
+            for x in r["c_vec"][:dim]
+        ]
+        for r in crows
+    ]
+    c_norms = [
+        float(r["c_norm"]) if r["c_norm"] is not None else float("nan")
+        for r in crows
+    ]
+    kernel_dim = dim
+    vec_name = vec_col
+
+    # NOTE: ships to Python workers via cloudpickle — self-contained
+    # closure over plain lists (pickled by value), no module refs
+    def assign(batches):
+        import numpy as np
+
+        neg_inf = float("-inf")
+        C = np.array(
+            [c if c is not None else [0.0] * kernel_dim for c in c_vecs],
+            dtype=np.float64,
+        )
+        # a NULL/short centroid vector scores -inf against everything
+        # (engine: NULL term -> NULL sim -> -inf)
+        c_dead = np.array([c is None for c in c_vecs], dtype=bool)
+        norms = np.array(c_norms, dtype=np.float64)
+        ids = np.array(c_ids)
+        nlist = len(ids)
+        # row tile sized so the score block stays cache-resident
+        # (~16 MB) across the dim loop — the fold updates every
+        # (row, centroid) cell dim times, so an L3-resident block
+        # turns that from memory traffic into cache hits
+        tile = max(1, (16 << 20) // (8 * nlist))
+
+        for pdf in batches:
+            arrs = pdf[vec_name]
+            n = len(pdf)
+            valid = np.zeros(n, dtype=bool)
+            V = np.zeros((n, kernel_dim), dtype=np.float64)
+            for r, a in enumerate(arrs):
+                if a is None:
+                    continue
+                v = np.asarray(a, dtype=np.float64)
+                if v.shape[0] < kernel_dim:
+                    continue
+                valid[r] = True
+                V[r] = v[:kernel_dim]
+            choice = np.zeros(n, dtype=np.int64)
+            for lo in range(0, n, tile):
+                hi = min(lo + tile, n)
+                m = hi - lo
+                block = np.zeros((m, nlist), dtype=np.float64)
+                tmp = np.empty((m, nlist), dtype=np.float64)
+                # sequential fold over dimensions: bit-identical to
+                # ((0.0 + v1*c1) + v2*c2) + ... per cell
+                for i in range(kernel_dim):
+                    np.multiply(
+                        V[lo:hi, i : i + 1], C[None, :, i], out=tmp
+                    )
+                    np.add(block, tmp, out=block)
+                np.divide(block, norms[None, :], out=block)
+                block[np.isnan(block)] = neg_inf
+                block[:, c_dead] = neg_inf
+                block[~valid[lo:hi]] = neg_inf
+                # first max along ascending centroid ids == lowest id
+                choice[lo:hi] = np.argmax(block, axis=1)
+            out = pdf.copy()
+            out["centroid_id"] = ids[choice]
+            yield out
+
+    return vecs.mapInPandas(assign, schema=out_schema)
 
 
 def ivf_centroids(

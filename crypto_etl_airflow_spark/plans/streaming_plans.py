@@ -18,8 +18,6 @@ Oracle notes:
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,6 +32,54 @@ from .extensions import (
     _ivf_oracle,
 )
 from ..streaming.ingest import ingest_events_stream
+
+# Process-lifetime drained-stream cache (VERDICT r14 item 8 → r15):
+# every streaming-ingest query here drains an availableNow stream to a
+# DETERMINISTIC at-rest state (sink parquet / persisted index), so the
+# drain is a fixed point — it runs once per (query, sf_dir) through
+# extensions._cached_store and the registered query returns a LIVE
+# plan over the drained state instead of collecting inside a
+# TemporaryDirectory (whose plan was an opaque Scan ExistingRDD that
+# neither bench.py nor plan_audit could see through). The streaming
+# execution itself is unchanged — file source, maxFilesPerTrigger=1,
+# foreachBatch, availableNow — it just happens inside the cached
+# build.
+from .extensions import _cached_store
+
+
+def _write_waves(df: DataFrame, root: str, key_col: str, n: int = 3) -> str:
+    """Split ``df`` into ``n`` arrival waves by ``key_col % n`` and
+    lay them out as single-file parquet waves under ``root/src`` (the
+    file-source ingest fixture every streaming query here shares)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for k in range(n):
+        staging = os.path.join(root, f"stage{k}")
+        df.filter(F.col(key_col) % n == k).coalesce(1).write.parquet(staging)
+        part = globmod.glob(f"{staging}/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(src, f"wave{k}.parquet"))
+        shutil.rmtree(staging)
+    return src
+
+
+def _drain(spark: SparkSession, schema, src: str, ckpt: str, on_batch) -> None:
+    """Run the shared availableNow file-source drain to completion."""
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
 from ..streaming.runner import run_append_to_memory, run_complete_to_memory
 from ..streaming.sources import stream_events
 from ..streaming.stateful import user_running_stats
@@ -155,20 +201,21 @@ def streaming_ingest_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     second run re-reads everything); the key-based writer must keep
     the table exactly one-copy-per-key — the streaming form of the
     reference's ON CONFLICT DO NOTHING contract."""
-    with tempfile.TemporaryDirectory(prefix="stream_ingest_") as tmp:
-        warehouse = f"{tmp}/warehouse"
+    import os
+
+    def _build(root: str) -> None:
+        os.makedirs(root)
         for run in ("run1", "run2"):
             ingest_events_stream(
-                spark, sf_dir, warehouse, checkpoint_dir=f"{tmp}/ckpt_{run}"
+                spark, sf_dir, os.path.join(root, "warehouse"),
+                checkpoint_dir=os.path.join(root, f"ckpt_{run}"),
             )
-        loaded = spark.read.parquet(warehouse)
-        result = loaded.agg(
-            F.count("*").alias("n_rows"),
-            F.countDistinct("event_id").alias("n_keys"),
-        )
-        # materialize before the tempdir vanishes
-        rows = result.collect()
-    return spark.createDataFrame(rows, schema=result.schema)
+
+    root = _cached_store("stream_ingest", sf_dir, _build)
+    return spark.read.parquet(os.path.join(root, "warehouse")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_keys"),
+    )
 
 
 @register(
@@ -268,28 +315,18 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever re-shingles earlier data; store×store pairs are never
     generated. The drained sink equals the full-corpus banded
     agreement pairs — which is what the oracle recomputes."""
-    import glob as globmod
     import os
-    import shutil
-    import tempfile
 
     from ..operators import dedup_store
     from ..operators.dedup import minhash_signatures
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    with tempfile.TemporaryDirectory(prefix="stream_neardup_") as tmp:
-        src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        for k in range(3):
-            staging = os.path.join(tmp, f"stage{k}")
-            docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
-                staging
-            )
-            part = globmod.glob(f"{staging}/part-*.parquet")[0]
-            shutil.copy(part, os.path.join(src, f"wave{k}.parquet"))
 
-        store_path = os.path.join(tmp, "sig_store")
-        sink_path = os.path.join(tmp, "pairs")
+    def _build(root: str) -> None:
+        os.makedirs(root)
+        src = _write_waves(docs, root, "doc_id")
+        store_path = os.path.join(root, "sig_store")
+        sink_path = os.path.join(root, "pairs")
 
         def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
             s = batch_df.sparkSession
@@ -308,20 +345,12 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 batch_df, store_path, portable=True
             )
 
-        q = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("latestFirst", "false")
-            .parquet(src)
-            .writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.read.parquet(sink_path).select("id_a", "id_b", "score")
-        rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        _drain(spark, docs.schema, src, os.path.join(root, "ckpt"), on_batch)
+
+    root = _cached_store("stream_neardup", sf_dir, _build)
+    return spark.read.parquet(os.path.join(root, "pairs")).select(
+        "id_a", "id_b", "score"
+    )
 
 
 @register(
@@ -355,10 +384,7 @@ def streaming_dedup_incremental_fingerprint(
     ``dedup_incremental_fingerprint`` (verbatim +10000/+20000 copies),
     split into 3 arrival waves by doc_id % 3 — so copies land in
     DIFFERENT waves and the cross-wave store join is exercised."""
-    import glob as globmod
     import os
-    import shutil
-    import tempfile
 
     from ..functions.text import fingerprint
     from ..operators import dedup_store
@@ -370,19 +396,12 @@ def streaming_dedup_incremental_fingerprint(
     ).unionByName(
         docs.filter(did % 25 == 0).select((did + 20000).alias("doc_id"), "text")
     )
-    with tempfile.TemporaryDirectory(prefix="stream_fp_") as tmp:
-        src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        for k in range(3):
-            staging = os.path.join(tmp, f"stage{k}")
-            aug.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
-                staging
-            )
-            part = globmod.glob(f"{staging}/part-*.parquet")[0]
-            shutil.copy(part, os.path.join(src, f"wave{k}.parquet"))
 
-        store_path = os.path.join(tmp, "fp_store")
-        sink_path = os.path.join(tmp, "pairs")
+    def _build(root: str) -> None:
+        os.makedirs(root)
+        src = _write_waves(aug, root, "doc_id")
+        store_path = os.path.join(root, "fp_store")
+        sink_path = os.path.join(root, "pairs")
 
         def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
             s = batch_df.sparkSession
@@ -398,22 +417,12 @@ def streaming_dedup_incremental_fingerprint(
             matches.write.mode("append").parquet(sink_path)
             dedup_store.write_fingerprint_store(batch_df, store_path)
 
-        q = (
-            spark.readStream.schema(aug.schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("latestFirst", "false")
-            .parquet(src)
-            .writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.read.parquet(sink_path).select(
-            "id_a", "id_b", "fingerprint"
-        )
-        rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        _drain(spark, aug.schema, src, os.path.join(root, "ckpt"), on_batch)
+
+    root = _cached_store("stream_fp", sf_dir, _build)
+    return spark.read.parquet(os.path.join(root, "pairs")).select(
+        "id_a", "id_b", "fingerprint"
+    )
 
 
 @register(
@@ -436,28 +445,18 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream drains, probes (vec_id < 50) query the persisted index with
     partition-pruned list reads; the result must equal the batch
     build+add pipeline, which the oracle recomputes in SQL."""
-    import glob as globmod
     import os
-    import shutil
-    import tempfile
 
     from ..operators import ann_index
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    with tempfile.TemporaryDirectory(prefix="stream_ann_") as tmp:
-        src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        for k in range(3):
-            staging = os.path.join(tmp, f"stage{k}")
-            emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(
-                staging
-            )
-            part = globmod.glob(f"{staging}/part-*.parquet")[0]
-            shutil.copy(part, os.path.join(src, f"wave{k}.parquet"))
 
-        index_path = os.path.join(tmp, "index")
+    def _build(root: str) -> None:
+        os.makedirs(root)
+        src = _write_waves(emb, root, "vec_id")
+        index_path = os.path.join(root, "index")
 
         def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
             if os.path.isdir(index_path):
@@ -465,21 +464,13 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:  # first wave trains the quantizer
                 ann_index.build_ivf_index(batch_df, index_path, nlist=16)
 
-        q = (
-            spark.readStream.schema(emb.schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("latestFirst", "false")
-            .parquet(src)
-            .writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        probes = emb.filter(F.col("vec_id") < 50)
-        out = ann_index.query_ivf_index(probes, index_path, k=5, nprobe=4)
-        rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        _drain(spark, emb.schema, src, os.path.join(root, "ckpt"), on_batch)
+
+    root = _cached_store("stream_ann", sf_dir, _build)
+    probes = emb.filter(F.col("vec_id") < 50)
+    return ann_index.query_ivf_index(
+        probes, os.path.join(root, "index"), k=5, nprobe=4
+    )
 
 
 @register(
@@ -505,27 +496,18 @@ def streaming_ivfpq_index_ingest(
     embedding bytes. After the drain, probes ADC-query the persisted
     index; the result must equal the batch build+add pipeline, which
     the oracle recomputes in SQL end-to-end."""
-    import glob as globmod
     import os
-    import shutil
 
     from ..operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    with tempfile.TemporaryDirectory(prefix="stream_ivfpq_") as tmp:
-        src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        for k in range(3):
-            staging = os.path.join(tmp, f"stage{k}")
-            emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(
-                staging
-            )
-            part = globmod.glob(f"{staging}/part-*.parquet")[0]
-            shutil.copy(part, os.path.join(src, f"wave{k}.parquet"))
 
-        index_path = os.path.join(tmp, "index")
+    def _build(root: str) -> None:
+        os.makedirs(root)
+        src = _write_waves(emb, root, "vec_id")
+        index_path = os.path.join(root, "index")
 
         def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
             if os.path.isdir(index_path):
@@ -535,21 +517,13 @@ def streaming_ivfpq_index_ingest(
                     batch_df, index_path, nlist=16, m=8, ksub=16
                 )
 
-        q = (
-            spark.readStream.schema(emb.schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("latestFirst", "false")
-            .parquet(src)
-            .writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        probes = emb.filter(F.col("vec_id") < 50)
-        out = pq.query_ivfpq_index(probes, index_path, k=5, nprobe=4)
-        rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        _drain(spark, emb.schema, src, os.path.join(root, "ckpt"), on_batch)
+
+    root = _cached_store("stream_ivfpq", sf_dir, _build)
+    probes = emb.filter(F.col("vec_id") < 50)
+    return pq.query_ivfpq_index(
+        probes, os.path.join(root, "index"), k=5, nprobe=4
+    )
 
 
 def _semdedup_stream_oracle() -> str:
@@ -585,10 +559,7 @@ def streaming_dedup_incremental_semantic(
     ``incremental_semantic_pairs`` (batch×store + batch×batch, frozen
     quantizer) BEFORE being added frozen — dedup-then-append, the
     same discipline as the fingerprint/MinHash streaming forms."""
-    import glob as globmod
     import os
-    import shutil
-    import tempfile
 
     from ..operators import ann_index
     from ..operators.semdedup import (
@@ -599,19 +570,12 @@ def streaming_dedup_incremental_semantic(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    with tempfile.TemporaryDirectory(prefix="stream_semdedup_") as tmp:
-        src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        for k in range(3):
-            staging = os.path.join(tmp, f"stage{k}")
-            emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(
-                staging
-            )
-            part = globmod.glob(f"{staging}/part-*.parquet")[0]
-            shutil.copy(part, os.path.join(src, f"wave{k}.parquet"))
 
-        index_path = os.path.join(tmp, "index")
-        sink_path = os.path.join(tmp, "pairs")
+    def _build(root: str) -> None:
+        os.makedirs(root)
+        src = _write_waves(emb, root, "vec_id")
+        index_path = os.path.join(root, "index")
+        sink_path = os.path.join(root, "pairs")
 
         def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
             s = batch_df.sparkSession
@@ -633,22 +597,12 @@ def streaming_dedup_incremental_semantic(
                     "append"
                 ).parquet(sink_path)
 
-        q = (
-            spark.readStream.schema(emb.schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("latestFirst", "false")
-            .parquet(src)
-            .writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.read.parquet(sink_path).select(
-            "centroid_id", "id_a", "id_b", "cosine_sim"
-        )
-        rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        _drain(spark, emb.schema, src, os.path.join(root, "ckpt"), on_batch)
+
+    root = _cached_store("stream_semdedup", sf_dir, _build)
+    return spark.read.parquet(os.path.join(root, "pairs")).select(
+        "centroid_id", "id_a", "id_b", "cosine_sim"
+    )
 
 
 def _bm25_stream_oracle() -> str:
@@ -704,48 +658,28 @@ def streaming_bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed BM25 query equal to the batch full-corpus computation.
     Completes the streaming-ingest triptych: signature stores
     (dedup), ANN index (similarity), postings index (retrieval)."""
-    import glob as globmod
     import os
-    import shutil
-    import tempfile
 
     from ..operators import postings_store
     from .retrieval import BM25_B, BM25_K1, BM25_QUERY_TERMS, BM25_TOPK
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    with tempfile.TemporaryDirectory(prefix="stream_bm25_") as tmp:
-        src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        for k in range(3):
-            staging = os.path.join(tmp, f"stage{k}")
-            docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
-                staging
-            )
-            part = globmod.glob(f"{staging}/part-*.parquet")[0]
-            shutil.copy(part, os.path.join(src, f"wave{k}.parquet"))
 
-        index_path = os.path.join(tmp, "index")
+    def _build(root: str) -> None:
+        os.makedirs(root)
+        src = _write_waves(docs, root, "doc_id")
+        index_path = os.path.join(root, "index")
 
         def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
             postings_store.write_postings_store(batch_df, index_path)
 
-        q = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("latestFirst", "false")
-            .parquet(src)
-            .writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = postings_store.bm25_topk_indexed(
-            spark, index_path, BM25_QUERY_TERMS,
-            k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
-        )
-        rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        _drain(spark, docs.schema, src, os.path.join(root, "ckpt"), on_batch)
+
+    root = _cached_store("stream_bm25", sf_dir, _build)
+    return postings_store.bm25_topk_indexed(
+        spark, os.path.join(root, "index"), BM25_QUERY_TERMS,
+        k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
+    )
 
 
 @register(

@@ -144,24 +144,38 @@ def main() -> None:
         pipeline_curate_funnel,
     )
     from crypto_etl_airflow_spark.session import (
+        SMALL_INPUT_BYTES,
         input_dir_bytes,
         shuffle_partitions_for_bytes,
     )
 
-    parts_1x = shuffle_partitions_for_bytes(
-        input_dir_bytes(
-            f"{src}/documents.parquet", f"{src}/embeddings.parquet"
-        ),
-        cpus=int(cpus),
+    # each scale side runs under the engine's size-aware posture for
+    # THAT side (session.tune_execution's policy, applied per side
+    # because one session measures both): partitions proportional +
+    # AQE off in the tiny scheduling-bound regime, core-floored +
+    # AQE on at real scale. Physical strategy only — values and the
+    # funnel stage counts are posture-independent.
+    def _posture(*dirs: str) -> tuple[int, bool]:
+        n = input_dir_bytes(*dirs)
+        return (
+            shuffle_partitions_for_bytes(n, cpus=int(cpus)),
+            n >= SMALL_INPUT_BYTES,
+        )
+
+    parts_1x, aqe_1x = _posture(
+        f"{src}/documents.parquet", f"{src}/embeddings.parquet"
     )
-    parts_kx = shuffle_partitions_for_bytes(
-        input_dir_bytes(
-            f"{out}/documents.parquet", f"{out}/embeddings.parquet"
-        ),
-        cpus=int(cpus),
+    parts_kx, aqe_kx = _posture(
+        f"{out}/documents.parquet", f"{out}/embeddings.parquet"
     )
+
+    def _set_posture(parts: int, aqe: bool) -> None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+
     print(
-        f"# shuffle.partitions: 1x={parts_1x} {factor}x={parts_kx}",
+        f"# posture: 1x parts={parts_1x} aqe={aqe_1x}; "
+        f"{factor}x parts={parts_kx} aqe={aqe_kx}",
         file=sys.stderr,
         flush=True,
     )
@@ -217,12 +231,12 @@ def main() -> None:
     for name, builder in builders:
         row: dict = {}
         skip_first = mode == "fast" and name == "pipeline_curate_corpus"
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts_1x))
+        _set_posture(parts_1x, aqe_1x)
         if not skip_first:
             _clear_caches()
             row["t1_first"], _ = _timed(builder, src, 16)
         row["t1_steady"], cnt1 = _timed(builder, src, 16)
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts_kx))
+        _set_posture(parts_kx, aqe_kx)
         if not skip_first:
             _clear_caches()
             row["tK_first"], _ = _timed(builder, out, 16 * factor)
@@ -268,6 +282,15 @@ def main() -> None:
                 "factor": factor,
                 "build_sec": round(build_s, 1),
                 "src": src,
+                # per-side posture (r15): with the size-aware policy
+                # the 1× and K× sides may run under different AQE /
+                # partition regimes, so plan_identical=False is
+                # EXPECTED when the postures differ — read plan_diff
+                # against this field
+                "posture": {
+                    "1x": {"parts": parts_1x, "aqe": aqe_1x},
+                    f"{factor}x": {"parts": parts_kx, "aqe": aqe_kx},
+                },
                 "queries": results,
                 "funnel_kx": funnel_k,
             }
