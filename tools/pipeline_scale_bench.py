@@ -225,12 +225,18 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3), cnt
 
     builders = [("pipeline_curate_funnel", pipeline_curate_funnel)]
-    if mode != "funnel-only":
+    if mode not in ("funnel-only", "funnel-first"):
         builders.append(("pipeline_curate_corpus", pipeline_curate_corpus))
     results: dict[str, dict] = {}
     for name, builder in builders:
         row: dict = {}
         skip_first = mode == "fast" and name == "pipeline_curate_corpus"
+        # 'funnel-first' (r15, the ×1000 budget mode): measure the
+        # true single-pass K× cost and skip the cache-assisted steady
+        # re-run — at ×1000 the steady row doubles an hour-long
+        # measurement for a secondary number; plan signature comes
+        # from the first run instead
+        skip_k_steady = mode == "funnel-first"
         _set_posture(parts_1x, aqe_1x)
         if not skip_first:
             _clear_caches()
@@ -239,11 +245,17 @@ def main() -> None:
         _set_posture(parts_kx, aqe_kx)
         if not skip_first:
             _clear_caches()
-            row["tK_first"], _ = _timed(builder, out, 16 * factor)
-        row["tK_steady"], cntK = _timed(builder, out, 16 * factor)
+            row["tK_first"], cntK_first = _timed(builder, out, 16 * factor)
+        if skip_k_steady:
+            cntK = cntK_first
+        else:
+            row["tK_steady"], cntK = _timed(builder, out, 16 * factor)
         if not skip_first:
             row["ratio_first"] = round(row["tK_first"] / row["t1_first"], 2)
-        row["ratio_steady"] = round(row["tK_steady"] / row["t1_steady"], 2)
+        if not skip_k_steady:
+            row["ratio_steady"] = round(
+                row["tK_steady"] / row["t1_steady"], 2
+            )
         sig1, sigK = _sig_of(cnt1), _sig_of(cntK)
         row["plan_identical"] = sig1 == sigK
         if sig1 != sigK:
@@ -267,7 +279,7 @@ def main() -> None:
     # must still FIRE (drop documents) on the scaled corpus, and
     # pre-admission stages should hold ~K× the 1× doc counts
     funnel_k = None
-    if mode != "funnel-only":
+    if mode not in ("funnel-only", "funnel-first"):
         funnel_k = {
             r.stage: [int(r.n_docs), int(r.n_tokens)]
             for r in pipeline_curate_funnel(
