@@ -587,11 +587,18 @@ def _nearest_centroid(
         norms = np.array(c_norms, dtype=np.float64)
         ids = np.array(c_ids)
         nlist = len(ids)
-        # row tile sized so the score block stays cache-resident
-        # (~16 MB) across the dim loop — the fold updates every
-        # (row, centroid) cell dim times, so an L3-resident block
-        # turns that from memory traffic into cache hits
-        tile = max(1, (16 << 20) // (8 * nlist))
+        # centroid components TRANSPOSED to (dim, nlist): the fold
+        # reads one full dimension of every centroid per iteration,
+        # and the row-major C[:, i] form gathers nlist cache lines at
+        # a 8·dim-byte stride — measured at the ×1000 decade as the
+        # difference between L2-speed and DRAM-speed inner loops
+        Ct = np.ascontiguousarray(C.T)
+        # row tile sized so block+tmp stay ~L2-resident (~1 MB each):
+        # the fold updates every (row, centroid) cell dim times, and
+        # 32 CONCURRENT workers share the L3, so per-worker tiles
+        # must be small (the first 16 MB tiling thrashed shared L3
+        # and ran ~10× slower at nlist=16k)
+        tile = max(8, (1 << 20) // (8 * nlist))
 
         for pdf in batches:
             arrs = pdf[vec_name]
@@ -616,7 +623,7 @@ def _nearest_centroid(
                 # ((0.0 + v1*c1) + v2*c2) + ... per cell
                 for i in range(kernel_dim):
                     np.multiply(
-                        V[lo:hi, i : i + 1], C[None, :, i], out=tmp
+                        V[lo:hi, i : i + 1], Ct[i][None, :], out=tmp
                     )
                     np.add(block, tmp, out=block)
                 np.divide(block, norms[None, :], out=block)
