@@ -26,13 +26,18 @@ def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     """Bit-identical twin of :func:`dot` for a KNOWN fixed dimension,
     unrolled into a left-to-right chain of ``element_at`` products —
     ``((0.0 + a₁b₁) + a₂b₂) + …`` is exactly ``aggregate``'s fold
-    order, so the IEEE result is the same double. The difference is
-    execution: higher-order functions (``zip_with``/``aggregate``)
-    are interpreted per row, while this chain compiles into
-    whole-stage codegen — measured ~10-20× faster, which is the
-    difference between minutes and hours on the |vectors|×|centroids|
-    cross-score of a decade-scale nearest-centroid assignment
-    (r14 ×1000 lesson).
+    order, so the IEEE result is the same double.
+
+    PERFORMANCE CAVEAT (r15 re-measurement): at dim=64 the generated
+    method exceeds HotSpot's DontCompileHugeMethods bytecode limit
+    and runs as INTERPRETED bytecode at ~10 µs/dot — SLOWER than the
+    interpreted HOF :func:`dot` (~6 µs); r14's "10-20× faster" claim
+    was a ``count()``-pruning artifact (the dots never executed in
+    the benches that supported it). Use this form only for SMALL
+    fixed dims or one-off expressions; every bulk dot workload in
+    the engine (nearest-centroid assignment, semdedup pair scoring)
+    routes through the Arrow-batched kernels in
+    ``operators/similarity.py`` / ``operators/semdedup.py`` instead.
 
     When ``a``/``b`` are plain column NAMES the chain is built as ONE
     SQL string through ``F.expr`` instead of ``6·dim`` Column calls:

@@ -532,8 +532,10 @@ def _nearest_centroid(
     Semantics parity notes (pinned by tests): a NULL vector, a
     NULL-element vector (Arrow surfaces NULL doubles as NaN; the
     engine fold turns a NULL term into a NULL → −Inf sim — same
-    verdict), and a SHORTER-than-dim vector (``element_at`` past the
-    end is NULL → −Inf) all resolve to the lowest centroid id; a
+    verdict), and a SHORTER-than-dim vector (excluded outright —
+    ANSI ``element_at`` would THROW past the array end in a Column
+    form; one malformed vector must not kill a corpus-scale job)
+    all resolve to the lowest centroid id; a
     LONGER vector scores on its first ``dim`` components exactly as
     the unrolled chain did; NaN scores lose to any real score
     (nanvl) and ±Inf scores propagate IEEE-identically."""

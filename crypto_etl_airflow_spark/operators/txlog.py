@@ -174,12 +174,21 @@ class DirRenameClaim(ClaimBackend):
         try:
             os.rename(staging, target)
             return True
-        except OSError:
-            # target already exists (ENOTEMPTY/EEXIST) — lost the race
+        except OSError as exc:
+            import errno
             import shutil
 
             shutil.rmtree(staging, ignore_errors=True)
-            return False
+            # ONLY the target-already-exists errnos mean "lost the
+            # race" (ENOTEMPTY/EEXIST per POSIX rename(2); ENOTDIR
+            # when the winner was a flat-file claim). Anything else —
+            # EACCES, EROFS, EXDEV (staging on another device) — is an
+            # environment failure that must surface, not burn
+            # tx_append_if_absent's retries as phantom contention
+            # (ADVICE r15).
+            if exc.errno in (errno.ENOTEMPTY, errno.EEXIST, errno.ENOTDIR):
+                return False
+            raise
 
 
 DEFAULT_CLAIM_BACKEND: ClaimBackend = PosixLinkClaim()
@@ -559,9 +568,12 @@ def tx_vacuum(path: str, retain_seconds: float = 3600.0) -> list[str]:
                 )
                 if os.path.exists(flat):
                     os.unlink(flat)
-                else:  # DirRenameClaim form
+                    removed.append(f"{_LOG}/{c['version']:0{_PAD}d}.json")
+                else:  # DirRenameClaim form — report the REAL name
                     shutil.rmtree(flat + ".d", ignore_errors=True)
-                removed.append(f"{_LOG}/{c['version']:0{_PAD}d}.json")
+                    removed.append(
+                        f"{_LOG}/{c['version']:0{_PAD}d}.json.d"
+                    )
     # claim bodies a writer wrote but never linked (died mid-claim):
     # same age gate as data dirs — a live writer is between write and
     # link for milliseconds, not hours

@@ -481,7 +481,14 @@ def _barrier_fn(
 
     def _reclaim(df: DataFrame) -> DataFrame:
         if reclaim_disk:
-            jvm = getattr(spark.sparkContext, "_jvm", None)
+            # the sparkContext PROPERTY itself raises under Spark
+            # Connect (ADVICE r15) — guard the whole access chain,
+            # not just the _jvm attribute, so the nudge really does
+            # degrade to a no-op on a Connect session
+            try:
+                jvm = getattr(spark.sparkContext, "_jvm", None)
+            except Exception:
+                jvm = None
             if jvm is not None:
                 jvm.System.gc()
         return df

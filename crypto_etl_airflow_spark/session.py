@@ -65,10 +65,18 @@ def shuffle_partitions_for_bytes(
     stages are independently widened to the core count by
     ``operators/parallel.py::widen_small_input``, so CPU-bound scans
     keep their parallelism; this bound governs only post-shuffle
-    stages."""
+    stages.
+
+    ``n_bytes == 0`` means UNKNOWN, not tiny (ADVICE r15):
+    :func:`input_dir_bytes` returns 0 for remote-FS URIs, nonexistent
+    dirs, and anything ``os.walk`` can't traverse — a 100 TB s3://
+    input stats as 0. At unknown scale the safe posture is the
+    classic one (core floor; callers keep AQE on), never the
+    single-partition/AQE-off tiny regime — the same gating
+    ``pipeline_curate._stages`` applies to ``reclaim_disk``."""
     cpus = cpus or DEFAULT_SHUFFLE_PARTITIONS
     raw = max(1, n_bytes // PARTITION_INPUT_BYTES)
-    if n_bytes < SMALL_INPUT_BYTES:
+    if 0 < n_bytes < SMALL_INPUT_BYTES:
         return min(cpus, raw)
     return max(cpus, min(MAX_SHUFFLE_PARTITIONS, raw))
 
@@ -115,10 +123,17 @@ def tune_execution(spark: SparkSession, *paths: str) -> dict:
       where runtime re-planning (BHJ flips, skew splits, partition
       coalescing) is the thing that keeps 100 TB plans honest.
 
+    An input that stats as 0 bytes is UNKNOWN scale (remote FS /
+    unreadable path — see :func:`shuffle_partitions_for_bytes`):
+    unknown gets the classic posture (core floor, AQE ON), because
+    mis-classifying a 100 TB remote input as tiny would run every
+    shuffle single-partition with no AQE to rescue it, while
+    mis-classifying a tiny input as big costs only scheduler latency.
+
     Returns the chosen posture for logging."""
     n_bytes = input_dir_bytes(*paths)
     n = shuffle_partitions_for_bytes(n_bytes)
-    adaptive = n_bytes >= SMALL_INPUT_BYTES
+    adaptive = n_bytes == 0 or n_bytes >= SMALL_INPUT_BYTES
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
     return {

@@ -69,3 +69,95 @@ def test_dissimilar_corpus_all_kept(spark):
     assert semdedup_pairs(df, nlist=2, threshold=0.9).count() == 0
     kept = semdedup_keep(df, nlist=2, threshold=0.9)
     assert kept.filter("is_duplicate").count() == 0
+
+
+def _legacy_pairs(assigned, id_col, threshold, dim):
+    """The exact JVM join form the Arrow pair kernel replaced
+    (dot_unrolled + Spark round + >= filter) — kept here as the
+    bit-parity reference for _pair_score_kernel."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.functions.vector import dot_unrolled
+
+    a = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    sim = F.round(
+        dot_unrolled("va", "vb", dim) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("centroid_id", "id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def test_pair_kernel_bit_identical_to_join_form(spark):
+    """The Arrow pair kernel must reproduce the legacy join form
+    BIT-exactly on adversarial inputs: NULL vectors and NULL-element
+    vectors (NULL norm → no pairs), short vectors (< dim → no
+    pairs), long vectors (scored on the first dim components), and
+    sims landing at/near the 6-decimal rounding boundary (Spark
+    rounds doubles via BigDecimal.valueOf = SHORTEST repr, HALF_UP —
+    the kernel's Decimal(repr(x)) path)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.functions.vector import norm as _norm
+    from crypto_etl_airflow_spark.operators.semdedup import (
+        _pairs_from_assigned,
+    )
+
+    dim = 4
+    rows = [
+        # cluster 1: a tight pair + a near-threshold geometry
+        (1, [1.0, 0.0, 0.0, 0.0], 1),
+        (2, [1.0, 1e-7, 0.0, 0.0], 1),
+        (3, [0.7, 0.3, 0.1, 0.05], 1),
+        (4, [0.700001, 0.299999, 0.100001, 0.05], 1),
+        # adversarial rows (same cluster so they meet everything)
+        (5, None, 1),                      # NULL vector
+        (6, [1.0, None, 0.0, 0.0], 1),     # NULL element → NULL norm
+        (8, [1.0, 0.0, 0.0, 0.0, 9.9], 1),  # longer than dim
+        # cluster 2: must never pair with cluster 1
+        (9, [0.0, 1.0, 0.0, 0.0], 2),
+        (10, [0.0, 1.0, 1e-8, 0.0], 2),
+    ]
+    short_row = [(7, [1.0, 0.0], 1)]  # shorter than dim
+    schema = "vec_id long, v array<double>, centroid_id int"
+    assigned = spark.createDataFrame(rows, schema).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    # legacy runs WITHOUT the short vector: ANSI element_at past the
+    # array end THROWS in the join form — the kernel instead excludes
+    # the row (a malformed vector must not kill a 100 TB job)
+    with_short = spark.createDataFrame(rows + short_row, schema).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+
+    for thr in (0.0, 0.4, 0.99, 0.9999995):
+        legacy = sorted(
+            map(tuple, _legacy_pairs(assigned, "vec_id", thr, dim).collect())
+        )
+        kernel = sorted(
+            map(
+                tuple,
+                _pairs_from_assigned(with_short, "vec_id", thr, dim=dim)
+                .collect(),
+            )
+        )
+        assert kernel == legacy, f"threshold={thr}"
+        assert not any(7 in (r[1], r[2]) for r in kernel)
+        # bitwise, not approximate: compare raw double bits
+        for krow, lrow in zip(kernel, legacy):
+            ks, ls = krow[3], lrow[3]
+            assert math.isnan(ks) == math.isnan(ls)
+            if not math.isnan(ks):
+                assert ks.hex() == ls.hex()
