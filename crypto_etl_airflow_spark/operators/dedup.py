@@ -95,14 +95,30 @@ def _reuse(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Callables invoked by :func:`release_reuse_caches` — other modules
+#: register their own plan-reuse caches here (e.g. the assignment
+#: memo in operators/similarity.py) so ONE call releases every form
+#: of cross-call reuse the engine holds. Keeps the decade harness's
+#: "first regime" honest: clearing reuse clears ALL of it.
+_RELEASE_HOOKS: list = []
+
+
+def register_release_hook(fn) -> None:
+    if fn not in _RELEASE_HOOKS:
+        _RELEASE_HOOKS.append(fn)
+
+
 def release_reuse_caches() -> int:
     """Unpersist every intermediate cached by :func:`_reuse` since the
-    last call. Safe to call any time AFTER the consuming action (the
-    returned DataFrames stay valid — they recompute from lineage).
-    Returns the number of handles released."""
+    last call, and fire every registered release hook (plan-memo
+    caches in other modules). Safe to call any time AFTER the
+    consuming action (the returned DataFrames stay valid — they
+    recompute from lineage). Returns the number of handles released."""
     with _REUSE_LOCK:
         handles = _REUSE_HANDLES[:]
         _REUSE_HANDLES.clear()
+    for hook in _RELEASE_HOOKS:
+        hook()
     return sum(1 for df in handles if _safe_unpersist(df))
 
 # 31-bit Mersenne prime: (a*h + b) with a,h,b < 2^31 stays well inside

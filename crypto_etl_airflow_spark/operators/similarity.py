@@ -30,6 +30,9 @@ similar pair at angle θ is 1-(1-(1-θ/π)^planes)^tables).
 from __future__ import annotations
 
 import hashlib
+import itertools
+import threading
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
@@ -426,6 +429,126 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
     return int(d) if d is not None and d > 0 else None
 
 
+# ---------------------------------------------------------------------
+# Cross-call reuse for kernel-bearing plans (VERDICT r15 item 2).
+#
+# Spark's CacheManager matches persisted plans by CANONICAL PLAN, and a
+# ``mapInPandas`` kernel can never match across builder calls: each call
+# pickles a fresh closure, and PythonUDF equality is function-instance
+# equality. r15 measured the consequence — every same-session re-run of
+# a semdedup/IVF query re-ran the whole assignment and every persisted
+# intermediate DOWNSTREAM of it (steady regime ×3.2→×5.6/decade
+# regressions). The fix is to memoize the assignment OUTPUT at the
+# Python layer: an identical logical request returns the SAME DataFrame
+# object, so the kernel subtree in every later consumer is the same JVM
+# function instance and downstream `_reuse` persists canonical-match
+# again.
+#
+# Key soundness: inputs are keyed by their CANONICALIZED analyzed plan
+# string (exprIds normalized — the same identity CacheManager uses,
+# with the same staleness semantics for externally-mutated files). A
+# canonical string that itself CONTAINS a Python-kernel node is
+# refused (None key → no memoization): two different closures print
+# identically there, so the string under-distinguishes — e.g.
+# assignment over the same corpus against nlist=16 vs nlist=32 seed
+# centroids yields the same MapInPandas canonical text. Memoized
+# OUTPUTS therefore carry a unique `_graft_plan_key` token that
+# downstream memo keys use INSTEAD of the canonical string, which is
+# what lets ivf_centroids → _nearest_centroid chains (whose cents plan
+# contains the seed-assignment kernel) stay memoizable without ever
+# trusting a kernel-bearing string.
+#
+# Entries are per-session (`is`-checked), bounded, and cleared by
+# dedup.release_reuse_caches() — so the decade harness's cache-cleared
+# "first regime" stays an honest single-pass measurement.
+_MEMO_LOCK = threading.Lock()
+_PLAN_MEMO: OrderedDict = OrderedDict()  # key -> (session, DataFrame)
+_PLAN_MEMO_MAX = 64
+_MEMO_SEQ = itertools.count()
+_PY_PLAN_NODES = (
+    "MapInPandas",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "PythonUDF",
+    "ArrowEval",
+    "BatchEval",
+    # in-memory relations print SCHEMA but not DATA in canonical form
+    # — two different createDataFrame tables would collide
+    "LocalRelation",
+    "LogicalRDD",
+    "ExistingRDD",
+)
+
+
+def _plan_key(df: DataFrame) -> str | None:
+    """Stable identity for a memo-key component, or None (→ the
+    caller skips memoization).
+
+    The key is the canonicalized analyzed-plan string (structure,
+    filters, literals — exprIds normalized) PLUS a hash of
+    ``df.inputFiles()``: the canonical string alone does NOT name the
+    scanned location (``Relation [none#0L…] parquet`` — two tables
+    with one schema print identically), while the file listing names
+    the exact parquet parts. Because Spark writes unique part names,
+    a store path the engine REWRITES (index add/delete/compact)
+    produces a different listing and the stale entry silently misses
+    — the same freshness semantics as CacheManager-with-refresh. The
+    caveat that remains is an external writer overwriting a file IN
+    PLACE under the same name, which CacheManager misses too.
+
+    Tokens stamped by :func:`_memo_put` short-circuit everything: an
+    input that IS a memoized output is identified by its token, never
+    by its (kernel-bearing, under-distinguishing) plan string."""
+    token = getattr(df, "_graft_plan_key", None)
+    if token is not None:
+        return token
+    try:
+        s = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        if any(m in s for m in _PY_PLAN_NODES):
+            return None
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None  # no identifiable storage behind the plan
+    h = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()
+    return f"{h}:{s}"
+
+
+def _memo_get(key: tuple, session) -> DataFrame | None:
+    with _MEMO_LOCK:
+        hit = _PLAN_MEMO.get(key)
+        if hit is None:
+            return None
+        sess, df = hit
+        if sess is not session:  # stale entry from a replaced session
+            del _PLAN_MEMO[key]
+            return None
+        _PLAN_MEMO.move_to_end(key)
+        return df
+
+
+def _memo_put(key: tuple, session, df: DataFrame) -> DataFrame:
+    df._graft_plan_key = f"__graft_memo_{next(_MEMO_SEQ)}"
+    with _MEMO_LOCK:
+        _PLAN_MEMO[key] = (session, df)
+        _PLAN_MEMO.move_to_end(key)
+        while len(_PLAN_MEMO) > _PLAN_MEMO_MAX:
+            _PLAN_MEMO.popitem(last=False)
+    return df
+
+
+def _clear_plan_memo() -> None:
+    with _MEMO_LOCK:
+        _PLAN_MEMO.clear()
+
+
+from .dedup import register_release_hook as _register_release_hook  # noqa: E402
+
+_register_release_hook(_clear_plan_memo)
+
+
 def _nearest_centroid_expr(
     vecs: DataFrame,
     cents: DataFrame,
@@ -544,6 +667,18 @@ def _nearest_centroid(
     if dim is None:
         return _nearest_centroid_expr(vecs, cents, id_col, vec_col)
 
+    # cross-call reuse (VERDICT r15 item 2): an identical logical
+    # request returns the SAME DataFrame object, restoring canonical-
+    # plan cache matching for everything downstream of the kernel
+    sess = vecs.sparkSession
+    memo_key = None
+    kv, kc = _plan_key(vecs), _plan_key(cents)
+    if kv is not None and kc is not None:
+        memo_key = ("assign", kv, kc, id_col, vec_col, int(dim))
+        hit = _memo_get(memo_key, sess)
+        if hit is not None:
+            return hit
+
     from pyspark.sql.types import StructField, StructType
 
     crows = cents.select("centroid_id", "c_vec", "c_norm").collect()
@@ -555,7 +690,10 @@ def _nearest_centroid(
     if not crows:
         # empty quantizer (empty-corpus build): assignment is empty,
         # exactly as the old inner join against an empty best table
-        return vecs.sparkSession.createDataFrame([], out_schema)
+        empty = vecs.sparkSession.createDataFrame([], out_schema)
+        return (
+            _memo_put(memo_key, sess, empty) if memo_key else empty
+        )
     c_ids = [r["centroid_id"] for r in crows]
     c_vecs = [
         None
@@ -638,7 +776,8 @@ def _nearest_centroid(
             out["centroid_id"] = ids[choice]
             yield out
 
-    return vecs.mapInPandas(assign, schema=out_schema)
+    result = vecs.mapInPandas(assign, schema=out_schema)
+    return _memo_put(memo_key, sess, result) if memo_key else result
 
 
 def ivf_centroids(
@@ -655,9 +794,26 @@ def ivf_centroids(
     Returns (centroid_id, c_vec, c_norm). Fully deterministic — no
     RNG, stable across runs/engines. ``dim``: see
     :func:`_nearest_centroid` — pass it when known so the seed
-    assignment unrolls its dots with zero extra driver actions."""
+    assignment runs with zero extra driver actions.
+
+    Memoized per (corpus plan, params, session): the result plan
+    contains the seed-assignment KERNEL, whose canonical form two
+    builder calls can never share — same-object reuse is what keeps
+    the persisted nlist-row table (and every downstream consumer's
+    cached blocks) matchable across calls in one session."""
     if dim is None:
         dim = _probe_dim(corpus, vec_col)
+    sess = corpus.sparkSession
+    memo_key = None
+    kc = _plan_key(corpus)
+    if kc is not None:
+        memo_key = (
+            "ivfc", kc, id_col, vec_col, int(nlist),
+            -1 if dim is None else int(dim),
+        )
+        hit = _memo_get(memo_key, sess)
+        if hit is not None:
+            return hit
     seeds = (
         corpus.orderBy(F.asc(id_col))
         .limit(nlist)
@@ -701,7 +857,8 @@ def ivf_centroids(
     # lineage survives block loss (the _reuse discipline).
     from .dedup import _reuse
 
-    return _reuse(means)
+    out = _reuse(means)
+    return _memo_put(memo_key, sess, out) if memo_key else out
 
 
 def cosine_topk_ivf(

@@ -1,0 +1,70 @@
+"""Cross-call reuse memo for kernel-bearing plans
+(operators/similarity.py::_plan_key/_memo_*, VERDICT r15 item 2):
+same-object reuse restores canonical-plan cache matching that the
+mapInPandas closure breaks, WITHOUT ever serving a wrong or stale
+DataFrame."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from crypto_etl_airflow_spark.operators.dedup import release_reuse_caches
+from crypto_etl_airflow_spark.operators.similarity import (
+    _nearest_centroid,
+    _plan_key,
+    ivf_centroids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_memo_same_object_and_param_distinct(spark):
+    release_reuse_caches()
+    emb = _emb(spark)
+    c16a = ivf_centroids(emb, nlist=16)
+    c16b = ivf_centroids(emb, nlist=16)
+    c32 = ivf_centroids(emb, nlist=32)
+    assert c16a is c16b
+    assert c16a is not c32
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    n16 = _nearest_centroid(v, c16a, "vec_id", "v", dim=8)
+    n16b = _nearest_centroid(v, c16a, "vec_id", "v", dim=8)
+    n32 = _nearest_centroid(v, c32, "vec_id", "v", dim=8)
+    assert n16 is n16b
+    # cents tokens keep nlist=16 vs 32 distinct even though BOTH cents
+    # plans contain a kernel whose canonical string is identical
+    assert n16 is not n32
+    a16 = sorted((r.vec_id, r.centroid_id) for r in n16.collect())
+    a32 = sorted((r.vec_id, r.centroid_id) for r in n32.collect())
+    assert a16 != a32
+    release_reuse_caches()
+    assert ivf_centroids(_emb(spark), nlist=16) is not c16a  # cleared
+
+
+def test_plan_key_refuses_in_memory_relations(spark):
+    # LocalRelation canonical form prints schema but NOT data — two
+    # different in-memory tables would collide (the r16 test bite)
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, v array<double>")
+    assert _plan_key(df) is None
+
+
+def test_plan_key_distinguishes_paths_and_rewrites(spark, tmp_path):
+    # same schema, different storage → different keys (the canonical
+    # string alone prints identically for both)
+    a = spark.read.parquet(f"{SF}/embeddings.parquet")
+    k_src = _plan_key(a)
+    p = str(tmp_path / "emb")
+    a.limit(5).write.parquet(p)
+    b = spark.read.parquet(p)
+    k1 = _plan_key(b)
+    assert k_src is not None and k1 is not None and k1 != k_src
+    # rewriting the path changes the part listing → the key moves on
+    # (a memoized plan over the old files is never served stale)
+    shutil.rmtree(p)
+    a.limit(3).write.parquet(p)
+    k2 = _plan_key(spark.read.parquet(p))
+    assert k2 is not None and k2 != k1
