@@ -233,3 +233,41 @@ def test_bruteforce_probe_guard_falls_back_unhinted(spark):
         tuple(r) for r in cosine_topk_bruteforce(probes, emb, k=3).collect()
     )
     assert got == want and got
+
+
+def test_no_hof_dot_inside_bnlj_condition_outside_baselines(spark):
+    """The r15 BNLJ-condition lens, pinned engine-wide (SCALE.md r16):
+    a Filter over a cross join is pushed into the
+    BroadcastNestedLoopJoin as its CONDITION, and a higher-order-
+    function dot there is evaluated INTERPRETED per (left × right)
+    pair. Exactly one family may carry that shape — the documented
+    exact-baseline `embedding_neardup_pairs` — plus the RHP bucketing
+    sites whose HOF is the (linear-volume) plane projection itself.
+    Scoped to the vector-bearing tags; everything else was inventoried
+    once in SCALE.md r16 and carries no HOF conditions."""
+    allowed = {
+        "embedding_neardup_pairs",           # exact n² baseline
+        "similarity_topk_lsh",               # plane projection, linear
+        "embedding_neardup_pairs_lsh_scaled",
+        "embedding_neardup_pairs_lsh_scaled_planted",
+    }
+    offenders = {}
+    for name, spec in all_specs().items():
+        if not ({"similarity", "dedup"} & set(spec.tags)):
+            continue
+        if {"streaming", "ingest"} & set(spec.tags):
+            continue
+        plan = (
+            spec.builder(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            if (
+                "BroadcastNestedLoopJoin" in line
+                and "aggregate(zip_with" in line
+                and name not in allowed
+            ):
+                offenders[name] = line.strip()[:200]
+    assert not offenders, offenders
