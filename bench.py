@@ -114,6 +114,23 @@ def main() -> None:
         min_gaps[name] = round(runs[1] - runs[0], 4)
         extra_runs[name] = len(runs) - n_runs
 
+    # Regime split for the flagship composed pipeline (VERDICT r16
+    # stretch): every timed run above clears the reuse caches, so the
+    # headline numbers are FIRST-regime (one production pass). The
+    # pipeline is the one bench query whose same-session repeated
+    # cost differs structurally (assignment memo + _reuse persists),
+    # so measure that steady cost too — the regime the decade harness
+    # distinguishes.
+    steady: dict[str, float] = {}
+    _flag = "pipeline_curate_corpus"
+    if _flag in specs:
+        release_reuse_caches()
+        specs[_flag].builder(spark, sf_dir).count()  # fresh first pass
+        t0 = time.perf_counter()
+        specs[_flag].builder(spark, sf_dir).count()  # no clear between
+        steady[_flag] = round(time.perf_counter() - t0, 4)
+        release_reuse_caches()
+
     total = round(sum(timings.values()), 4)
     # testdata fingerprint (VERDICT r14 item 5): two rounds in a row a
     # bench delta was confounded by driver-side testdata regeneration;
@@ -140,6 +157,7 @@ def main() -> None:
         "min_gap": min_gaps,
         "extra_runs": {k: v for k, v in extra_runs.items() if v},
         "runs_per_query": n_runs,
+        "steady": steady,
         "sf": sf,
         "posture": posture,
         "testdata_fingerprint": fingerprint,

@@ -337,10 +337,10 @@ def semdedup_keep(
     keep-one-representative SemDeDup policy for transitive groups
     whose members all pairwise collide in one cluster).
 
-    The clustering runs ONCE: the persisted assignment feeds the
-    pair search (both self-join sides) and the verdict projection —
-    at corpus scale the clustering pass is the dominant cost, so
-    re-deriving it per consumer would double the corpus scans."""
+    The clustering runs ONCE: the persisted assignment feeds both
+    the pair kernel and the verdict projection — at corpus scale the
+    clustering pass is the dominant cost, so re-deriving it per
+    consumer would double the corpus scans."""
     from .dedup import _reuse
     from .similarity import _probe_dim
 

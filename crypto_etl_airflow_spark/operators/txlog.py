@@ -152,11 +152,11 @@ class DirRenameClaim(ClaimBackend):
     some network filesystems lack. This backend uses only
     write + rename, the portable subset (NFS, FUSE mounts, and the
     commit dance most table formats use on HDFS). For a REAL object
-    store, replace ``os.rename`` with the store's conditional put —
-    S3 ``PutObject`` + ``If-None-Match: *``, GCS
-    ``ifGenerationMatch=0``, Azure ``Put Blob`` + ``If-None-Match:
-    *`` — the rest of this class (stage content fully, then bind the
-    name once) is already that recipe's shape. Readers resolve claims
+    store the recipe is shipped as :class:`S3ConditionalPutClaim`
+    below — one conditional ``PutObject`` + ``If-None-Match: *``
+    (GCS: ``ifGenerationMatch=0``, Azure: ``Put Blob`` +
+    ``If-None-Match: *``); this class's stage-then-bind shape is the
+    same recipe for stores without conditional puts. Readers resolve claims
     through :func:`_commit_entries`, which lists both the flat file
     and the directory form, so a table MIGRATED between backends
     stays readable; concurrent writers must share one backend (the
@@ -187,6 +187,65 @@ class DirRenameClaim(ClaimBackend):
             # tx_append_if_absent's retries as phantom contention
             # (ADVICE r15).
             if exc.errno in (errno.ENOTEMPTY, errno.EEXIST, errno.ENOTDIR):
+                return False
+            raise
+
+
+class S3ConditionalPutClaim(ClaimBackend):
+    """Real object-store backend: the claim is ONE conditional
+    ``PutObject`` with ``If-None-Match: *`` — S3 (and any
+    S3-compatible store: MinIO, R2, GCS's XML layer) accepts the put
+    only when no object exists under the key, returning HTTP 412
+    ``PreconditionFailed`` to every losing writer. A single S3 put is
+    atomic (content and name bind together), so the
+    stage-then-publish dance of :class:`DirRenameClaim` collapses
+    into one call; readers can never observe a partial commit.
+
+    ``log_dir`` (a local-path-shaped string in the tx_* protocol) is
+    normalized into the object key under ``prefix``, so one backend
+    instance serves a whole table tree. The errno discipline mirrors
+    :class:`DirRenameClaim`: ONLY 412/PreconditionFailed means "lost
+    the race"; auth/permission/endpoint failures surface to the
+    caller instead of burning ``tx_append_if_absent`` retries as
+    phantom contention.
+
+    boto3 is imported lazily — the engine never requires it unless
+    this backend is constructed. Tested against moto's S3
+    implementation (`tests/test_txlog_s3.py`: N-writer race, exactly
+    one winner, loser content never clobbers)."""
+
+    def __init__(self, bucket: str, prefix: str = "", client=None):
+        if client is None:
+            import boto3
+
+            client = boto3.client("s3")
+        self._client = client
+        self._bucket = bucket
+        self._prefix = prefix.strip("/")
+
+    def _key(self, log_dir: str, name: str) -> str:
+        parts = [p for p in (self._prefix, log_dir.strip("/"), name) if p]
+        return "/".join(parts)
+
+    def claim(self, log_dir: str, name: str, payload: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        try:
+            self._client.put_object(
+                Bucket=self._bucket,
+                Key=self._key(log_dir, name),
+                Body=payload.encode("utf-8"),
+                IfNoneMatch="*",
+            )
+            return True
+        except ClientError as exc:
+            code = exc.response.get("Error", {}).get("Code", "")
+            status = (
+                exc.response.get("ResponseMetadata", {}).get(
+                    "HTTPStatusCode"
+                )
+            )
+            if code == "PreconditionFailed" or status == 412:
                 return False
             raise
 
