@@ -421,12 +421,30 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
     The guard matters (ADVICE r14): ``F.size(NULL)`` is −1 under the
     legacy ``sizeOfNull``, and an unguarded ``int(-1)`` would unroll a
     ZERO-term dot product, silently scoring every vector 0.0 against
-    every centroid."""
+    every centroid.
+
+    Memoized per (session, plan identity, vec_col) with the same key
+    machinery as the assignment memo — repeated same-session operator
+    calls over one corpus pay the head(1) job once, not per call
+    (VERDICT r15 noted the per-call probe; the memo's file-listing
+    component keeps a rewritten path from serving a stale answer)."""
+    sess = df.sparkSession
+    pk = _plan_key(df)
+    key = ("probe", pk, vec_col) if pk is not None else None
+    if key is not None:
+        with _MEMO_LOCK:
+            hit = _PROBE_MEMO.get(key)
+            if hit is not None and hit[0] is sess:
+                return hit[1]
     head = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
-    if not head:
-        return None
-    d = head[0]["d"]
-    return int(d) if d is not None and d > 0 else None
+    d = head[0]["d"] if head else None
+    dim = int(d) if d is not None and d > 0 else None
+    if key is not None:
+        with _MEMO_LOCK:
+            _PROBE_MEMO[key] = (sess, dim)
+            while len(_PROBE_MEMO) > _PLAN_MEMO_MAX:
+                _PROBE_MEMO.popitem(last=False)
+    return dim
 
 
 # ---------------------------------------------------------------------
@@ -463,6 +481,7 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
 # "first regime" stays an honest single-pass measurement.
 _MEMO_LOCK = threading.Lock()
 _PLAN_MEMO: OrderedDict = OrderedDict()  # key -> (session, DataFrame)
+_PROBE_MEMO: OrderedDict = OrderedDict()  # key -> (session, dim|None)
 _PLAN_MEMO_MAX = 64
 _MEMO_SEQ = itertools.count()
 _PY_PLAN_NODES = (
@@ -542,6 +561,7 @@ def _memo_put(key: tuple, session, df: DataFrame) -> DataFrame:
 def _clear_plan_memo() -> None:
     with _MEMO_LOCK:
         _PLAN_MEMO.clear()
+        _PROBE_MEMO.clear()
 
 
 from .dedup import register_release_hook as _register_release_hook  # noqa: E402

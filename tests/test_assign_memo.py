@@ -68,3 +68,18 @@ def test_plan_key_distinguishes_paths_and_rewrites(spark, tmp_path):
     a.limit(3).write.parquet(p)
     k2 = _plan_key(spark.read.parquet(p))
     assert k2 is not None and k2 != k1
+
+
+def test_probe_dim_memoized_per_plan(spark):
+    from unittest.mock import patch
+
+    from crypto_etl_airflow_spark.operators.similarity import _probe_dim
+
+    release_reuse_caches()
+    emb = _emb(spark)
+    dim = _probe_dim(emb, "embedding")
+    assert isinstance(dim, int) and dim > 0
+    # second probe over the same plan must not run another job
+    with patch.object(type(emb), "head", side_effect=AssertionError):
+        assert _probe_dim(_emb(spark), "embedding") == dim
+    release_reuse_caches()
