@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 import itertools
 import threading
+import weakref
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame
@@ -484,6 +485,11 @@ _PLAN_MEMO: OrderedDict = OrderedDict()  # key -> (session, DataFrame)
 _PROBE_MEMO: OrderedDict = OrderedDict()  # key -> (session, dim|None)
 _PLAN_MEMO_MAX = 64
 _MEMO_SEQ = itertools.count()
+#: df object -> computed key ("" = refused); weak so the cache never
+#: pins a DataFrame past its natural lifetime
+_KEY_CACHE: "weakref.WeakKeyDictionary[DataFrame, str]" = (
+    weakref.WeakKeyDictionary()
+)
 _PY_PLAN_NODES = (
     "MapInPandas",
     "MapInArrow",
@@ -518,21 +524,34 @@ def _plan_key(df: DataFrame) -> str | None:
 
     Tokens stamped by :func:`_memo_put` short-circuit everything: an
     input that IS a memoized output is identified by its token, never
-    by its (kernel-bearing, under-distinguishing) plan string."""
+    by its (kernel-bearing, under-distinguishing) plan string.
+
+    The computed key is cached per DataFrame OBJECT (weakly — the
+    parallel.py probe discipline): operators call this on the same
+    corpus df several times per build, and each canonical-string +
+    file-listing fetch is a py4j roundtrip (the r15 plan-build-latency
+    lesson)."""
     token = getattr(df, "_graft_plan_key", None)
     if token is not None:
         return token
+    cached = _KEY_CACHE.get(df)
+    if cached is not None:
+        return cached or None  # "" sentinel = previously refused
     try:
         s = df._jdf.queryExecution().analyzed().canonicalized().toString()
         if any(m in s for m in _PY_PLAN_NODES):
+            _KEY_CACHE[df] = ""
             return None
         files = df.inputFiles()
     except Exception:
         return None
     if not files:
+        _KEY_CACHE[df] = ""
         return None  # no identifiable storage behind the plan
     h = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()
-    return f"{h}:{s}"
+    key = f"{h}:{s}"
+    _KEY_CACHE[df] = key
+    return key
 
 
 def _memo_get(key: tuple, session) -> DataFrame | None:
