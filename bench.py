@@ -87,7 +87,23 @@ def main() -> None:
     min_gaps: dict[str, float] = {}
     extra_runs: dict[str, int] = {}
 
+    engine_parts = str(posture["shuffle_partitions"])
+    engine_aqe = str(posture["adaptive"]).lower()
+
+    def _apply_posture(spec) -> None:
+        # per-query posture override (registry `posture` field): a
+        # "classic" query keeps AQE + core-floored partitions even
+        # when the input is tiny — for plans whose runtime SMJ→BHJ
+        # flips outweigh AQE's re-planning latency (hybrid RRF, r16)
+        if getattr(spec, "posture", "auto") == "classic":
+            spark.conf.set("spark.sql.shuffle.partitions", cpus)
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", engine_parts)
+            spark.conf.set("spark.sql.adaptive.enabled", engine_aqe)
+
     def one_run(spec) -> float:
+        _apply_posture(spec)
         t0 = time.perf_counter()
         spec.builder(spark, sf_dir).count()
         dt = time.perf_counter() - t0
@@ -124,6 +140,7 @@ def main() -> None:
     steady: dict[str, float] = {}
     _flag = "pipeline_curate_corpus"
     if _flag in specs:
+        _apply_posture(specs[_flag])
         release_reuse_caches()
         specs[_flag].builder(spark, sf_dir).count()  # fresh first pass
         t0 = time.perf_counter()

@@ -39,6 +39,15 @@ class QuerySpec:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    #: execution posture for harnesses that apply the engine's
+    #: size-aware tuning (bench.py): "auto" = whatever
+    #: session.tune_execution picked for the input; "classic" = force
+    #: AQE on + core-floored partitions for THIS query — for plans
+    #: whose runtime join flips (SMJ→BHJ) outweigh AQE's re-planning
+    #: latency even on tiny inputs (measured r16: hybrid RRF 2.05 s
+    #: under the tiny posture vs 1.25 s classic — its BM25 legs carry
+    #: ~16 static SMJs that AQE converts at runtime)
+    posture: str = "auto"
 
 
 def register(
@@ -47,6 +56,7 @@ def register(
     doc: str = "",
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    posture: str = "auto",
 ) -> Callable[[Builder], Builder]:
     """Decorator: register a builder under ``name``."""
 
@@ -55,7 +65,7 @@ def register(
             raise ValueError(f"duplicate query name: {name}")
         _REGISTRY[name] = QuerySpec(
             name=name, builder=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
-            tags=tags, bench=bench,
+            tags=tags, bench=bench, posture=posture,
         )
         return fn
 

@@ -393,6 +393,12 @@ _BM25_CTE = f"""
     tags=("similarity", "text", "retrieval", "extension"),
     bench=True,  # joined the headline set in r9 once the bruteforce
     # broadcast fix made its plan decade-stable (SCALE.md third decade)
+    # r16: the one bench query that LOSES under the tiny-input posture
+    # (measured: 2.05 s at parts=4/AQE-off vs 1.25 s classic) — its
+    # BM25 legs plan ~16 static SortMergeJoins that AQE flips to
+    # broadcast at runtime, worth far more than AQE's re-planning
+    # latency here (the pipeline's trade goes the other way)
+    posture="classic",
 )
 def similarity_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
