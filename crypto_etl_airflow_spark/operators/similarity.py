@@ -755,6 +755,35 @@ def _nearest_centroid(
     def assign(batches):
         import numpy as np
 
+        # one BLAS thread per worker: 32 concurrent Python workers ×
+        # OpenBLAS's default thread-per-core GEMM would oversubscribe
+        # the machine 32×; parallelism comes from Spark tasks here.
+        # Runtime clamp via the loaded library handle (env vars are
+        # too late on a REUSED worker where numpy is already loaded);
+        # best-effort — a failure only costs scheduling noise.
+        try:
+            import ctypes
+            import glob
+            import os as _os
+
+            for _p in glob.glob(
+                _os.path.join(
+                    _os.path.dirname(np.__file__), "..", "numpy.libs",
+                    "libopenblas*",
+                )
+            ):
+                _lib = ctypes.CDLL(_p)
+                for _fn in (
+                    "openblas_set_num_threads64_",
+                    "openblas_set_num_threads",
+                ):
+                    _f = getattr(_lib, _fn, None)
+                    if _f is not None:
+                        _f(1)
+                        break
+        except Exception:
+            pass
+
         neg_inf = float("-inf")
         C = np.array(
             [c if c is not None else [0.0] * kernel_dim for c in c_vecs],
@@ -779,6 +808,106 @@ def _nearest_centroid(
         # and ran ~10× slower at nlist=16k)
         tile = max(8, (1 << 20) // (8 * nlist))
 
+        def seq_assign(V, rows, choice):
+            """The canonical sequential fold over a row subset —
+            handles every value class (NaN/Inf/dead) and defines the
+            semantics the fast path must reproduce bit-exactly."""
+            for lo in range(0, len(rows), tile):
+                sub = rows[lo : lo + tile]
+                m = len(sub)
+                block = np.zeros((m, nlist), dtype=np.float64)
+                tmp = np.empty((m, nlist), dtype=np.float64)
+                # sequential fold over dimensions: bit-identical to
+                # ((0.0 + v1*c1) + v2*c2) + ... per cell
+                for i in range(kernel_dim):
+                    np.multiply(
+                        V[sub, i : i + 1], Ct[i][None, :], out=tmp
+                    )
+                    np.add(block, tmp, out=block)
+                np.divide(block, norms[None, :], out=block)
+                block[np.isnan(block)] = neg_inf
+                block[:, c_dead] = neg_inf
+                # first max along ascending centroid ids == lowest id
+                choice[sub] = np.argmax(block, axis=1)
+
+        # BLAS fast path (r16, the ×1000 third-decade lever): the
+        # assignment is O(n·nlist·dim) with nlist ∝ corpus — the
+        # engine's one super-linear term. A GEMM computes the same
+        # score matrix ~30× faster but in a different summation order
+        # (blocked/SIMD/FMA), so it is used ONLY to SELECT argmax
+        # candidates under a rigorous error bound, and the exact
+        # sequential fold re-scores the few candidates per row to
+        # make the DECISION — the chosen centroid is bit-identical to
+        # seq_assign's. Bound: |gemm − seq| ≤ 2·γ_dim·Σ|vᵢcᵢ| with
+        # γ_dim = dim·2⁻⁵³ (standard fp summation error, FMA only
+        # tightens it); GAMMA below carries a ~100× safety margin,
+        # which costs only a sliver of extra candidates. Fast path
+        # requires clean data — finite vector/centroid components,
+        # finite positive norms (then no NaN/Inf sim can arise);
+        # everything else routes to seq_assign.
+        col_regular = (
+            ~c_dead
+            & np.isfinite(C).all(axis=1)
+            & np.isfinite(norms)
+            & (norms > 0)
+        )
+        fast_ok = bool((col_regular | c_dead).all()) and bool(
+            col_regular.any()
+        )
+        GAMMA = 2.0e-12
+        if fast_ok:
+            reg_idx = np.flatnonzero(col_regular)
+            Creg = np.ascontiguousarray(C[col_regular])
+            CregT = np.ascontiguousarray(Creg.T)
+            absCT = np.ascontiguousarray(np.abs(Creg).T)
+            nrm_reg = norms[col_regular]
+            nreg = len(reg_idx)
+            # dead cols are -inf and can never beat a finite regular
+            # sim, so the argmax is decided among regular cols only
+            rtile = min(65536, max(16, (32 << 20) // (8 * nreg)))
+
+        def fast_assign(V, rows, choice):
+            for lo in range(0, len(rows), rtile):
+                sub = rows[lo : lo + rtile]
+                Vb = V[sub]
+                S = Vb @ CregT
+                A = np.abs(Vb) @ absCT
+                np.divide(S, nrm_reg[None, :], out=S)
+                np.divide(A, nrm_reg[None, :], out=A)
+                eps = GAMMA * A + 1e-300
+                m_star = (S - eps).max(axis=1)
+                r_idx, c_idx = np.nonzero(S + eps >= m_star[:, None])
+                if len(r_idx) > 32 * len(sub):
+                    # degenerate near-tie blowup (e.g. zero vectors:
+                    # every col ties at 0) — the exact pass would
+                    # gather candidate × dim copies; score these rows
+                    # sequentially instead
+                    seq_assign(V, sub, choice)
+                    continue
+                # exact sequential fold over the candidates only
+                Vc = Vb[r_idx]
+                Cc = Creg[c_idx]
+                acc = np.zeros(len(r_idx), dtype=np.float64)
+                prod = np.empty(len(r_idx), dtype=np.float64)
+                for i in range(kernel_dim):
+                    np.multiply(Vc[:, i], Cc[:, i], out=prod)
+                    np.add(acc, prod, out=acc)
+                sim = acc / nrm_reg[c_idx]
+                # segmented FIRST-argmax (cols ascend within a row ⇒
+                # ties resolve to the lowest centroid id, as argmax)
+                seg = np.flatnonzero(
+                    np.r_[True, r_idx[1:] != r_idx[:-1]]
+                )
+                seg_max = np.maximum.reduceat(sim, seg)
+                lens = np.diff(np.r_[seg, len(r_idx)])
+                pos = np.where(
+                    sim == np.repeat(seg_max, lens),
+                    np.arange(len(r_idx)),
+                    len(r_idx),
+                )
+                first = np.minimum.reduceat(pos, seg)
+                choice[sub[r_idx[seg]]] = reg_idx[c_idx[first]]
+
         for pdf in batches:
             arrs = pdf[vec_name]
             n = len(pdf)
@@ -792,25 +921,21 @@ def _nearest_centroid(
                     continue
                 valid[r] = True
                 V[r] = v[:kernel_dim]
+            # invalid rows default to position 0 = the lowest centroid
+            # id (their sims are all -inf), as in the sequential form
             choice = np.zeros(n, dtype=np.int64)
-            for lo in range(0, n, tile):
-                hi = min(lo + tile, n)
-                m = hi - lo
-                block = np.zeros((m, nlist), dtype=np.float64)
-                tmp = np.empty((m, nlist), dtype=np.float64)
-                # sequential fold over dimensions: bit-identical to
-                # ((0.0 + v1*c1) + v2*c2) + ... per cell
-                for i in range(kernel_dim):
-                    np.multiply(
-                        V[lo:hi, i : i + 1], Ct[i][None, :], out=tmp
-                    )
-                    np.add(block, tmp, out=block)
-                np.divide(block, norms[None, :], out=block)
-                block[np.isnan(block)] = neg_inf
-                block[:, c_dead] = neg_inf
-                block[~valid[lo:hi]] = neg_inf
-                # first max along ascending centroid ids == lowest id
-                choice[lo:hi] = np.argmax(block, axis=1)
+            if fast_ok:
+                clean = valid & np.isfinite(V).all(axis=1)
+                hard = np.flatnonzero(valid & ~clean)
+                fast = np.flatnonzero(clean)
+                if len(fast):
+                    fast_assign(V, fast, choice)
+                if len(hard):
+                    seq_assign(V, hard, choice)
+            else:
+                rows = np.flatnonzero(valid)
+                if len(rows):
+                    seq_assign(V, rows, choice)
             out = pdf.copy()
             out["centroid_id"] = ids[choice]
             yield out

@@ -83,3 +83,63 @@ def test_probe_dim_memoized_per_plan(spark):
     with patch.object(type(emb), "head", side_effect=AssertionError):
         assert _probe_dim(_emb(spark), "embedding") == dim
     release_reuse_caches()
+
+
+def test_fast_assignment_bit_identical_to_column_form(spark):
+    """The r16 BLAS candidate-selection fast path must pick the SAME
+    centroid as the pure-Column argmax (`_nearest_centroid_expr`,
+    the engine's bit-exactness reference) on data designed to stress
+    it: near-duplicate centroids (ties → lowest id), near-tie scores,
+    NaN-element vectors (routed to the sequential fallback), NULL
+    vectors (lowest id)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.functions.vector import norm as _norm
+    from crypto_etl_airflow_spark.operators.similarity import (
+        _nearest_centroid,
+        _nearest_centroid_expr,
+    )
+
+    random.seed(16)
+    dim = 64
+
+    def vec(seed):
+        rng = random.Random(seed)
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(400)]
+    rows += [(1000, None), (1001, [float("nan")] * dim)]
+    # exact-duplicate of row 3's vector → ties with whichever
+    # centroid row 3 picks must resolve identically
+    rows += [(1002, vec(3))]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, v array<double>"
+    )
+
+    # centroids: 32 regular + one exact duplicate pair (ties) + one
+    # near-duplicate pair (1e-15 apart → candidate-bound stress)
+    cvecs = [vec(10_000 + i) for i in range(32)]
+    cvecs.append(list(cvecs[0]))  # duplicate of centroid 0
+    near = list(cvecs[1])
+    near[0] = math.nextafter(near[0], 2.0)
+    cvecs.append(near)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cvecs)],
+        "centroid_id long, c_vec array<double>",
+    ).withColumn("c_norm", _norm(F.col("c_vec")))
+
+    got = {
+        r.vec_id: r.centroid_id
+        for r in _nearest_centroid(corpus, cents, "vec_id", "v", dim=dim)
+        .collect()
+    }
+    want = {
+        r.vec_id: r.centroid_id
+        for r in _nearest_centroid_expr(corpus, cents, "vec_id", "v")
+        .collect()
+    }
+    assert got == want
+    assert len(got) == len(rows)
