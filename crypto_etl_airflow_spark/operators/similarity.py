@@ -653,19 +653,29 @@ def _nearest_centroid(
     Execution: an Arrow-batched ``mapInPandas`` kernel. The centroid
     table (nlist ≤ ~16k rows by the nlist ∝ corpus contract, ~8 MB at
     the decade point) is collected once — the moral equivalent of the
-    broadcast build it replaces — and each Arrow batch computes the
-    |batch| × nlist score matrix VECTORIZED OVER ROWS, SEQUENTIAL
-    OVER DIMENSIONS::
+    broadcast build it replaces. The semantic reference per
+    (row, centroid) is the engine's canonical left-to-right IEEE
+    fold::
 
         acc[r, c] = 0.0
         for i in 1..dim:  acc[r, c] += v[r, i] * c_vec[c, i]
         sim[r, c] = nanvl(acc[r, c] / c_norm[c], -inf)
 
-    Per (row, centroid) that is EXACTLY the engine's canonical
-    left-to-right IEEE fold ``((0.0 + v₁c₁) + v₂c₂) + …`` — numpy
+    computed vectorized over rows, SEQUENTIAL over dimensions — numpy
     elementwise double ops are plain IEEE doubles, so every sim is
     bit-identical to the Column form and to the DuckDB oracle's fold,
     and the argmax/tie decisions cannot diverge.
+
+    On clean data (finite components, finite positive norms) a BLAS
+    fast path runs FIRST (r16): a GEMM — a different summation order,
+    so never trusted for values — SELECTS argmax candidates under a
+    rigorous error bound, and the exact fold above re-scores only
+    those candidates to make the decision; the chosen centroid is
+    bit-identical to the all-sequential form (see ``assign`` inline
+    comments and the tie/NaN stress test). This is the ×1000 decade
+    lever: assignment is O(n·nlist·dim) with nlist ∝ corpus — the
+    engine's one super-linear term — and the GEMM runs it at
+    compute-bound instead of memory-bound speed.
 
     WHY a Python kernel, when the repo's discipline is JVM-first
     (this is the one measured exception): the r14 answer — unroll the
