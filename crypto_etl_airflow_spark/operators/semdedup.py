@@ -50,7 +50,8 @@ def assign_clusters(
 
     One guarded dimension probe serves BOTH assignment passes (seed
     assignment inside ivf_centroids + the final assignment), so the
-    dot products unroll into codegen with a single head(1) job."""
+    Arrow kernels get their fixed dimension from a single (memoized)
+    head(1) job."""
     from .similarity import _probe_dim
 
     if dim is None:
