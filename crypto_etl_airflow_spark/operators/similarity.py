@@ -759,6 +759,14 @@ def _nearest_centroid(
     ]
     kernel_dim = dim
     vec_name = vec_col
+    # measurement-hygiene toggle (captured BY VALUE here so the
+    # closure stays self-contained): SPARK_GRAFT_ASSIGN_BLAS=0 forces
+    # the all-sequential path — the A/B knob behind the r16 decade
+    # numbers, never a semantics switch (the decision is bit-identical
+    # either way)
+    import os as _os
+
+    allow_fast = _os.environ.get("SPARK_GRAFT_ASSIGN_BLAS", "1") != "0"
 
     # NOTE: ships to Python workers via cloudpickle — self-contained
     # closure over plain lists (pickled by value), no module refs
@@ -861,8 +869,10 @@ def _nearest_centroid(
             & np.isfinite(norms)
             & (norms > 0)
         )
-        fast_ok = bool((col_regular | c_dead).all()) and bool(
-            col_regular.any()
+        fast_ok = (
+            allow_fast
+            and bool((col_regular | c_dead).all())
+            and bool(col_regular.any())
         )
         GAMMA = 2.0e-12
         if fast_ok:
