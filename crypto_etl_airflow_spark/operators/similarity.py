@@ -879,8 +879,12 @@ def _nearest_centroid(
             reg_idx = np.flatnonzero(col_regular)
             Creg = np.ascontiguousarray(C[col_regular])
             CregT = np.ascontiguousarray(Creg.T)
-            absCT = np.ascontiguousarray(np.abs(Creg).T)
             nrm_reg = norms[col_regular]
+            # per-col error scale via Cauchy-Schwarz: Σ|vᵢcᵢ| ≤
+            # ‖v‖₂·‖c‖₂, so eps = GAMMA·‖v‖·(‖c‖/c_norm) needs only an
+            # OUTER PRODUCT of norms — not a second |V|@|C|ᵀ GEMM
+            # (measured: the abs-GEMM doubled the fast path's cost)
+            ceps = GAMMA * np.sqrt((Creg * Creg).sum(axis=1)) / nrm_reg
             nreg = len(reg_idx)
             # dead cols are -inf and can never beat a finite regular
             # sim, so the argmax is decided among regular cols only
@@ -891,10 +895,9 @@ def _nearest_centroid(
                 sub = rows[lo : lo + rtile]
                 Vb = V[sub]
                 S = Vb @ CregT
-                A = np.abs(Vb) @ absCT
                 np.divide(S, nrm_reg[None, :], out=S)
-                np.divide(A, nrm_reg[None, :], out=A)
-                eps = GAMMA * A + 1e-300
+                vnorm = np.sqrt((Vb * Vb).sum(axis=1))
+                eps = vnorm[:, None] * ceps[None, :] + 1e-300
                 m_star = (S - eps).max(axis=1)
                 r_idx, c_idx = np.nonzero(S + eps >= m_star[:, None])
                 if len(r_idx) > 32 * len(sub):
