@@ -129,13 +129,22 @@ def _pair_score_kernel(dim: int, threshold: float, cogroup: bool):
 
         def round6(x):
             import math
-            from decimal import ROUND_HALF_UP, Decimal
+            from decimal import ROUND_HALF_UP, Context, Decimal
 
             if math.isnan(x) or math.isinf(x):
                 return x
+            # explicit wide-precision context: quantizing a LARGE
+            # finite double to 6 dp needs int_digits+6 significant
+            # digits (up to ~315 at 1e308) — the default 28-digit
+            # context raises InvalidOperation there, where Spark's
+            # F.round (BigDecimal.setScale, arbitrary precision)
+            # returns the value unchanged; a corrupted norm sidecar
+            # must not kill the task on a parity edge
             return float(
                 Decimal(repr(x)).quantize(
-                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    Decimal("0.000001"),
+                    rounding=ROUND_HALF_UP,
+                    context=Context(prec=340),
                 )
             )
 

@@ -538,7 +538,29 @@ def _plan_key(df: DataFrame) -> str | None:
     if cached is not None:
         return cached or None  # "" sentinel = previously refused
     try:
-        s = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        # tree rendering truncates long field lists at
+        # spark.sql.debug.maxToStringFields (default 25): two plans
+        # differing only inside a wide projection would both print
+        # "... N more fields" and COLLIDE. Raise the cap for the
+        # rendering (restored in finally — it only affects string
+        # rendering, never execution), and fold the full output
+        # schema json in as a second line of defense.
+        conf = df.sparkSession.conf
+        _FIELDS_KEY = "spark.sql.debug.maxToStringFields"
+        old = conf.get(_FIELDS_KEY, None)
+        conf.set(_FIELDS_KEY, "100000")
+        try:
+            s = (
+                df._jdf.queryExecution()
+                .analyzed()
+                .canonicalized()
+                .toString()
+            )
+        finally:
+            if old is None:
+                conf.unset(_FIELDS_KEY)
+            else:
+                conf.set(_FIELDS_KEY, old)
         if any(m in s for m in _PY_PLAN_NODES):
             _KEY_CACHE[df] = ""
             return None
@@ -549,7 +571,7 @@ def _plan_key(df: DataFrame) -> str | None:
         _KEY_CACHE[df] = ""
         return None  # no identifiable storage behind the plan
     h = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()
-    key = f"{h}:{s}"
+    key = f"{h}:{df.schema.json()}:{s}"
     _KEY_CACHE[df] = key
     return key
 
@@ -743,20 +765,31 @@ def _nearest_centroid(
         return (
             _memo_put(memo_key, sess, empty) if memo_key else empty
         )
-    c_ids = [r["centroid_id"] for r in crows]
-    c_vecs = [
-        None
-        if r["c_vec"] is None or len(r["c_vec"]) < dim
-        else [
-            float(x) if x is not None else float("nan")
-            for x in r["c_vec"][:dim]
-        ]
-        for r in crows
-    ]
-    c_norms = [
-        float(r["c_norm"]) if r["c_norm"] is not None else float("nan")
-        for r in crows
-    ]
+    import numpy as _np
+
+    # driver-side numpy packing, NOT Python lists: a memoized
+    # assignment closure lives as long as the memo entry, and a
+    # list-of-lists form pins ~nlist·dim BOXED floats on the driver
+    # heap (~30+ MB at the decade point vs ~8 MB packed); the kernel
+    # also skips a per-task list→array conversion. A NULL/short
+    # centroid vector is a zeroed row flagged dead (scores −inf).
+    _nc = len(crows)
+    C_arr = _np.zeros((_nc, dim), dtype=_np.float64)
+    c_dead_arr = _np.zeros(_nc, dtype=bool)
+    norms_arr = _np.empty(_nc, dtype=_np.float64)
+    for _j, _r in enumerate(crows):
+        _cv = _r["c_vec"]
+        if _cv is None or len(_cv) < dim:
+            c_dead_arr[_j] = True
+        else:
+            C_arr[_j] = [
+                float(x) if x is not None else float("nan")
+                for x in _cv[:dim]
+            ]
+        _cn = _r["c_norm"]
+        norms_arr[_j] = float(_cn) if _cn is not None else float("nan")
+    ids_arr = _np.array([_r["centroid_id"] for _r in crows])
+    del crows
     kernel_dim = dim
     vec_name = vec_col
     # measurement-hygiene toggle (captured BY VALUE here so the
@@ -769,7 +802,7 @@ def _nearest_centroid(
     allow_fast = _os.environ.get("SPARK_GRAFT_ASSIGN_BLAS", "1") != "0"
 
     # NOTE: ships to Python workers via cloudpickle — self-contained
-    # closure over plain lists (pickled by value), no module refs
+    # closure over numpy arrays (pickled by value), no module refs
     def assign(batches):
         import numpy as np
 
@@ -803,15 +836,13 @@ def _nearest_centroid(
             pass
 
         neg_inf = float("-inf")
-        C = np.array(
-            [c if c is not None else [0.0] * kernel_dim for c in c_vecs],
-            dtype=np.float64,
-        )
-        # a NULL/short centroid vector scores -inf against everything
-        # (engine: NULL term -> NULL sim -> -inf)
-        c_dead = np.array([c is None for c in c_vecs], dtype=bool)
-        norms = np.array(c_norms, dtype=np.float64)
-        ids = np.array(c_ids)
+        # packed driver-side (see above): dead rows are zeroed and
+        # score -inf against everything (engine: NULL term -> NULL
+        # sim -> -inf)
+        C = C_arr
+        c_dead = c_dead_arr
+        norms = norms_arr
+        ids = ids_arr
         nlist = len(ids)
         # centroid components TRANSPOSED to (dim, nlist): the fold
         # reads one full dimension of every centroid per iteration,
@@ -897,6 +928,24 @@ def _nearest_centroid(
                 S = Vb @ CregT
                 np.divide(S, nrm_reg[None, :], out=S)
                 vnorm = np.sqrt((Vb * Vb).sum(axis=1))
+                # finite inputs do not guarantee finite INTERMEDIATES:
+                # ~1e200-magnitude components overflow the GEMM (or
+                # vnorm) to inf, S−eps goes NaN, and the candidate
+                # mask comes back EMPTY for the row — reduceat on an
+                # empty segment would kill the task, and a silent
+                # position-0 default would break the bit-identical-
+                # decision contract (seq picks the +inf-scoring
+                # column). Route overflowed rows to the exact fold,
+                # whose semantics ARE the contract.
+                row_ok = np.isfinite(vnorm) & np.isfinite(S).all(axis=1)
+                if not row_ok.all():
+                    seq_assign(V, sub[~row_ok], choice)
+                    if not row_ok.any():
+                        continue
+                    sub = sub[row_ok]
+                    Vb = Vb[row_ok]
+                    S = S[row_ok]
+                    vnorm = vnorm[row_ok]
                 eps = vnorm[:, None] * ceps[None, :] + 1e-300
                 m_star = (S - eps).max(axis=1)
                 r_idx, c_idx = np.nonzero(S + eps >= m_star[:, None])

@@ -110,12 +110,40 @@ class ClaimBackend:
     ``ifGenerationMatch=0``, Azure ``If-None-Match: *``) or a
     coordination service, and passes it as ``backend=`` to the tx_*
     functions without touching protocol code.
+
+    Beyond the CAS, the backend also owns the log's READ protocol —
+    :meth:`list_log` (version allocation, snapshot resolution) and
+    :meth:`read_log_text` (commit bodies) — with local-filesystem
+    defaults, so a store whose log does not live on a POSIX path
+    (the S3 backend below) serves ``tx_read``/``tx_history``/
+    ``tx_append_if_absent`` end-to-end, not just the publish. This is
+    the external-log-store shape Delta Lake uses on S3 (the log is
+    the coordination layer; data files go wherever the engine's own
+    filesystem layer can read).
     """
 
     def claim(self, log_dir: str, name: str, payload: str) -> bool:
         """Atomically create ``log_dir/name`` with ``payload``; return
         False (without clobbering) when the name already exists."""
         raise NotImplementedError
+
+    def list_log(self, log_dir: str) -> list[str]:
+        """Entry names in the log ('N.json' flat or 'N.json.d' dir
+        form), [] when the log does not exist yet."""
+        try:
+            return os.listdir(log_dir)
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+
+    def read_log_text(self, log_dir: str, rel: str) -> str | None:
+        """Text of a commit body (``rel`` is 'N.json' or
+        'N.json.d/payload'); None when it vanished between the listing
+        and the read (a concurrent vacuum)."""
+        try:
+            with open(os.path.join(log_dir, rel)) as f:
+                return f.read()
+        except (FileNotFoundError, NotADirectoryError):
+            return None
 
 
 class PosixLinkClaim(ClaimBackend):
@@ -249,6 +277,48 @@ class S3ConditionalPutClaim(ClaimBackend):
                 return False
             raise
 
+    def list_log(self, log_dir: str) -> list[str]:
+        """Entry names under the log prefix. S3 has no directories —
+        a key is its full path — so the names are the FIRST path
+        segment after the prefix (a ``N.json.d/payload`` key written
+        by a pre-migration :class:`DirRenameClaim` log lists as
+        ``N.json.d``, exactly like ``os.listdir``). Paginated:
+        list_objects_v2 caps a page at 1000 keys and a busy log
+        outgrows that between compactions."""
+        prefix = self._key(log_dir, "")
+        if prefix:
+            prefix += "/"
+        names: list[str] = []
+        seen: set[str] = set()
+        paginator = self._client.get_paginator("list_objects_v2")
+        for page in paginator.paginate(
+            Bucket=self._bucket, Prefix=prefix
+        ):
+            for obj in page.get("Contents", []):
+                first = obj["Key"][len(prefix):].split("/", 1)[0]
+                if first and first not in seen:
+                    seen.add(first)
+                    names.append(first)
+        return names
+
+    def read_log_text(self, log_dir: str, rel: str) -> str | None:
+        from botocore.exceptions import ClientError
+
+        try:
+            body = self._client.get_object(
+                Bucket=self._bucket, Key=self._key(log_dir, rel)
+            )["Body"]
+            return body.read().decode("utf-8")
+        except ClientError as exc:
+            # vanished between listing and read (concurrent vacuum /
+            # lifecycle expiry) — same contract as the POSIX default
+            if exc.response.get("Error", {}).get("Code", "") in (
+                "NoSuchKey",
+                "404",
+            ):
+                return None
+            raise
+
 
 DEFAULT_CLAIM_BACKEND: ClaimBackend = PosixLinkClaim()
 
@@ -269,62 +339,64 @@ def tx_init(path: str) -> None:
         os.makedirs(os.path.join(path, sub), exist_ok=True)
 
 
-def _commit_entries(log: str) -> list[tuple[int, str]]:
-    """(version, payload path) for every committed name in the log
-    dir, resolving BOTH claim forms: flat ``N.json``
+def _be(backend: "ClaimBackend | None") -> "ClaimBackend":
+    return backend if backend is not None else DEFAULT_CLAIM_BACKEND
+
+
+def _commit_entries(
+    log: str, backend: "ClaimBackend | None" = None
+) -> list[tuple[int, str]]:
+    """(version, body name relative to the log) for every committed
+    name, resolving BOTH claim forms: flat ``N.json``
     (:class:`PosixLinkClaim`) and directory ``N.json.d/payload``
-    (:class:`DirRenameClaim`). Listing-only — no payload reads.
+    (:class:`DirRenameClaim`). Listing-only — no payload reads; the
+    listing itself goes through the backend so a non-POSIX log
+    (:class:`S3ConditionalPutClaim`) resolves identically.
 
     Mixing forms is a READ capability (e.g. a table migrated between
     backends); concurrent WRITERS must share one backend per table,
     because the existence CAS is per-name and the two forms use
     different names for the same version."""
     out = []
-    for name in os.listdir(log):
+    for name in _be(backend).list_log(log):
         if name.endswith(".json.d"):
             stem = name[: -len(".json.d")]
             if stem.isdigit():
-                out.append(
-                    (int(stem), os.path.join(log, name, "payload"))
-                )
+                out.append((int(stem), f"{name}/payload"))
             continue
         stem, ext = os.path.splitext(name)
         if ext == ".json" and stem.isdigit():
-            out.append((int(stem), os.path.join(log, name)))
+            out.append((int(stem), name))
     return out
 
 
-def _committed(path: str) -> list[dict]:
+def _committed(
+    path: str, backend: "ClaimBackend | None" = None
+) -> list[dict]:
     """All committed versions, ascending. Only fully-linked commit
     files are visible (see module docstring), so no partial-read
     guard is needed beyond the numeric-name filter."""
     out = []
     log = _log_dir(path)
-    if not os.path.isdir(log):
-        return out
-    for _v, payload_path in _commit_entries(log):
-        try:
-            with open(payload_path) as f:
-                out.append(json.load(f))
-        except (FileNotFoundError, NotADirectoryError):
-            # a concurrent vacuum dropped a pre-compact commit
-            # between our listdir and open — it was below the compact
-            # base, so the resolution is unaffected
-            continue
+    be = _be(backend)
+    for _v, rel in _commit_entries(log, be):
+        # None = a concurrent vacuum dropped a pre-compact commit
+        # between the listing and the read — it was below the compact
+        # base, so the resolution is unaffected
+        text = be.read_log_text(log, rel)
+        if text is not None:
+            out.append(json.loads(text))
     out.sort(key=lambda c: c["version"])
     return out
 
 
-def _next_version(path: str) -> int:
+def _next_version(path: str, backend: "ClaimBackend | None" = None) -> int:
     """Next claimable version from the MAX numeric commit filename —
-    a directory listing only, never a JSON parse of every commit body
+    a log listing only, never a JSON parse of every commit body
     (retry loops call this per attempt; under contention the parse
     form is O(commits) work per lost claim)."""
-    log = _log_dir(path)
-    if not os.path.isdir(log):
-        return 1
     top = 0
-    for v, _p in _commit_entries(log):
+    for v, _p in _commit_entries(_log_dir(path), backend):
         if v > top:
             top = v
     return top + 1
@@ -346,18 +418,25 @@ def _write_dir(df: DataFrame, path: str, kind: str) -> str:
     return rel
 
 
-def tx_history(path: str) -> list[dict]:
+def tx_history(
+    path: str, backend: ClaimBackend | None = None
+) -> list[dict]:
     """Commit metadata, ascending by version (driver-side, O(log))."""
-    return _committed(path)
+    return _committed(path, backend)
 
 
 def tx_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    backend: ClaimBackend | None = None,
 ) -> DataFrame | None:
     """The resolved table as of ``version`` (default: latest). None
     when no commit is visible — callers distinguish "empty table"
-    from "no table yet" exactly as upsert.py's ``table_exists``."""
-    commits = _committed(path)
+    from "no table yet" exactly as upsert.py's ``table_exists``.
+    ``backend`` resolves the LOG (listing + bodies); the referenced
+    delta/effects parquet goes through Spark's own filesystem layer."""
+    commits = _committed(path, backend)
     if version is not None:
         commits = [c for c in commits if c["version"] <= version]
     if not commits:
@@ -417,8 +496,8 @@ def tx_append_if_absent(
     tx_init(path)
     batch = batch.dropDuplicates(keys)
     for attempt in range(max_retries):
-        v = _next_version(path)
-        snap = tx_read(spark, path)
+        v = _next_version(path, backend)
+        snap = tx_read(spark, path, backend=backend)
         delta = (
             batch.join(snap.select(*keys), keys, "left_anti")
             if snap is not None
@@ -462,7 +541,7 @@ def tx_merge(
         "effects",
     )
     for attempt in range(max_retries):
-        v = _next_version(path)
+        v = _next_version(path, backend)
         if _claim(path, v, {
             "action": "merge", "delta": rel, "effects": eff,
             "keys": keys, "ts": time.time(),
@@ -486,7 +565,7 @@ def tx_delete(
     tx_init(path)
     eff = _write_dir(keys_df.select(*keys).distinct(), path, "effects")
     for attempt in range(max_retries):
-        v = _next_version(path)
+        v = _next_version(path, backend)
         if _claim(path, v, {
             "action": "delete", "delta": None, "effects": eff,
             "keys": keys, "ts": time.time(),
@@ -515,11 +594,11 @@ def tx_compact(
     base compact is already the only live commit there is nothing to
     fold, so the existing base version is returned unchanged."""
     for attempt in range(max_retries):
-        commits = _committed(path)
+        commits = _committed(path, backend)
         if not commits:
             return None
         v = commits[-1]["version"] + 1
-        snap = tx_read(spark, path)
+        snap = tx_read(spark, path, backend=backend)
         if snap is None:
             base = 0
             for c in commits:
@@ -564,7 +643,11 @@ def tx_vacuum(path: str, retain_seconds: float = 3600.0) -> list[str]:
       one): age-gated on the dir's own mtime, because a live writer
       may be between its data write and its claim.
 
-    Returns the removed relative paths."""
+    Returns the removed relative paths. POSIX-log only: vacuum walks
+    the local log and data dirs directly — a table whose log lives
+    behind :class:`S3ConditionalPutClaim` retires pre-compact commit
+    objects with a bucket lifecycle/prefix policy instead (standard
+    object-store practice; the retention gate is the same)."""
     import shutil
 
     commits = _committed(path)

@@ -81,3 +81,61 @@ def test_environment_failure_surfaces_not_false(s3):
     backend = S3ConditionalPutClaim("no-such-bucket", client=s3)
     with pytest.raises(ClientError):
         backend.claim("_txlog", "000001.json", "x")
+
+
+def test_list_and_read_log_protocol(s3):
+    backend = S3ConditionalPutClaim(BUCKET, prefix="tables/t2", client=s3)
+    assert backend.claim("/data/tbl/_txlog", "000001.json", "one")
+    assert backend.claim("/data/tbl/_txlog", "000002.json", "two")
+    # a DirRenameClaim-form key from a migrated log lists as its
+    # first path segment, exactly like os.listdir
+    s3.put_object(
+        Bucket=BUCKET,
+        Key="tables/t2/data/tbl/_txlog/000003.json.d/payload",
+        Body=b"three",
+    )
+    names = sorted(backend.list_log("/data/tbl/_txlog"))
+    assert names == ["000001.json", "000002.json", "000003.json.d"]
+    assert backend.read_log_text("/data/tbl/_txlog", "000002.json") == "two"
+    assert (
+        backend.read_log_text("/data/tbl/_txlog", "000003.json.d/payload")
+        == "three"
+    )
+    assert backend.read_log_text("/data/tbl/_txlog", "missing.json") is None
+
+
+def test_end_to_end_append_read_with_s3_log(s3, spark, tmp_path):
+    """The full protocol with the LOG in S3 and delta parquet on the
+    engine's filesystem: append-if-absent twice (second batch half
+    duplicate), snapshot + history resolve from S3, version
+    allocation sees S3 state — no commit JSON ever touches the local
+    log dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.operators.txlog import (
+        tx_append_if_absent,
+        tx_history,
+        tx_read,
+    )
+
+    backend = S3ConditionalPutClaim(BUCKET, prefix="tables/e2e", client=s3)
+    path = str(tmp_path / "tbl")
+    b1 = spark.range(0, 4).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    r1 = tx_append_if_absent(spark, b1, path, ["k"], backend=backend)
+    assert r1["version"] == 1 and r1["rows_written"] == 4
+    b2 = spark.range(2, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    r2 = tx_append_if_absent(spark, b2, path, ["k"], backend=backend)
+    assert r2["version"] == 2 and r2["rows_written"] == 2  # 4,5 only
+    snap = tx_read(spark, path, backend=backend)
+    assert sorted(r["k"] for r in snap.collect()) == [0, 1, 2, 3, 4, 5]
+    hist = tx_history(path, backend=backend)
+    assert [c["version"] for c in hist] == [1, 2]
+    # the local log dir stayed empty — S3 holds the commits
+    assert os.listdir(os.path.join(path, "_txlog")) == []
+    assert tx_read(spark, path) is None  # default backend sees no log

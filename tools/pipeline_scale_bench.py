@@ -208,6 +208,10 @@ def main() -> None:
     # =funnel-only also skips the corpus rows and the K× stage-count
     # collection entirely (both already measured at the previous
     # decade — the third-decade question is the funnel curve).
+    # =corpus-first is the complement of funnel-first (r16): the
+    # funnel's ×1000 first-regime row landed, so measure the CORPUS
+    # query's true single-pass K× cost alone, skipping the funnel
+    # rows and the steady re-run for the same session-budget reason.
     from crypto_etl_airflow_spark.operators.dedup import (
         release_reuse_caches,
     )
@@ -224,9 +228,14 @@ def main() -> None:
         cnt.collect()
         return round(time.perf_counter() - t0, 3), cnt
 
-    builders = [("pipeline_curate_funnel", pipeline_curate_funnel)]
-    if mode not in ("funnel-only", "funnel-first"):
-        builders.append(("pipeline_curate_corpus", pipeline_curate_corpus))
+    if mode == "corpus-first":
+        builders = [("pipeline_curate_corpus", pipeline_curate_corpus)]
+    else:
+        builders = [("pipeline_curate_funnel", pipeline_curate_funnel)]
+        if mode not in ("funnel-only", "funnel-first"):
+            builders.append(
+                ("pipeline_curate_corpus", pipeline_curate_corpus)
+            )
     results: dict[str, dict] = {}
     for name, builder in builders:
         row: dict = {}
@@ -235,8 +244,9 @@ def main() -> None:
         # true single-pass K× cost and skip the cache-assisted steady
         # re-run — at ×1000 the steady row doubles an hour-long
         # measurement for a secondary number; plan signature comes
-        # from the first run instead
-        skip_k_steady = mode == "funnel-first"
+        # from the first run instead. corpus-first: same budget
+        # rationale for the corpus leg.
+        skip_k_steady = mode in ("funnel-first", "corpus-first")
         _set_posture(parts_1x, aqe_1x)
         if not skip_first:
             _clear_caches()
@@ -279,7 +289,7 @@ def main() -> None:
     # must still FIRE (drop documents) on the scaled corpus, and
     # pre-admission stages should hold ~K× the 1× doc counts
     funnel_k = None
-    if mode not in ("funnel-only", "funnel-first"):
+    if mode not in ("funnel-only", "funnel-first", "corpus-first"):
         funnel_k = {
             r.stage: [int(r.n_docs), int(r.n_tokens)]
             for r in pipeline_curate_funnel(
