@@ -80,12 +80,30 @@ def _reuse(df: DataFrame) -> DataFrame:
     from the parquet scan, the job survives. Single-node cost is
     identical (same blocks, same memory).
 
+    The LEVEL is posture, not policy: ``session.tune_execution``
+    publishes it per input size through ``REUSE_LEVEL_CONF`` —
+    MEMORY_AND_DISK in the tiny regime (spill-read is cheap,
+    cache-assist dominates), MEMORY_ONLY at or above
+    ``SMALL_INPUT_BYTES`` or at unknown scale, where the persisted
+    intermediates exceed storage memory by construction. The r16
+    ×100 A/B measured the disk tier as pure cost there: identical
+    tK legs level-vs-level on a fresh session (re-reading spill runs
+    no faster than recomputing the Arrow-kernel lineage), and in a
+    long session the accumulated spill made cached re-runs SLOWER
+    than uncached (corpus steady 178.8 s vs first 131.9 s).
+    MEMORY_ONLY caches the fitting fraction and recomputes the rest —
+    partition-granular, no executor-disk footprint.
+
     The handle is tracked in ``_REUSE_HANDLES`` (locked, bounded —
     see above); callers that run many dedup queries in one session
     should still call :func:`release_reuse_caches` after each
     consuming action so blocks are freed promptly rather than at
     eviction."""
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    from crypto_etl_airflow_spark.session import REUSE_LEVEL_CONF
+
+    name = df.sparkSession.conf.get(REUSE_LEVEL_CONF, "MEMORY_AND_DISK")
+    level = getattr(StorageLevel, name, StorageLevel.MEMORY_AND_DISK)
+    df = df.persist(level)
     with _REUSE_LOCK:
         _REUSE_HANDLES.append(df)
         evicted = _REUSE_HANDLES[:-_REUSE_MAX]

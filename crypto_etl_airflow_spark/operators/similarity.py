@@ -1089,8 +1089,9 @@ def ivf_centroids(
     # whole subplan (seed assignment + refinement = several corpus
     # scans), which r15 measured as ~half of SemDeDup's wall-clock.
     # The table is nlist × dim doubles (~8 MB at the decade point
-    # under nlist ∝ corpus), so MEMORY_AND_DISK persist is free and
-    # lineage survives block loss (the _reuse discipline).
+    # under nlist ∝ corpus), so the persist is free at EITHER posture
+    # level (always fits memory) and lineage survives block loss (the
+    # _reuse discipline).
     from .dedup import _reuse
 
     out = _reuse(means)

@@ -144,6 +144,8 @@ def main() -> None:
         pipeline_curate_funnel,
     )
     from crypto_etl_airflow_spark.session import (
+        REUSE_LEVEL_CONF,
+        REUSE_SPILL_INPUT_BYTES,
         SMALL_INPUT_BYTES,
         input_dir_bytes,
         shuffle_partitions_for_bytes,
@@ -155,27 +157,42 @@ def main() -> None:
     # AQE off in the tiny scheduling-bound regime, core-floored +
     # AQE on at real scale. Physical strategy only — values and the
     # funnel stage counts are posture-independent.
-    def _posture(*dirs: str) -> tuple[int, bool]:
+    # SPARK_GRAFT_REUSE_LEVEL forces one _reuse StorageLevel on BOTH
+    # sides — the A/B measurement knob behind the r16 reuse-posture
+    # numbers (same discipline as SPARK_GRAFT_ASSIGN_BLAS: a
+    # measurement override, never an engine semantics switch)
+    reuse_override = os.environ.get("SPARK_GRAFT_REUSE_LEVEL")
+
+    def _posture(*dirs: str) -> tuple[int, bool, str]:
         n = input_dir_bytes(*dirs)
         return (
             shuffle_partitions_for_bytes(n, cpus=int(cpus)),
             n >= SMALL_INPUT_BYTES,
+            # tune_execution's third knob (r16): disk-backed _reuse
+            # persists below the spill bound, MEMORY_ONLY at scale
+            reuse_override
+            or (
+                "MEMORY_AND_DISK"
+                if 0 < n < REUSE_SPILL_INPUT_BYTES
+                else "MEMORY_ONLY"
+            ),
         )
 
-    parts_1x, aqe_1x = _posture(
+    parts_1x, aqe_1x, reuse_1x = _posture(
         f"{src}/documents.parquet", f"{src}/embeddings.parquet"
     )
-    parts_kx, aqe_kx = _posture(
+    parts_kx, aqe_kx, reuse_kx = _posture(
         f"{out}/documents.parquet", f"{out}/embeddings.parquet"
     )
 
-    def _set_posture(parts: int, aqe: bool) -> None:
+    def _set_posture(parts: int, aqe: bool, reuse: str) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        spark.conf.set(REUSE_LEVEL_CONF, reuse)
 
     print(
-        f"# posture: 1x parts={parts_1x} aqe={aqe_1x}; "
-        f"{factor}x parts={parts_kx} aqe={aqe_kx}",
+        f"# posture: 1x parts={parts_1x} aqe={aqe_1x} reuse={reuse_1x}; "
+        f"{factor}x parts={parts_kx} aqe={aqe_kx} reuse={reuse_kx}",
         file=sys.stderr,
         flush=True,
     )
@@ -228,7 +245,9 @@ def main() -> None:
         cnt.collect()
         return round(time.perf_counter() - t0, 3), cnt
 
-    if mode == "corpus-first":
+    # =corpus-only: corpus BOTH regimes, no funnel rows / stage
+    # counts — the steady-regime A/B harness (r16 reuse-level work)
+    if mode in ("corpus-first", "corpus-only"):
         builders = [("pipeline_curate_corpus", pipeline_curate_corpus)]
     else:
         builders = [("pipeline_curate_funnel", pipeline_curate_funnel)]
@@ -247,12 +266,12 @@ def main() -> None:
         # from the first run instead. corpus-first: same budget
         # rationale for the corpus leg.
         skip_k_steady = mode in ("funnel-first", "corpus-first")
-        _set_posture(parts_1x, aqe_1x)
+        _set_posture(parts_1x, aqe_1x, reuse_1x)
         if not skip_first:
             _clear_caches()
             row["t1_first"], _ = _timed(builder, src, 16)
         row["t1_steady"], cnt1 = _timed(builder, src, 16)
-        _set_posture(parts_kx, aqe_kx)
+        _set_posture(parts_kx, aqe_kx, reuse_kx)
         if not skip_first:
             _clear_caches()
             row["tK_first"], cntK_first = _timed(builder, out, 16 * factor)
@@ -289,7 +308,9 @@ def main() -> None:
     # must still FIRE (drop documents) on the scaled corpus, and
     # pre-admission stages should hold ~K× the 1× doc counts
     funnel_k = None
-    if mode not in ("funnel-only", "funnel-first", "corpus-first"):
+    if mode not in (
+        "funnel-only", "funnel-first", "corpus-first", "corpus-only"
+    ):
         funnel_k = {
             r.stage: [int(r.n_docs), int(r.n_tokens)]
             for r in pipeline_curate_funnel(
@@ -310,8 +331,16 @@ def main() -> None:
                 # EXPECTED when the postures differ — read plan_diff
                 # against this field
                 "posture": {
-                    "1x": {"parts": parts_1x, "aqe": aqe_1x},
-                    f"{factor}x": {"parts": parts_kx, "aqe": aqe_kx},
+                    "1x": {
+                        "parts": parts_1x,
+                        "aqe": aqe_1x,
+                        "reuse": reuse_1x,
+                    },
+                    f"{factor}x": {
+                        "parts": parts_kx,
+                        "aqe": aqe_kx,
+                        "reuse": reuse_kx,
+                    },
                 },
                 "queries": results,
                 "funnel_kx": funnel_k,
