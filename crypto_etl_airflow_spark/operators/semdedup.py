@@ -124,27 +124,30 @@ def _pair_score_kernel(dim: int, threshold: float, cogroup: bool):
     loose = thr - 1e-6
 
     def _impl():
+        import math
+        from decimal import ROUND_HALF_UP, Context, Decimal
+
         import numpy as np
         import pandas as pd
 
-        def round6(x):
-            import math
-            from decimal import ROUND_HALF_UP, Context, Decimal
+        # explicit wide-precision context, ONE instance per worker
+        # (round6 runs once per near-threshold candidate — the hot
+        # sliver): quantizing a LARGE finite double to 6 dp needs
+        # int_digits+6 significant digits (up to ~315 at 1e308) — the
+        # default 28-digit context raises InvalidOperation there,
+        # where Spark's F.round (BigDecimal.setScale, arbitrary
+        # precision) returns the value unchanged; a corrupted norm
+        # sidecar must not kill the task on a parity edge. Context is
+        # read-only in quantize — thread-shared is safe.
+        _CTX = Context(prec=340)
+        _Q6 = Decimal("0.000001")
 
+        def round6(x):
             if math.isnan(x) or math.isinf(x):
                 return x
-            # explicit wide-precision context: quantizing a LARGE
-            # finite double to 6 dp needs int_digits+6 significant
-            # digits (up to ~315 at 1e308) — the default 28-digit
-            # context raises InvalidOperation there, where Spark's
-            # F.round (BigDecimal.setScale, arbitrary precision)
-            # returns the value unchanged; a corrupted norm sidecar
-            # must not kill the task on a parity edge
             return float(
                 Decimal(repr(x)).quantize(
-                    Decimal("0.000001"),
-                    rounding=ROUND_HALF_UP,
-                    context=Context(prec=340),
+                    _Q6, rounding=ROUND_HALF_UP, context=_CTX
                 )
             )
 

@@ -481,6 +481,10 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
 # dedup.release_reuse_caches() — so the decade harness's cache-cleared
 # "first regime" stays an honest single-pass measurement.
 _MEMO_LOCK = threading.Lock()
+#: serializes _plan_key's session-global maxToStringFields dance
+#: (own lock, not _MEMO_LOCK: non-reentrant, and the render is
+#: independent of memo-table access)
+_RENDER_LOCK = threading.Lock()
 _PLAN_MEMO: OrderedDict = OrderedDict()  # key -> (session, DataFrame)
 _PROBE_MEMO: OrderedDict = OrderedDict()  # key -> (session, dim|None)
 _PLAN_MEMO_MAX = 64
@@ -545,22 +549,28 @@ def _plan_key(df: DataFrame) -> str | None:
         # rendering (restored in finally — it only affects string
         # rendering, never execution), and fold the full output
         # schema json in as a second line of defense.
+        # the set/render/restore is a session-GLOBAL conf mutation:
+        # unlocked, two driver threads could interleave (one restores
+        # while the other renders → truncated string cached forever,
+        # or the raised cap leaks for the session). _RENDER_LOCK
+        # serializes the whole dance — driver-side and cheap.
         conf = df.sparkSession.conf
         _FIELDS_KEY = "spark.sql.debug.maxToStringFields"
-        old = conf.get(_FIELDS_KEY, None)
-        conf.set(_FIELDS_KEY, "100000")
-        try:
-            s = (
-                df._jdf.queryExecution()
-                .analyzed()
-                .canonicalized()
-                .toString()
-            )
-        finally:
-            if old is None:
-                conf.unset(_FIELDS_KEY)
-            else:
-                conf.set(_FIELDS_KEY, old)
+        with _RENDER_LOCK:
+            old = conf.get(_FIELDS_KEY, None)
+            conf.set(_FIELDS_KEY, "100000")
+            try:
+                s = (
+                    df._jdf.queryExecution()
+                    .analyzed()
+                    .canonicalized()
+                    .toString()
+                )
+            finally:
+                if old is None:
+                    conf.unset(_FIELDS_KEY)
+                else:
+                    conf.set(_FIELDS_KEY, old)
         if any(m in s for m in _PY_PLAN_NODES):
             _KEY_CACHE[df] = ""
             return None
@@ -965,6 +975,26 @@ def _nearest_centroid(
                     np.multiply(Vc[:, i], Cc[:, i], out=prod)
                     np.add(acc, prod, out=acc)
                 sim = acc / nrm_reg[c_idx]
+                # the sequential fold sums in a DIFFERENT order than
+                # the GEMM (strict left-to-right vs blocked/FMA), so
+                # a row whose S was finite can still overflow HERE
+                # (partial sums that cancelled in the GEMM's order
+                # hit ±inf→NaN sequentially). A NaN sim would poison
+                # the segmented argmax below (no position matches its
+                # segment max → out-of-bounds first index); ±inf
+                # would silently break decision parity. Same remedy
+                # as row_ok: those rows belong to the exact fold.
+                bad = ~np.isfinite(sim)
+                if bad.any():
+                    badrow = np.zeros(len(sub), dtype=bool)
+                    badrow[r_idx[bad]] = True
+                    seq_assign(V, sub[badrow], choice)
+                    keep = ~badrow[r_idx]
+                    if not keep.any():
+                        continue
+                    r_idx = r_idx[keep]
+                    c_idx = c_idx[keep]
+                    sim = sim[keep]
                 # segmented FIRST-argmax (cols ascend within a row ⇒
                 # ties resolve to the lowest centroid id, as argmax)
                 seg = np.flatnonzero(

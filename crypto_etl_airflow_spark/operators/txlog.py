@@ -408,8 +408,9 @@ def _claim(
     """Atomically claim ``version`` through the claim backend (default
     POSIX create-exclusive hard link)."""
     payload = json.dumps({**body, "version": version})
-    be = backend if backend is not None else DEFAULT_CLAIM_BACKEND
-    return be.claim(_log_dir(path), f"{version:0{_PAD}d}.json", payload)
+    return _be(backend).claim(
+        _log_dir(path), f"{version:0{_PAD}d}.json", payload
+    )
 
 
 def _write_dir(df: DataFrame, path: str, kind: str) -> str:
@@ -436,7 +437,21 @@ def tx_read(
     from "no table yet" exactly as upsert.py's ``table_exists``.
     ``backend`` resolves the LOG (listing + bodies); the referenced
     delta/effects parquet goes through Spark's own filesystem layer."""
-    commits = _committed(path, backend)
+    return _resolve(spark, path, _committed(path, backend), version)
+
+
+def _resolve(
+    spark: SparkSession,
+    path: str,
+    commits: list[dict],
+    version: int | None = None,
+) -> DataFrame | None:
+    """Resolution from an ALREADY-FETCHED commit list — the shared
+    core of :func:`tx_read` and the retry loops, which fetch the list
+    once per attempt and derive both the snapshot and the next
+    claimable version from it (on the S3 backend a separate
+    ``_next_version`` + ``tx_read`` pair would cost a second LIST
+    plus O(commits) duplicate GETs per attempt)."""
     if version is not None:
         commits = [c for c in commits if c["version"] <= version]
     if not commits:
@@ -496,8 +511,9 @@ def tx_append_if_absent(
     tx_init(path)
     batch = batch.dropDuplicates(keys)
     for attempt in range(max_retries):
-        v = _next_version(path, backend)
-        snap = tx_read(spark, path, backend=backend)
+        commits = _committed(path, backend)
+        v = (commits[-1]["version"] if commits else 0) + 1
+        snap = _resolve(spark, path, commits)
         delta = (
             batch.join(snap.select(*keys), keys, "left_anti")
             if snap is not None
@@ -598,7 +614,7 @@ def tx_compact(
         if not commits:
             return None
         v = commits[-1]["version"] + 1
-        snap = tx_read(spark, path, backend=backend)
+        snap = _resolve(spark, path, commits)
         if snap is None:
             base = 0
             for c in commits:
@@ -624,7 +640,11 @@ def tx_compact(
     raise TxConflictError(f"compact: {max_retries} claims lost")
 
 
-def tx_vacuum(path: str, retain_seconds: float = 3600.0) -> list[str]:
+def tx_vacuum(
+    path: str,
+    retain_seconds: float = 3600.0,
+    backend: ClaimBackend | None = None,
+) -> list[str]:
     """Remove delta/effects dirs no LIVE commit references. Two
     residue classes, two gates (Delta publishes the same split —
     deletion-timestamp retention for superseded files, age retention
@@ -643,14 +663,28 @@ def tx_vacuum(path: str, retain_seconds: float = 3600.0) -> list[str]:
       one): age-gated on the dir's own mtime, because a live writer
       may be between its data write and its claim.
 
-    Returns the removed relative paths. POSIX-log only: vacuum walks
-    the local log and data dirs directly — a table whose log lives
-    behind :class:`S3ConditionalPutClaim` retires pre-compact commit
-    objects with a bucket lifecycle/prefix policy instead (standard
-    object-store practice; the retention gate is the same)."""
+    Returns the removed relative paths. ``backend`` resolves the
+    LIVE set from the table's real log — it MUST match the writers'
+    backend (an S3-logged table vacuumed without its backend would
+    resolve zero commits and classify every committed data dir as an
+    aged orphan: silent data loss). As a second line of defense,
+    when ZERO commits are visible but delta/effects dirs exist, the
+    vacuum refuses (returns ``[]``) — indistinguishable from a
+    mis-specified backend; a genuinely never-committed table's
+    orphans become reclaimable after its first real commit. The
+    removal side stays local-filesystem (data dirs always are; the
+    local pre-compact commit JSONs likewise) — an S3-resident log
+    retires its pre-compact commit OBJECTS with a bucket
+    lifecycle/prefix policy instead (standard object-store practice;
+    the retention gate is the same)."""
     import shutil
 
-    commits = _committed(path)
+    commits = _committed(path, backend)
+    if not commits:
+        for kind in ("delta", "effects"):
+            root = os.path.join(path, kind)
+            if os.path.isdir(root) and os.listdir(root):
+                return []  # data with no visible log: refuse
     base = 0
     compact_ts: float | None = None
     for c in commits:

@@ -77,6 +77,16 @@ REUSE_LEVEL_CONF = "spark.crypto_etl.reuse.storageLevel"
 REUSE_SPILL_INPUT_BYTES = SMALL_INPUT_BYTES
 
 
+def reuse_level_for_bytes(n_bytes: int) -> str:
+    """The ``_reuse`` StorageLevel name for an input size — ONE
+    definition shared by :func:`tune_execution` and the decade bench
+    (a harness that re-derived it could silently measure a different
+    posture than production applies)."""
+    if 0 < n_bytes < REUSE_SPILL_INPUT_BYTES:
+        return "MEMORY_AND_DISK"
+    return "MEMORY_ONLY"  # large or unknown: drop, don't spill
+
+
 def shuffle_partitions_for_bytes(
     n_bytes: int, cpus: int | None = None
 ) -> int:
@@ -167,11 +177,7 @@ def tune_execution(spark: SparkSession, *paths: str) -> dict:
     n_bytes = input_dir_bytes(*paths)
     n = shuffle_partitions_for_bytes(n_bytes)
     adaptive = n_bytes == 0 or n_bytes >= SMALL_INPUT_BYTES
-    reuse_level = (
-        "MEMORY_AND_DISK"
-        if 0 < n_bytes < REUSE_SPILL_INPUT_BYTES
-        else "MEMORY_ONLY"  # large or unknown: drop, don't spill
-    )
+    reuse_level = reuse_level_for_bytes(n_bytes)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
     spark.conf.set(REUSE_LEVEL_CONF, reuse_level)

@@ -115,6 +115,13 @@ def test_fast_assignment_bit_identical_to_column_form(spark):
     # exact-duplicate of row 3's vector → ties with whichever
     # centroid row 3 picks must resolve identically
     rows += [(1002, vec(3))]
+    # finite inputs, INFINITE intermediates (the r16 overflow-guard
+    # rows): 1.4e154² overflows the norm-square, so vnorm = inf and
+    # the BLAS path must route the row to the exact fold instead of
+    # emitting an empty candidate mask; the 1e150 row is huge but
+    # all-finite end-to-end (stays on the fast path)
+    rows += [(1003, [1.4e154] + [0.0] * (dim - 1))]
+    rows += [(1004, [1.0e150] * dim)]
     corpus = spark.createDataFrame(
         rows, "vec_id long, v array<double>"
     )

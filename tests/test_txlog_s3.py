@@ -139,3 +139,38 @@ def test_end_to_end_append_read_with_s3_log(s3, spark, tmp_path):
     # the local log dir stayed empty — S3 holds the commits
     assert os.listdir(os.path.join(path, "_txlog")) == []
     assert tx_read(spark, path) is None  # default backend sees no log
+
+
+def test_vacuum_refuses_without_the_right_backend(s3, spark, tmp_path):
+    """The data-loss footgun: vacuuming an S3-logged table WITHOUT
+    its backend resolves zero commits and would classify every
+    committed delta dir as an aged orphan. The guard refuses
+    (returns []) whenever no commit is visible but data dirs exist;
+    with the right backend the live set resolves and committed data
+    survives any retention window."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.operators.txlog import (
+        tx_append_if_absent,
+        tx_read,
+        tx_vacuum,
+    )
+
+    backend = S3ConditionalPutClaim(BUCKET, prefix="tables/vac", client=s3)
+    path = str(tmp_path / "tbl")
+    b = spark.range(0, 3).select(
+        F.col("id").alias("k"), F.col("id").alias("val")
+    )
+    assert tx_append_if_absent(spark, b, path, ["k"], backend=backend)[
+        "version"
+    ] == 1
+    # wrong (default POSIX) backend + zero retention: must refuse
+    assert tx_vacuum(path, retain_seconds=0.0) == []
+    # right backend + zero retention: the delta is LIVE, not residue
+    assert tx_vacuum(path, retain_seconds=0.0, backend=backend) == []
+    assert sorted(
+        r["k"] for r in tx_read(spark, path, backend=backend).collect()
+    ) == [0, 1, 2]
+    assert len(os.listdir(os.path.join(path, "delta"))) == 1

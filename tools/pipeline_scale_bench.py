@@ -145,9 +145,9 @@ def main() -> None:
     )
     from crypto_etl_airflow_spark.session import (
         REUSE_LEVEL_CONF,
-        REUSE_SPILL_INPUT_BYTES,
         SMALL_INPUT_BYTES,
         input_dir_bytes,
+        reuse_level_for_bytes,
         shuffle_partitions_for_bytes,
     )
 
@@ -160,8 +160,22 @@ def main() -> None:
     # SPARK_GRAFT_REUSE_LEVEL forces one _reuse StorageLevel on BOTH
     # sides — the A/B measurement knob behind the r16 reuse-posture
     # numbers (same discipline as SPARK_GRAFT_ASSIGN_BLAS: a
-    # measurement override, never an engine semantics switch)
+    # measurement override, never an engine semantics switch).
+    # Validated HERE: _reuse falls back to the default on unknown
+    # names, which would record one level in the posture JSON while
+    # silently measuring the other — the exact corruption an A/B
+    # knob must fail loudly on.
     reuse_override = os.environ.get("SPARK_GRAFT_REUSE_LEVEL")
+    if reuse_override is not None:
+        from pyspark import StorageLevel
+
+        if not isinstance(
+            getattr(StorageLevel, reuse_override, None), StorageLevel
+        ):
+            raise SystemExit(
+                f"SPARK_GRAFT_REUSE_LEVEL={reuse_override!r} is not a "
+                "pyspark.StorageLevel name"
+            )
 
     def _posture(*dirs: str) -> tuple[int, bool, str]:
         n = input_dir_bytes(*dirs)
@@ -170,12 +184,7 @@ def main() -> None:
             n >= SMALL_INPUT_BYTES,
             # tune_execution's third knob (r16): disk-backed _reuse
             # persists below the spill bound, MEMORY_ONLY at scale
-            reuse_override
-            or (
-                "MEMORY_AND_DISK"
-                if 0 < n < REUSE_SPILL_INPUT_BYTES
-                else "MEMORY_ONLY"
-            ),
+            reuse_override or reuse_level_for_bytes(n),
         )
 
     parts_1x, aqe_1x, reuse_1x = _posture(
