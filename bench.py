@@ -63,9 +63,14 @@ def main() -> None:
     # parquet footer reads are one-time costs a long-lived cluster
     # amortizes away, so the timed pass measures steady-state
     # execution (the 100 TB-relevant number).
+    sc = spark.sparkContext
     for spec in specs.values():
+        # label jobs (guide §1): the Spark UI / event log attributes
+        # every stage to the query that issued it
+        sc.setJobDescription(f"bench-warmup:{spec.name}")
         spec.builder(spark, sf_dir).count()
         release_reuse_caches()
+    sc.setJobDescription(None)
 
     # Best-of-5 (was 3): the round-6 record showed ~40% apparent
     # regressions on the dedup queries that reproduced with NEITHER
@@ -104,6 +109,7 @@ def main() -> None:
 
     def one_run(spec) -> float:
         _apply_posture(spec)
+        sc.setJobDescription(f"bench:{spec.name}")
         t0 = time.perf_counter()
         spec.builder(spark, sf_dir).count()
         dt = time.perf_counter() - t0
@@ -141,6 +147,7 @@ def main() -> None:
     _flag = "pipeline_curate_corpus"
     if _flag in specs:
         _apply_posture(specs[_flag])
+        sc.setJobDescription(f"bench-steady:{_flag}")
         release_reuse_caches()
         specs[_flag].builder(spark, sf_dir).count()  # fresh first pass
         t0 = time.perf_counter()

@@ -62,6 +62,8 @@ def main() -> None:
     prev = build_sec
     order = ["feat", "g1", "g2", "g3", "g4", "g5", "g6", "adm", "packed"]
     for key in order:
+        # label jobs (guide §1): stage attribution in the UI/event log
+        spark.sparkContext.setJobDescription(f"profile:{key}")
         t0 = time.perf_counter()
         # profile the NARROW twin where one exists — the production
         # dataflow; the text-bearing g2/g3/g5/g6 entries are lazy
