@@ -4,9 +4,19 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed to full materialization (count of a cached-free
-plan — the driver collects separately, so we measure execution, not
-driver transfer). Warm-up: one untimed pass per query to absorb
+Each query is timed to full materialization via the noop sink
+(``df.write.format("noop").mode("overwrite").save()`` — guide §1.4):
+every output column is computed and discarded executor-side, so we
+measure execution without driver transfer. Through round 16 the timed
+action was ``count()``, which Catalyst PRUNES: a pure-projection query
+(text_token_stats) timed as a bare parquet row count (0.23 s vs its
+real 0.82 s of regex tokenization), and aggregate/window VALUE
+expressions were deleted the same way — the r14 microbench lesson
+("benchmark aggregates by CONSUMING their values"), found in the main
+bench by an action A/B in optimization round 16 (the full per-query
+count-vs-noop table is in OPTIMIZATION_r16.md; every other query was
+within host noise, so round-over-round totals stay comparable).
+Warm-up: one untimed pass per query to absorb
 JVM/codegen startup; then each query is timed best-of-N (min, N=5), with
 the max-min spread reported alongside, so sub-100 ms machine noise
 doesn't read as a regression round-over-round.
@@ -57,6 +67,14 @@ def main() -> None:
 
     specs = {n: s for n, s in all_specs().items() if s.bench}
 
+    def _materialize(df) -> None:
+        # the timed action: full materialization of EVERY output
+        # column executor-side, nothing shipped to the driver. count()
+        # is NOT equivalent — Catalyst prunes columns count() doesn't
+        # need, deleting projection/aggregate value expressions from
+        # the timed plan (see module docstring).
+        df.write.format("noop").mode("overwrite").save()
+
     from crypto_etl_airflow_spark.operators.dedup import release_reuse_caches
 
     # One untimed pass per query first: JVM + whole-stage-codegen +
@@ -68,7 +86,7 @@ def main() -> None:
         # label jobs (guide §1): the Spark UI / event log attributes
         # every stage to the query that issued it
         sc.setJobDescription(f"bench-warmup:{spec.name}")
-        spec.builder(spark, sf_dir).count()
+        _materialize(spec.builder(spark, sf_dir))
         release_reuse_caches()
     sc.setJobDescription(None)
 
@@ -111,7 +129,7 @@ def main() -> None:
         _apply_posture(spec)
         sc.setJobDescription(f"bench:{spec.name}")
         t0 = time.perf_counter()
-        spec.builder(spark, sf_dir).count()
+        _materialize(spec.builder(spark, sf_dir))
         dt = time.perf_counter() - t0
         # evict the dedup reuse persists between runs: each call
         # builds a NEW persisted intermediate, so without this the
@@ -149,9 +167,9 @@ def main() -> None:
         _apply_posture(specs[_flag])
         sc.setJobDescription(f"bench-steady:{_flag}")
         release_reuse_caches()
-        specs[_flag].builder(spark, sf_dir).count()  # fresh first pass
+        _materialize(specs[_flag].builder(spark, sf_dir))  # fresh first pass
         t0 = time.perf_counter()
-        specs[_flag].builder(spark, sf_dir).count()  # no clear between
+        _materialize(specs[_flag].builder(spark, sf_dir))  # no clear between
         steady[_flag] = round(time.perf_counter() - t0, 4)
         release_reuse_caches()
 

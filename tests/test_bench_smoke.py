@@ -32,3 +32,13 @@ def test_bench_query_builds(spark, spec):
 @pytest.mark.parametrize("spec", BENCH_SPECS, ids=[s.name for s in BENCH_SPECS])
 def test_bench_query_executes(spark, spec):
     assert spec.builder(spark, SF_SMOKE).count() >= 0
+
+
+@pytest.mark.parametrize("spec", BENCH_SPECS, ids=[s.name for s in BENCH_SPECS])
+def test_bench_query_materializes_via_noop_sink(spark, spec):
+    # bench.py's timed action since r16: the noop sink computes EVERY
+    # output column (count() prunes projection/aggregate values —
+    # guide §1.4); this smoke pins that each bench query survives it
+    spec.builder(spark, SF_SMOKE).write.format("noop").mode(
+        "overwrite"
+    ).save()
