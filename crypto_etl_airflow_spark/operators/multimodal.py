@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .parallel import widen_small_input
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -977,7 +979,12 @@ def synthesize_codec_media(docs: DataFrame) -> DataFrame:
             out["n_frames"] = nframes
             yield out
 
-    return docs.select("doc_id", "n_chars").mapInPandas(
+    # widen BEFORE the kernel (guide §2): the documents table arrives
+    # in one file partition at fixture scale, so without this every
+    # per-row codec (encode here, decode in extract_features, which
+    # inherits this partitioning) runs on 1 core of N. Shuffles only
+    # (doc_id, n_chars); no-op when the scan is already wide.
+    return widen_small_input(docs.select("doc_id", "n_chars")).mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
 
@@ -1026,7 +1033,10 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
                 ["media_id", "payload", "media_type", "width", "height", "n_frames"]
             ]
 
-    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+    # widen BEFORE the kernel (guide §2) — see synthesize_codec_media
+    return widen_small_input(docs.select("doc_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
@@ -1081,7 +1091,10 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
                 ["media_id", "payload", "media_type", "width", "height", "n_frames"]
             ]
 
-    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+    # widen BEFORE the kernel (guide §2) — see synthesize_codec_media
+    return widen_small_input(docs.select("doc_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
