@@ -98,8 +98,13 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + character-level quality signals per document —
     whitespace tokens, BPE-ish regex tokens, punctuation/stopword
     ratios, mean token length. Pure column expressions (SURVEY.md
-    §7.5 text analysis)."""
-    docs = load_table(spark, sf_dir, "documents")
+    §7.5 text analysis). The input is widened first (guide §2): a
+    shuffle-free projection otherwise runs in the scan's partitioning
+    — ONE file partition at fixture scale, so the regex chain used one
+    core of N (measured 0.54 → 0.41 s at sf0.1; no-op on wide scans)."""
+    from ..operators.parallel import widen_small_input
+
+    docs = widen_small_input(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
