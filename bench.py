@@ -55,6 +55,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from crypto_etl_airflow_spark.plans import registry
     from crypto_etl_airflow_spark.plans.registry import all_specs
     from crypto_etl_airflow_spark.session import tune_execution
 
@@ -81,11 +82,24 @@ def main() -> None:
     # parquet footer reads are one-time costs a long-lived cluster
     # amortizes away, so the timed pass measures steady-state
     # execution (the 100 TB-relevant number).
+    # per-query posture override, applied by the ENGINE
+    # (registry.apply_posture → session.apply_query_posture): a
+    # "classic" query keeps AQE + core-floored partitions even when
+    # the input is tiny; "auto" restores the tune_execution baseline.
+    # bench.py no longer owns this logic (VERDICT r16 item 4) — it
+    # applies the same configuration every entry point applies.
+    def _apply_posture(spec) -> None:
+        registry.apply_posture(spark, spec)
+
     sc = spark.sparkContext
     for spec in specs.values():
         # label jobs (guide §1): the Spark UI / event log attributes
         # every stage to the query that issued it
         sc.setJobDescription(f"bench-warmup:{spec.name}")
+        # warm under the SAME posture the query is timed under
+        # (ADVICE r16 item 4: a classic query warmed under the tiny
+        # posture pays un-warmed codegen on its first timed run)
+        _apply_posture(spec)
         _materialize(spec.builder(spark, sf_dir))
         release_reuse_caches()
     sc.setJobDescription(None)
@@ -109,21 +123,6 @@ def main() -> None:
     spreads: dict[str, float] = {}
     min_gaps: dict[str, float] = {}
     extra_runs: dict[str, int] = {}
-
-    engine_parts = str(posture["shuffle_partitions"])
-    engine_aqe = str(posture["adaptive"]).lower()
-
-    def _apply_posture(spec) -> None:
-        # per-query posture override (registry `posture` field): a
-        # "classic" query keeps AQE + core-floored partitions even
-        # when the input is tiny — for plans whose runtime SMJ→BHJ
-        # flips outweigh AQE's re-planning latency (hybrid RRF, r16)
-        if getattr(spec, "posture", "auto") == "classic":
-            spark.conf.set("spark.sql.shuffle.partitions", cpus)
-            spark.conf.set("spark.sql.adaptive.enabled", "true")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", engine_parts)
-            spark.conf.set("spark.sql.adaptive.enabled", engine_aqe)
 
     def one_run(spec) -> float:
         _apply_posture(spec)
@@ -150,8 +149,11 @@ def main() -> None:
         spreads[name] = round(runs[-1] - runs[0], 4)
         # the gap between the two FASTEST runs: a direct stability
         # measure of the reported min (max-min only ever grows with
-        # more samples, so it overstates noise on topped-up queries)
-        min_gaps[name] = round(runs[1] - runs[0], 4)
+        # more samples, so it overstates noise on topped-up queries);
+        # 0.0 under a single-run smoke (SPARK_GRAFT_BENCH_RUNS=1)
+        min_gaps[name] = (
+            round(runs[1] - runs[0], 4) if len(runs) > 1 else 0.0
+        )
         extra_runs[name] = len(runs) - n_runs
 
     # Regime split for the flagship composed pipeline (VERDICT r16
@@ -188,6 +190,20 @@ def main() -> None:
             }
     except OSError:
         pass
+    # The stdout line is SLIM by design (VERDICT r16 item 2): the
+    # driver records only the stdout TAIL, and the r15 payload — which
+    # carried spreads, min-gaps, postures and a 10-table fingerprint
+    # on one line — was cut mid-dict by that tail, destroying the
+    # round-over-round baseline (PERF_r16: prev_bench_ok=false,
+    # n_common=0). The printed line now carries only what the driver
+    # diffs (metric/value/queries/median/median_total/sf) plus the
+    # two contract-provenance fields it flagged as unverifiable:
+    # "cpus" (proves $SPARK_GRAFT_CPUS was honored — the sub-second
+    # queries are core-count-invariant at sf0.1 because the tiny
+    # posture is latency-bound, NOT because the env var is ignored)
+    # and "action" (ADVICE r16: the r16 count()→noop switch raised
+    # some per-query numbers ~honestly; a recorded action lets a
+    # future diff tell a harness change from a regression).
     payload = {
         "metric": "headline_queries_total",
         "value": total,
@@ -195,26 +211,33 @@ def main() -> None:
         "queries": timings,
         "median": medians,
         "median_total": round(sum(medians.values()), 4),
-        "spread": spreads,
-        "min_gap": min_gaps,
-        "extra_runs": {k: v for k, v in extra_runs.items() if v},
-        "runs_per_query": n_runs,
-        "steady": steady,
         "sf": sf,
-        "posture": posture,
-        "testdata_fingerprint": fingerprint,
+        "cpus": int(cpus),
+        "action": "noop",
     }
     print(json.dumps(payload))
-    # The driver records only the stdout TAIL, which truncates the
-    # per-query detail (BENCH_r12/r13 both lost medians to it) — so
-    # the full payload is also written to a file the next round's
-    # review can diff query-by-query.
+    # Everything else (stability fields, regime split, posture,
+    # fingerprint) lives in the full file record the next round's
+    # review diffs query-by-query.
+    full = dict(payload)
+    full.update(
+        {
+            "master": f"local[{cpus}]",
+            "spread": spreads,
+            "min_gap": min_gaps,
+            "extra_runs": {k: v for k, v in extra_runs.items() if v},
+            "runs_per_query": n_runs,
+            "steady": steady,
+            "posture": posture,
+            "testdata_fingerprint": fingerprint,
+        }
+    )
     out = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT", str(Path(_REPO_ROOT) / "BENCH_LOCAL.json")
     )
     try:
         with open(out, "w") as f:
-            json.dump(payload, f, indent=1)
+            json.dump(full, f, indent=1)
             f.write("\n")
     except OSError:
         pass  # a read-only checkout must not fail the bench

@@ -37,6 +37,19 @@ from pyspark.sql import functions as F
 from ..functions.vector import dot as _dot, norm as _norm
 from .similarity import _nearest_centroid, ivf_centroids
 
+#: Per-task skew guard (VERDICT r16 item 5): an ``applyInPandas``
+#: group is an ATOMIC task AQE cannot split, and within-cluster pair
+#: scoring is quadratic in the group — a cluster past this bound
+#: (~10⁹ candidate cells · dim flops ≈ tens of seconds for ONE task
+#: even vectorized) is a straggler in the making. The kernels warn at
+#: runtime (RuntimeWarning → executor stderr) naming the cluster and
+#: the remedy: grow ``nlist`` (the nlist ∝ corpus contract keeps
+#: clusters constant-sized — SemDeDup runs 50k clusters at LAION
+#: scale) and re-seed. Detection is free (the task already holds the
+#: group) and NEVER changes emitted pairs; the audit-side histogram
+#: is :func:`cluster_size_histogram`.
+SKEW_WARN_ROWS = 32768
+
 
 def assign_clusters(
     corpus: DataFrame,
@@ -62,6 +75,20 @@ def assign_clusters(
     )
     return _nearest_centroid(v, cents, id_col, "v", dim=dim).withColumn(
         "nrm", _norm(F.col("v"))
+    )
+
+
+def cluster_size_histogram(assigned: DataFrame) -> DataFrame:
+    """``(centroid_id, n_vectors)`` for an assignment — the audit
+    query behind the :data:`SKEW_WARN_ROWS` guard (the module
+    docstring's "one groupBy away"): run it over a persisted
+    assignment before a corpus-scale pair search to find skewed
+    clusters while re-seeding (larger ``nlist``) is still cheap. Not
+    wired into the query paths: computing it eagerly there would add
+    a full assignment pass per call, and the kernels already detect
+    the condition at runtime for free."""
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_vectors")
     )
 
 
@@ -119,9 +146,39 @@ def _pair_score_kernel(dim: int, threshold: float, cogroup: bool):
     tile × |cluster| doubles (L2-sized tiles). The cost is that a
     group cannot be split by AQE skew handling — the nlist ∝ corpus
     contract (constant cluster size) is what bounds per-task work,
-    same as it bounds the join form's per-key fanout."""
+    same as it bounds the join form's per-key fanout. A group that
+    EXCEEDS ``SKEW_WARN_ROWS`` emits a runtime RuntimeWarning from
+    the task (executor stderr) naming the cluster and the re-seed
+    remedy — the cheap skew guard VERDICT r16 item 5 asked for; it
+    never changes emitted pairs.
+
+    fp32 candidate pass (r17, guide §4): when every component of the
+    group is provably fp32-representable (|x| ≤ 1e15 — NaN/Inf fail
+    the gate), the full score matrix is computed by an fp32 GEMM and
+    only pairs NOT PROVABLY below ``threshold − 1e-6 − eps`` are
+    re-scored with the exact fp64 left-to-right fold — the same
+    bound-then-exact-rescore design as the assignment's BLAS path, so
+    every EMITTED cosine is still the bit-exact IEEE fold. eps is the
+    Cauchy–Schwarz error bound GAMMA32·‖a‖‖b‖/(na·nb) (+ an absolute
+    floor for fp32 subnormal flushes), with a ~25× margin over the
+    true ~70·2⁻²⁴ fp32 accumulation error; rows whose stored norms
+    fall outside [1e-15, 1e15] (0, NaN, ±Inf, denormal-range) force
+    their pairs into the candidate set outright, and the candidate
+    rule is keep-unless-provably-below (``~(S+eps < loose)``) so every
+    NaN/±Inf comparison keeps the pair for the exact pass.
+    ``SPARK_GRAFT_PAIR_GEMM32=0`` forces the legacy all-pairs fp64
+    fold — an A/B measurement knob, never a semantics switch."""
+    import os as _os
+
     kdim, thr = int(dim), float(threshold)
     loose = thr - 1e-6
+    # a loose bound below −3e38 is not fp32-representable (a pair
+    # whose fp32 sim saturates to −inf could still exceed it): the
+    # legacy fp64 fold handles such degenerate thresholds
+    allow32 = (
+        _os.environ.get("SPARK_GRAFT_PAIR_GEMM32", "1") != "0"
+        and loose > -3.0e38
+    )
 
     def _impl():
         import math
@@ -168,6 +225,100 @@ def _pair_score_kernel(dim: int, threshold: float, cogroup: bool):
                 V[r] = v[:kdim]
             return ids, nrm, ok, V
 
+        F32_MAG = 1.0e15
+        GAMMA32 = 1.0e-4
+        ABS32 = np.float32(1.0e-12)
+        # round the loose bound DOWN one fp32 ulp so the downcast can
+        # never exclude a pair whose exact sim sits exactly at loose
+        loose32 = np.nextafter(np.float32(loose), np.float32(-np.inf))
+
+        def _exact_emit(Va, Vb, nrm_a, nrm_b, ids_a, ids_b,
+                        r_idx, c_idx, out_a, out_b, out_s):
+            """Exact fp64 left-to-right fold + engine rounding for the
+            candidate pairs — bit-identical to the all-pairs fold
+            (elementwise ops in the same dimension order)."""
+            if len(r_idx) == 0:
+                return
+            Ac = Va[r_idx]
+            Bc = Vb[c_idx]
+            acc = np.zeros(len(r_idx), dtype=np.float64)
+            prod = np.empty(len(r_idx), dtype=np.float64)
+            for i in range(kdim):
+                np.multiply(Ac[:, i], Bc[:, i], out=prod)
+                np.add(acc, prod, out=acc)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sim = acc / (nrm_a[r_idx] * nrm_b[c_idx])
+            for j in range(len(r_idx)):
+                s = round6(float(sim[j]))
+                # NaN passes (s != s): Spark NaN-largest >=
+                if s != s or s >= thr:
+                    out_a.append(ids_a[r_idx[j]])
+                    out_b.append(ids_b[c_idx[j]])
+                    out_s.append(s)
+
+        def pairs32(A, B, upper):
+            """fp32 GEMM candidate pass (see the factory docstring):
+            keep-unless-provably-below selection, exact fp64 rescore
+            of the sliver."""
+            ids_a, nrm_a, ok_a, Va = A
+            ids_b, nrm_b, ok_b, Vb = B
+            out_a, out_b, out_s = [], [], []
+            na, nb = len(ids_a), len(ids_b)
+            la = np.sqrt((Va * Va).sum(axis=1))
+            lb = np.sqrt((Vb * Vb).sum(axis=1))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                good_a = (
+                    np.isfinite(nrm_a)
+                    & (nrm_a >= 1.0 / F32_MAG)
+                    & (nrm_a <= F32_MAG)
+                )
+                good_b = (
+                    np.isfinite(nrm_b)
+                    & (nrm_b >= 1.0 / F32_MAG)
+                    & (nrm_b <= F32_MAG)
+                )
+                # per-row eps factors: eps[i,j] = GAMMA32·(la·lb)/(na·nb)
+                # — split as sqrt(GAMMA32) per side, downcast inflated
+                g = GAMMA32 ** 0.5 * 1.001
+                fa = np.where(good_a, g * la / np.where(good_a, nrm_a, 1.0), 0.0)
+                fb = np.where(good_b, g * lb / np.where(good_b, nrm_b, 1.0), 0.0)
+            fa32 = fa.astype(np.float32)
+            fb32 = fb.astype(np.float32)
+            bad_a = ~good_a
+            bad_b = ~good_b
+            Va32 = Va.astype(np.float32)
+            Bt32 = np.ascontiguousarray(Vb.T, dtype=np.float32)
+            nrm_a32 = nrm_a.astype(np.float32)
+            nrm_b32 = nrm_b.astype(np.float32)
+            tile = max(8, (1 << 20) // (4 * nb))
+            for lo in range(0, na, tile):
+                hi = min(lo + tile, na)
+                S = Va32[lo:hi] @ Bt32
+                with np.errstate(
+                    invalid="ignore", divide="ignore", over="ignore",
+                    under="ignore",
+                ):
+                    np.divide(
+                        S, nrm_a32[lo:hi, None] * nrm_b32[None, :], out=S
+                    )
+                    E = fa32[lo:hi, None] * fb32[None, :]
+                    np.add(E, ABS32, out=E)
+                    np.add(E, S, out=E)  # E := S + eps
+                    # keep unless PROVABLY below loose: NaN/±Inf
+                    # comparisons keep the pair for the exact pass
+                    cand = ~np.less(E, loose32)
+                cand |= bad_a[lo:hi, None] | bad_b[None, :]
+                cand &= ok_a[lo:hi, None] & ok_b[None, :]
+                if upper:
+                    cand &= ids_a[lo:hi, None] < ids_b[None, :]
+                r_idx, c_idx = np.nonzero(cand)
+                _exact_emit(
+                    Va[lo:hi], Vb, nrm_a[lo:hi], nrm_b,
+                    ids_a[lo:hi], ids_b, r_idx, c_idx,
+                    out_a, out_b, out_s,
+                )
+            return out_a, out_b, out_s
+
         def pairs(A, B, upper):
             ids_a, nrm_a, ok_a, Va = A
             ids_b, nrm_b, ok_b, Vb = B
@@ -175,6 +326,14 @@ def _pair_score_kernel(dim: int, threshold: float, cogroup: bool):
             na, nb = len(ids_a), len(ids_b)
             if na == 0 or nb == 0:
                 return out_a, out_b, out_s
+            if (
+                allow32
+                and np.all(np.abs(Va) <= F32_MAG)
+                and np.all(np.abs(Vb) <= F32_MAG)
+            ):
+                # NaN/Inf components fail the gate (NaN compares
+                # False) and take the legacy all-pairs fold below
+                return pairs32(A, B, upper)
             Ct = np.ascontiguousarray(Vb.T)
             tile = max(8, (1 << 20) // (8 * nb))
             for lo in range(0, na, tile):
@@ -210,11 +369,28 @@ def _pair_score_kernel(dim: int, threshold: float, cogroup: bool):
 
         return pd, prep, pairs
 
+    skew_bound = SKEW_WARN_ROWS
+
+    def _skew_warn(cid, n):
+        if n > skew_bound:
+            import warnings
+
+            warnings.warn(
+                f"semdedup: cluster {cid!r} holds {n} vectors (> "
+                f"{skew_bound}); within-cluster pair scoring is "
+                "quadratic per task and this group cannot be split "
+                "by AQE — grow nlist (nlist ∝ corpus keeps clusters "
+                "constant-sized) and re-seed the quantizer",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
     if not cogroup:
 
         def kern(pdf):
             pd, prep, pairs = _impl()
             cid = pdf["centroid_id"].iloc[0] if len(pdf) else None
+            _skew_warn(cid, len(pdf))
             P = prep(pdf)
             a, b, s = pairs(P, P, upper=True)
             return pd.DataFrame(
@@ -233,6 +409,7 @@ def _pair_score_kernel(dim: int, threshold: float, cogroup: bool):
         cols = {"centroid_id": [], "id_a": [], "id_b": [], "cosine_sim": []}
         if len(batch_pdf):
             cid = batch_pdf["centroid_id"].iloc[0]
+            _skew_warn(cid, len(store_pdf) + len(batch_pdf))
             S, B = prep(store_pdf), prep(batch_pdf)
             # store×batch (every pair; ids disjoint by contract —
             # least/greatest normalization exactly as the join form)

@@ -810,6 +810,16 @@ def _nearest_centroid(
     import os as _os
 
     allow_fast = _os.environ.get("SPARK_GRAFT_ASSIGN_BLAS", "1") != "0"
+    # r17: the candidate GEMM runs in FLOAT32 when provably safe —
+    # the pass is memory-bandwidth-bound (r16 measured ~2×, not the
+    # 10× of a compute-bound GEMM), so halving the bytes is the one
+    # lever left; measured 21.2 → 12.0 s per ×1000-shaped task
+    # (62.5k × 16000 × 64). Candidates still re-score through the
+    # exact fp64 sequential fold, so the DECISION stays bit-identical;
+    # the fp32 error bound below only widens the candidate sliver
+    # (~+0.7% measured). SPARK_GRAFT_ASSIGN_GEMM32=0 forces the fp64
+    # GEMM — an A/B knob, never a semantics switch.
+    allow_32 = _os.environ.get("SPARK_GRAFT_ASSIGN_GEMM32", "1") != "0"
 
     # NOTE: ships to Python workers via cloudpickle — self-contained
     # closure over numpy arrays (pickled by value), no module refs
@@ -916,6 +926,21 @@ def _nearest_centroid(
             and bool(col_regular.any())
         )
         GAMMA = 2.0e-12
+        # fp32 candidate-GEMM bound: cast(v) + cast(c) + product +
+        # 63-term sum + divide-by-norm each contribute ≤ ~2⁻²⁴
+        # relative per term, so |S₃₂ − seq| ≤ ~70·2⁻²⁴·Σ|vᵢcᵢ| ≈
+        # 4.2e-6·‖v‖‖c‖ — GAMMA32 carries a ~25× margin. ABS32 covers
+        # the subnormal-underflow floor of fp32 products (≤ 64·1.4e-45
+        # absolute, ≤ ~9e-29 after the ÷norm with norms ≥ F32_MAG⁻¹);
+        # both only ever WIDEN the candidate set the exact fp64 fold
+        # re-scores. F32_MAG gates representability: components and
+        # norms must sit in [1e-15, 1e15] so no product can overflow
+        # fp32 (64·1e30 ≪ 3.4e38) and no norm division can amplify the
+        # underflow floor past ABS32; anything outside routes to the
+        # fp64 GEMM tile or (non-finite) the sequential fold.
+        GAMMA32 = 1.0e-4
+        ABS32 = 1.0e-25
+        F32_MAG = 1.0e15
         if fast_ok:
             reg_idx = np.flatnonzero(col_regular)
             Creg = np.ascontiguousarray(C[col_regular])
@@ -925,19 +950,47 @@ def _nearest_centroid(
             # ‖v‖₂·‖c‖₂, so eps = GAMMA·‖v‖·(‖c‖/c_norm) needs only an
             # OUTER PRODUCT of norms — not a second |V|@|C|ᵀ GEMM
             # (measured: the abs-GEMM doubled the fast path's cost)
-            ceps = GAMMA * np.sqrt((Creg * Creg).sum(axis=1)) / nrm_reg
+            cl2 = np.sqrt((Creg * Creg).sum(axis=1))
+            ceps = GAMMA * cl2 / nrm_reg
             nreg = len(reg_idx)
+            use32 = (
+                allow_32
+                and float(np.abs(Creg).max(initial=0.0)) <= F32_MAG
+                and float(nrm_reg.min(initial=np.inf)) >= 1.0 / F32_MAG
+                and float(nrm_reg.max(initial=0.0)) <= F32_MAG
+            )
+            if use32:
+                Creg32T = np.ascontiguousarray(CregT, dtype=np.float32)
+                nrm_reg32 = nrm_reg.astype(np.float32)
+                ceps32 = GAMMA32 * cl2 / nrm_reg
             # dead cols are -inf and can never beat a finite regular
-            # sim, so the argmax is decided among regular cols only
-            rtile = min(65536, max(16, (32 << 20) // (8 * nreg)))
+            # sim, so the argmax is decided among regular cols only;
+            # the fp32 tile budget doubles the rows per tile for the
+            # same ~32 MB score block
+            _bpc = 4 if use32 else 8
+            rtile = min(65536, max(16, (32 << 20) // (_bpc * nreg)))
 
         def fast_assign(V, rows, choice):
             for lo in range(0, len(rows), rtile):
                 sub = rows[lo : lo + rtile]
                 Vb = V[sub]
-                S = Vb @ CregT
-                np.divide(S, nrm_reg[None, :], out=S)
                 vnorm = np.sqrt((Vb * Vb).sum(axis=1))
+                if use32 and float(np.abs(Vb).max(initial=0.0)) <= F32_MAG:
+                    # fp32 GEMM: half the memory traffic of the fp64
+                    # pass; eps uses the fp32 bound above and is
+                    # downcast CONSERVATIVELY (1.001 inflation covers
+                    # the downcast rounding) so the compares stay in
+                    # fp32 — broadcasting an fp64 eps would silently
+                    # upcast the whole score block back to fp64
+                    S = Vb.astype(np.float32) @ Creg32T
+                    np.divide(S, nrm_reg32[None, :], out=S)
+                    eps = (
+                        (vnorm[:, None] * ceps32[None, :] + ABS32) * 1.001
+                    ).astype(np.float32)
+                else:
+                    S = Vb @ CregT
+                    np.divide(S, nrm_reg[None, :], out=S)
+                    eps = None  # fp64 eps built below
                 # finite inputs do not guarantee finite INTERMEDIATES:
                 # ~1e200-magnitude components overflow the GEMM (or
                 # vnorm) to inf, S−eps goes NaN, and the candidate
@@ -956,7 +1009,10 @@ def _nearest_centroid(
                     Vb = Vb[row_ok]
                     S = S[row_ok]
                     vnorm = vnorm[row_ok]
-                eps = vnorm[:, None] * ceps[None, :] + 1e-300
+                    if eps is not None:
+                        eps = eps[row_ok]
+                if eps is None:
+                    eps = vnorm[:, None] * ceps[None, :] + 1e-300
                 m_star = (S - eps).max(axis=1)
                 r_idx, c_idx = np.nonzero(S + eps >= m_star[:, None])
                 if len(r_idx) > 32 * len(sub):

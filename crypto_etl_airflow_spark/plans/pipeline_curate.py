@@ -544,6 +544,53 @@ def _stages(
         reclaim_disk=_in_bytes == 0 or _in_bytes >= SMALL_INPUT_BYTES,
     )
 
+    # Stage 8's SemDeDup branch, submitted EARLY from a driver thread
+    # (guide §2.6 — overlap independent jobs): it reads a DIFFERENT
+    # table (embeddings) and shares nothing with the text chain until
+    # its verdict ids anti-join at g6, but BUILDING it runs eager
+    # model-fit jobs (the dimension probe, the nlist seed selection,
+    # the k-means refinement collect inside ivf_centroids →
+    # _nearest_centroid). Called inline after the g4 barrier — its
+    # position in the dataflow — those jobs SERIALIZE behind the text
+    # chain's five eager barrier jobs (~6 s of the flagship's sf0.1
+    # cost, r16 §7b attribution) even though the scheduler could run
+    # both branches at once; at decade scale the seed/refine passes
+    # are full corpus scans, so the serialization grows with the
+    # input. A single driver thread submits the branch up front and
+    # the barrier jobs' straggler tails back-fill with embedding-side
+    # work. Results are identical — the same DataFrame comes back,
+    # and the similarity/dedup memo layers are lock-guarded.
+    # ``SPARK_GRAFT_PIPELINE_OVERLAP=0`` forces the old inline build
+    # (an A/B measurement knob, never a semantics switch). NOTE: if
+    # the text chain raises mid-build the submitted thread finishes
+    # its bounded fit jobs and exits — nothing is left running.
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _semdedup_verdicts() -> DataFrame:
+        return semdedup_keep(
+            load_table(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            nlist=semdedup_nlist,
+            threshold=0.4,
+        )
+
+    _fut = _pool = None
+    if _os.environ.get("SPARK_GRAFT_PIPELINE_OVERLAP", "1") != "0":
+        try:
+            # documented way to run driver threads so JVM thread-local
+            # properties (job group/description/tags) are inherited
+            # and cleaned up under pinned-thread mode; Spark 4 wants
+            # the session for tag inheritance
+            from pyspark import inheritable_thread_target
+
+            _target = inheritable_thread_target(spark)(_semdedup_verdicts)
+        except Exception:
+            _target = _semdedup_verdicts
+        _pool = ThreadPoolExecutor(max_workers=1)
+        _fut = _pool.submit(_target)
+
     # widen BEFORE the transform: the documents table arrives in a
     # handful of file partitions, and the regexp redaction chain is
     # the pipeline's CPU-heaviest per-row work — without the widen it
@@ -865,14 +912,17 @@ def _stages(
     g5n = g4n.join(mh_ids, "doc_id", "left_anti")
     g5 = g4.join(mh_ids, "doc_id", "left_anti")  # lazy text view
 
-    # 8: SemDeDup verdicts from the embedding space, applied by id
-    verd = semdedup_keep(
-        load_table(spark, sf_dir, "embeddings"),
-        "vec_id",
-        "embedding",
-        nlist=semdedup_nlist,
-        threshold=0.4,
-    )
+    # 8: SemDeDup verdicts from the embedding space, applied by id —
+    # built concurrently with the barrier chain above (see the
+    # submit at the top of this function); join the thread here, at
+    # the branch's dataflow position
+    if _fut is not None:
+        try:
+            verd = _fut.result()
+        finally:
+            _pool.shutdown(wait=False)
+    else:
+        verd = _semdedup_verdicts()
     verd_ids = verd.filter(F.col("is_duplicate")).select(
         F.col("vec_id").alias("doc_id")
     )

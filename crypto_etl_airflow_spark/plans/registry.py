@@ -199,8 +199,40 @@ def get(name: str) -> QuerySpec:
     return _REGISTRY[name]
 
 
+def apply_posture(spark: SparkSession, spec: QuerySpec) -> None:
+    """Apply ``spec``'s execution posture to the session — delegates
+    to the engine's :func:`session.apply_query_posture` so the
+    classic/auto override lives in ONE place and every entry point
+    (driver contract, bench.py, dump_plans) applies the same
+    configuration. Physical strategy only; results are identical."""
+    from ..session import apply_query_posture
+
+    apply_query_posture(spark, getattr(spec, "posture", "auto"))
+
+
+def _posture_bound(spec: QuerySpec) -> Builder:
+    """The spec's builder with its execution posture applied first —
+    what :func:`query_map` hands the external driver, so a
+    posture-tagged query runs its measured configuration under ANY
+    caller, not just bench.py (VERDICT r16 item 4). EVERY builder is
+    wrapped (not just the classic-tagged ones): a posture override
+    must stay in force while its query EXECUTES (the AQE flag is read
+    at action time, after the builder returns), so the restore to the
+    session baseline happens when the NEXT query applies "auto" — an
+    unwrapped auto builder would silently inherit the previous
+    query's classic posture."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        apply_posture(spark, spec)
+        return spec.builder(spark, sf_dir)
+
+    run.__name__ = spec.builder.__name__
+    run.__doc__ = spec.builder.__doc__
+    return run
+
+
 def query_map() -> dict[str, Builder]:
-    return {name: spec.builder for name, spec in all_specs().items()}
+    return {name: _posture_bound(spec) for name, spec in all_specs().items()}
 
 
 def oracle_map() -> dict[str, str]:

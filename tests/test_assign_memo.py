@@ -150,3 +150,99 @@ def test_fast_assignment_bit_identical_to_column_form(spark):
     }
     assert got == want
     assert len(got) == len(rows)
+
+
+def test_fp32_candidate_gemm_decision_parity(spark, monkeypatch):
+    """r17: the candidate GEMM runs in fp32 when provably safe. The
+    DECISION must stay bit-identical to the Column argmax on data
+    built to stress the fp32 bound: components at the subnormal
+    underflow scale (fp32 products flush to 0 — covered by the ABS32
+    floor), rows past the F32_MAG representability gate (tile falls
+    back to the fp64 GEMM), exact-duplicate and 1-ulp near-tie
+    centroids, and a run with SPARK_GRAFT_ASSIGN_GEMM32=0 pinning
+    that the knob is physical-only."""
+    import math
+    import random
+
+    from crypto_etl_airflow_spark.functions.vector import norm as _norm
+    from crypto_etl_airflow_spark.operators.similarity import (
+        _nearest_centroid_expr,
+    )
+
+    random.seed(17)
+    dim = 16
+
+    def vec(seed, scale=1.0):
+        rng = random.Random(seed)
+        return [rng.uniform(-1, 1) * scale for _ in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(64)]
+    # fp32-underflow scale: products ~1e-60 flush to 0 in fp32
+    rows += [(200 + i, vec(1000 + i, scale=1e-30)) for i in range(8)]
+    # past F32_MAG (1e15): the whole tile must take the fp64 GEMM
+    rows += [(300 + i, vec(2000 + i, scale=1e16)) for i in range(8)]
+    # near-tie stress: exact duplicate of row 0's vector
+    rows += [(400, list(vec(0)))]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    cvecs = [vec(50_000 + i) for i in range(12)]
+    cvecs.append(list(cvecs[0]))  # exact duplicate → tie to lowest id
+    near = list(cvecs[1])
+    near[0] = math.nextafter(near[0], 2.0)  # 1-ulp near-tie
+    cvecs.append(near)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cvecs)],
+        "centroid_id long, c_vec array<double>",
+    ).withColumn("c_norm", _norm(F.col("c_vec")))
+
+    want = {
+        r.vec_id: r.centroid_id
+        for r in _nearest_centroid_expr(corpus, cents, "vec_id", "v").collect()
+    }
+    for knob in ("1", "0"):
+        monkeypatch.setenv("SPARK_GRAFT_ASSIGN_GEMM32", knob)
+        got = {
+            r.vec_id: r.centroid_id
+            for r in _nearest_centroid(
+                corpus, cents, "vec_id", "v", dim=dim
+            ).collect()
+        }
+        assert got == want, f"GEMM32={knob}"
+
+
+def test_fp32_disabled_for_out_of_range_centroids(spark, monkeypatch):
+    """A centroid set outside the fp32 representable gate (tiny
+    norms) must disable the fp32 path entirely — decisions still
+    match the Column form through the fp64 GEMM / sequential fold."""
+    from crypto_etl_airflow_spark.functions.vector import norm as _norm
+    from crypto_etl_airflow_spark.operators.similarity import (
+        _nearest_centroid_expr,
+    )
+
+    import random
+
+    random.seed(18)
+    dim = 8
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(dim)]) for i in range(32)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    # norms ~1e-20 < 1/F32_MAG → use32 must be False
+    cvecs = [
+        [random.uniform(-1, 1) * 1e-20 for _ in range(dim)] for _ in range(4)
+    ]
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cvecs)],
+        "centroid_id long, c_vec array<double>",
+    ).withColumn("c_norm", _norm(F.col("c_vec")))
+    monkeypatch.setenv("SPARK_GRAFT_ASSIGN_GEMM32", "1")
+    got = {
+        r.vec_id: r.centroid_id
+        for r in _nearest_centroid(corpus, cents, "vec_id", "v", dim=dim)
+        .collect()
+    }
+    want = {
+        r.vec_id: r.centroid_id
+        for r in _nearest_centroid_expr(corpus, cents, "vec_id", "v").collect()
+    }
+    assert got == want

@@ -8,9 +8,12 @@ This smoke test makes that failure mode a red test: building the plan
 (builder call + .explain()) catches bad signatures, missing columns,
 and unresolvable expressions without paying execution time.
 
-A separate execution smoke (count at sf0.001) covers runtime-only
-failures (e.g. a UDF that crashes per-batch) for the bench set, since
-bench.py's warm-up loop executes every query too.
+A separate execution smoke covers runtime-only failures (e.g. a UDF
+that crashes per-batch) for the bench set, via the SAME noop-sink
+action bench.py times (ADVICE r16 item 3: the earlier count() variant
+both duplicated a full execution per query and no longer reflected
+the timed action — count() prunes the very expressions the bench now
+measures).
 """
 
 import pytest
@@ -27,11 +30,6 @@ def test_bench_query_builds(spark, spec):
     df = spec.builder(spark, SF_SMOKE)
     # analysis + optimization happen here; raises on any plan error
     df.explain()
-
-
-@pytest.mark.parametrize("spec", BENCH_SPECS, ids=[s.name for s in BENCH_SPECS])
-def test_bench_query_executes(spark, spec):
-    assert spec.builder(spark, SF_SMOKE).count() >= 0
 
 
 @pytest.mark.parametrize("spec", BENCH_SPECS, ids=[s.name for s in BENCH_SPECS])

@@ -161,3 +161,111 @@ def test_pair_kernel_bit_identical_to_join_form(spark):
             assert math.isnan(ks) == math.isnan(ls)
             if not math.isnan(ks):
                 assert ks.hex() == ls.hex()
+
+
+def test_pair_kernel_fp32_parity_on_pathological_magnitudes(
+    spark, monkeypatch
+):
+    """r17 fp32 candidate pass: emissions must stay bit-identical to
+    the legacy join form (and to the fp64 kernel, GEMM32=0) on data
+    built to break the fp32 bound — zero norms (0/0 → NaN sims,
+    emitted under NaN-largest >=), fp32-subnormal component scales
+    (products flush to 0 in fp32), magnitudes past the F32_MAG gate
+    (the group falls back to the fp64 fold), and near-threshold
+    geometry."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crypto_etl_airflow_spark.functions.vector import norm as _norm
+    from crypto_etl_airflow_spark.operators.semdedup import (
+        _pairs_from_assigned,
+    )
+
+    dim = 4
+    rows = [
+        # cluster 1: normal near-threshold geometry
+        (1, [1.0, 0.0, 0.0, 0.0], 1),
+        (2, [1.0, 1e-7, 0.0, 0.0], 1),
+        (3, [0.0, 0.0, 0.0, 0.0], 1),        # zero norm → NaN sims
+        # cluster 2: fp32-underflow scale (products ~1e-60)
+        (10, [1e-30, 1e-30, 0.0, 0.0], 2),
+        (11, [1e-30, 1.0000001e-30, 0.0, 0.0], 2),
+        # cluster 3: past F32_MAG → whole group takes the fp64 fold
+        (20, [1e16, 0.0, 0.0, 0.0], 3),
+        (21, [1e16, 1e9, 0.0, 0.0], 3),
+    ]
+    schema = "vec_id long, v array<double>, centroid_id int"
+    assigned = spark.createDataFrame(rows, schema).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+
+    def emits(knob):
+        monkeypatch.setenv("SPARK_GRAFT_PAIR_GEMM32", knob)
+        return sorted(
+            map(
+                tuple,
+                _pairs_from_assigned(assigned, "vec_id", 0.4, dim=dim)
+                .collect(),
+            )
+        )
+
+    # the legacy join form CRASHES on the zero-norm row (ANSI
+    # DIVIDE_BY_ZERO on dot/(0·0)) — tolerating it with NaN sims is
+    # the kernel's documented robustness deviation, so the legacy
+    # comparison runs without row 3
+    legacy_in = spark.createDataFrame(
+        [r for r in rows if r[0] != 3], schema
+    ).withColumn("nrm", _norm(F.col("v")))
+    legacy = sorted(
+        map(tuple, _legacy_pairs(legacy_in, "vec_id", 0.4, dim).collect())
+    )
+    on, off = emits("1"), emits("0")
+    assert on == off
+    kernel_cmp = [r for r in on if 3 not in (r[1], r[2])]
+    assert len(kernel_cmp) == len(legacy)
+    for krow, lrow in zip(kernel_cmp, legacy):
+        assert krow[:3] == lrow[:3]
+        ks, ls = krow[3], lrow[3]
+        assert math.isnan(ks) == math.isnan(ls)
+        if not math.isnan(ks):
+            assert ks.hex() == ls.hex()
+    # the zero-norm row must appear in a kept pair: the kernel emits
+    # its 0/0 sims (NaN under NaN-largest >=; surfaced as NULL through
+    # Arrow — pandas' NaN-is-missing conflation, same as r16) instead
+    # of crashing like the ANSI join form
+    assert any(3 in (r[1], r[2]) and r[3] is None for r in on)
+
+
+def test_pair_kernel_warns_on_skewed_cluster(monkeypatch):
+    """VERDICT r16 item 5: a giant cluster (an atomic applyInPandas
+    task AQE cannot split) must be detected at runtime. The warning
+    fires above SKEW_WARN_ROWS and NEVER changes emitted pairs."""
+    import warnings
+
+    import pandas as pd
+    import pytest
+
+    from crypto_etl_airflow_spark.operators import semdedup
+
+    monkeypatch.setattr(semdedup, "SKEW_WARN_ROWS", 4)
+    kern = semdedup._pair_score_kernel(2, 0.99, cogroup=False)
+    big = pd.DataFrame(
+        {
+            "centroid_id": [1] * 6,
+            "__id": list(range(6)),
+            "v": [[1.0, 0.0]] * 3 + [[0.0, 1.0]] * 3,
+            "nrm": [1.0] * 6,
+            "__nrm_null": [False] * 6,
+        }
+    )
+    with pytest.warns(RuntimeWarning, match="grow nlist"):
+        warned = kern(big)
+    monkeypatch.setattr(semdedup, "SKEW_WARN_ROWS", 32768)
+    kern2 = semdedup._pair_score_kernel(2, 0.99, cogroup=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no warning below the bound
+        quiet = kern2(big)
+    # identical emissions with and without the warning
+    assert warned.to_dict("records") == quiet.to_dict("records")
+    assert len(warned) == 6  # 3 collinear pairs per direction group

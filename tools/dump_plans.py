@@ -39,11 +39,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from crypto_etl_airflow_spark.operators.dedup import release_reuse_caches
+    from crypto_etl_airflow_spark.plans import registry
     from crypto_etl_airflow_spark.plans.registry import all_specs
+    from crypto_etl_airflow_spark.session import tune_execution
+
+    # the committed plan evidence must be reproducible from the
+    # committed tool (ADVICE r16 item 2): dump under the SAME
+    # execution posture the engine/bench applies — the size-aware
+    # tune_execution baseline plus each spec's per-query override —
+    # and say so in a header so a reader can tell which posture a
+    # dump was taken under.
+    tune_execution(spark, sf_dir)
 
     specs = all_specs()
     for name in names:
         spec = specs[name]
+        registry.apply_posture(spark, spec)
+        header = (
+            f"// posture: shuffle.partitions="
+            f"{spark.conf.get('spark.sql.shuffle.partitions')}, "
+            f"adaptive={spark.conf.get('spark.sql.adaptive.enabled')}"
+            f" (spec.posture={spec.posture})\n"
+        )
         df = spec.builder(spark, sf_dir)
         df.collect()  # execute so AQE finalizes join picks / codegen ids
         qe = df._jdf.queryExecution()
@@ -53,7 +70,7 @@ def main() -> None:
             )
         )
         path = outdir / f"{name}_{suffix}.txt"
-        path.write_text(formatted)
+        path.write_text(header + formatted)
         print(f"wrote {path} ({len(formatted)} chars)")
         release_reuse_caches()
 
