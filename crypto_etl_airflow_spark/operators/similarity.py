@@ -682,7 +682,12 @@ def _nearest_centroid(
     is TOTAL (a vector whose every score is NULL/NaN folds to −Inf
     and resolves to the lowest centroid id — ADVICE r14).
 
-    Execution: an Arrow-batched ``mapInPandas`` kernel. The centroid
+    Execution: an Arrow-native ``mapInArrow`` kernel (r17 — the
+    mapInPandas form paid a per-row Python packing loop and a
+    per-batch pandas copy; the list<double> column now reshapes into
+    the (row, dim) matrix as one vectorized gather straight off the
+    Arrow buffers, and input buffers pass through unchanged on
+    emit). The centroid
     table (nlist ≤ ~16k rows by the nlist ∝ corpus contract, ~8 MB at
     the decade point) is collected once — the moral equivalent of the
     broadcast build it replaces. The semantic reference per
@@ -800,6 +805,12 @@ def _nearest_centroid(
         norms_arr[_j] = float(_cn) if _cn is not None else float("nan")
     ids_arr = _np.array([_r["centroid_id"] for _r in crows])
     del crows
+    # exact Arrow type of the id column, captured by value: the
+    # emitted batch must match the DECLARED schema (a long array
+    # against an int32 field fails executor-side with getInt errors)
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    _id_arrow_type = to_arrow_type(cents.schema["centroid_id"].dataType)
     kernel_dim = dim
     vec_name = vec_col
     # measurement-hygiene toggle (captured BY VALUE here so the
@@ -1066,19 +1077,44 @@ def _nearest_centroid(
                 first = np.minimum.reduceat(pos, seg)
                 choice[sub[r_idx[seg]]] = reg_idx[c_idx[first]]
 
-        for pdf in batches:
-            arrs = pdf[vec_name]
-            n = len(pdf)
-            valid = np.zeros(n, dtype=bool)
-            V = np.zeros((n, kernel_dim), dtype=np.float64)
-            for r, a in enumerate(arrs):
-                if a is None:
-                    continue
-                v = np.asarray(a, dtype=np.float64)
-                if v.shape[0] < kernel_dim:
-                    continue
-                valid[r] = True
-                V[r] = v[:kernel_dim]
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(batch.schema.get_field_index(vec_name))
+            # vectorized extraction straight from the Arrow buffers
+            # (r17, guide §4.2): the r16 mapInPandas form paid a
+            # PYTHON loop over every row (2M tiny numpy objects per
+            # ×1000 task — measured as the dominant term once the
+            # GEMM was fast) plus a whole-frame pandas copy on emit.
+            # A list<double> column is one contiguous values buffer
+            # plus offsets, so the (row, dim) matrix is a single
+            # vectorized gather — zero Python per row — and rows
+            # shorter than dim / NULL vectors drop out via masks with
+            # the exact semantics of the old loop (NULL element →
+            # NaN via Arrow → routed to the sequential fold, same
+            # verdict as before).
+            offs = col.offsets.to_numpy().astype(np.int64)
+            lens = np.diff(offs)
+            valid = lens >= kernel_dim
+            if col.null_count:
+                valid &= ~col.is_null().to_numpy(zero_copy_only=False)
+            # element nulls surface as NaN (float64 conversion);
+            # zero-copy when the values carry no nulls
+            flat = col.values.to_numpy(zero_copy_only=False)
+            safe = np.where(valid, offs[:-1], 0)
+            if len(flat) == 0:
+                V = np.zeros((n, kernel_dim), dtype=np.float64)
+            else:
+                V = flat[
+                    np.minimum(
+                        safe[:, None] + np.arange(kernel_dim)[None, :],
+                        len(flat) - 1,
+                    )
+                ]
+                V[~valid] = 0.0
             # invalid rows default to position 0 = the lowest centroid
             # id (their sims are all -inf), as in the sequential form
             choice = np.zeros(n, dtype=np.int64)
@@ -1094,11 +1130,15 @@ def _nearest_centroid(
                 rows = np.flatnonzero(valid)
                 if len(rows):
                     seq_assign(V, rows, choice)
-            out = pdf.copy()
-            out["centroid_id"] = ids[choice]
-            yield out
+            # passthrough emit: input buffers move unchanged (no
+            # pandas frame copy), one appended id column
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(j) for j in range(batch.num_columns)]
+                + [pa.array(ids[choice], type=_id_arrow_type)],
+                names=list(batch.schema.names) + ["centroid_id"],
+            )
 
-    result = vecs.mapInPandas(assign, schema=out_schema)
+    result = vecs.mapInArrow(assign, schema=out_schema)
     return _memo_put(memo_key, sess, result) if memo_key else result
 
 

@@ -132,15 +132,16 @@ def test_line_dedup_broadcasts_hot_lines(spark):
 
 def test_semdedup_assignment_is_arrow_kernel(spark):
     """Cluster assignment must score every vector against the
-    collected centroid table inside an Arrow-batched mapInPandas
-    kernel — one pass over the corpus, no per-vector shuffle, and no
+    collected centroid table inside an Arrow-batched kernel
+    (mapInArrow since r17 — zero per-row Python; mapInPandas before)
+    — one pass over the corpus, no per-vector shuffle, and no
     BroadcastNestedLoopJoin cross-score (r15: the codegen'd 64-term
     dot chain exceeded HotSpot's huge-method JIT limit and ran as
     interpreted bytecode at ~1-10 µs/dot; the vectorized kernel keeps
     the bit-identical sequential fold at numpy speed)."""
     df = all_specs()["embedding_semdedup_pairs"].builder(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan, plan[:2000]
+    assert "MapInArrow" in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
 
 
